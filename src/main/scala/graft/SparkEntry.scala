@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{Analytics, FaunaParity}
+import graft.operators.{Dedup, EventWindows, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are contributed by operator modules; every entry has a matching
+  * DuckDB oracle unless the operator is not SQL-expressible.
+  */
 object SparkEntry {
+  private val modules: Seq[QueryModule] = Seq(
+    Analytics,    // relational surface: scan/filter/agg/join/window/rollup/pivot/set-ops
+    FaunaParity,  // reference operator semantics: epoch normalize, split, JSON tolerance
+    EventWindows, // tumbling / session / sliding windows over events
+    Dedup,        // exact / canonical / n-gram-Jaccard dedup
+    TextAnalysis, // token stats, lang-id, quality scoring, tokenizers
+    Similarity,   // brute-force cosine top-k + LSH-bucketed pair mining
+    Multimodal    // binary media columns + per-partition decode plumbing
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    FaunaParity.epochNormalize(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_.oracles).toMap
 }

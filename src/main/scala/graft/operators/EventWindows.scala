@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Num, QueryModule, Tables}
+
+/** Time-window operators over the `events` table — the batch expression of
+  * the Structured Streaming surface (graft.streaming runs the same
+  * aggregations with `readStream` + watermarks; Spark guarantees identical
+  * semantics for `window`/`session_window` in both modes).
+  *
+  * Scale notes: tumbling windows are a plain hash aggregate on
+  * (window, type) — partial-agg friendly, no state. Session windows shuffle
+  * by user_id only; at 100 TB the groupBy key (user_id) distributes evenly
+  * by construction and AQE handles residual skew.
+  */
+object EventWindows extends QueryModule {
+  import Num._
+
+  /** Tumbling 1-hour windows: count + exact sum per (hour, event_type). */
+  def tumbling(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), dec6).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value")
+      )
+
+  /** Session windows with a 30-minute inactivity gap, per user. Session end
+    * is last-event + gap (Spark semantics), reproduced in the oracle via
+    * gaps-and-islands. */
+  def sessions(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), dec6).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"),
+        col("sum_value")
+      )
+
+  /** Sliding windows (1h length, 30m slide): each event lands in 2 windows. */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"),
+        col("n_events")
+      )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_window_tumbling" -> (tumbling _),
+    "q26_window_session"  -> (sessions _),
+    "q27_window_sliding"  -> (sliding _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q25_window_tumbling" ->
+      s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         |  event_type, count(*) AS n_events, ${sqlDsum("value", 6)} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q26_window_session" ->
+      s"""WITH e AS (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS t FROM events),
+         |m AS (SELECT user_id, value, t,
+         |        CASE WHEN lag(t) OVER w IS NULL
+         |               OR t - lag(t) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         |s AS (SELECT user_id, value, t,
+         |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |      FROM m)
+         |SELECT user_id,
+         |  strftime(min(t), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         |  strftime(max(t) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+         |  count(*) AS n_events, ${sqlDsum("value", 6)} AS sum_value
+         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q27_window_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) * 1800000000) AS w0
+        |  FROM events
+        |),
+        |w AS (
+        |  SELECT event_type, w0 AS ws FROM e
+        |  UNION ALL
+        |  SELECT event_type, w0 - INTERVAL 30 MINUTE AS ws FROM e
+        |)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, count(*) AS n_events
+        |FROM w GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.{QueryModule, Tables}
+
+/** Similarity search over the `embeddings` table (`ARRAY<FLOAT>`, dim 64).
+  *
+  * Two paths:
+  *  - Brute-force cosine top-k: broadcast the (small) query set against the
+  *    full corpus — a narrow map + per-query top-k, no corpus shuffle. This
+  *    is the correctness baseline and is exactly right when |queries| is
+  *    small, even at 100 TB of corpus.
+  *  - LSH-bucketed (random-hyperplane sign bits) variant in [[MinHashLsh]]
+  *    spirit: candidates meet only within a bucket, turning all-pairs
+  *    O(n²) into a per-bucket join. Registered as `q61` (self-similar pair
+  *    mining) — the scale path for corpus × corpus.
+  *
+  * All arithmetic is elementwise float→double cast then sequential fold, so
+  * the DuckDB oracle (same fold order) is bit-identical; ranking ties are
+  * broken on vec_id after rounding to 6 decimals.
+  */
+object Similarity extends QueryModule {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  /** Brute-force cosine top-10 neighbours for query vectors vec_id < 5. */
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = emb
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val sim = emb
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    sim
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select("q_id", "vec_id", "cos", "rnk")
+  }
+
+  /** Deterministic pseudo-random ±1 hyperplane matrix (8 planes × 64 dims),
+    * derived from md5("plane<b>:<i>") parity at build time. Embedded as
+    * literals in both the Spark plan and the DuckDB oracle, so the bucketing
+    * is reproducible everywhere and costs no per-row hashing.
+    */
+  val Planes: Seq[Seq[Double]] = (0 until 8).map { b =>
+    (0 until 64).map { i =>
+      val digest = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s"plane$b:$i".getBytes("UTF-8"))
+      if ((digest(3) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** 8-bit random-hyperplane signature: bucket id in [0, 256). */
+  def lshBucket(v: Column): Column = {
+    val bits = Planes.zipWithIndex.map { case (plane, b) =>
+      val planeCol = array(plane.map(lit): _*)
+      val proj     = dot(v, planeCol)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed near-pair mining: cosine ≥ 0.95 pairs, candidates limited
+    * to same-bucket vectors. */
+  def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v")))
+    val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 6))
+      .filter(col("cos") >= 0.95)
+      .select("bucket", "id_a", "id_b", "cos")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_knn_brute" -> (knnBrute _),
+    "q61_lsh_pairs" -> (lshPairs _)
+  )
+
+  private val dotSql =
+    "list_sum(list_transform(generate_series(1, 64), i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))"
+
+  /** DuckDB rendering of one plane's projection + sign bit. */
+  private def bucketSql(vExpr: String): String = {
+    val bitTerms = Planes.zipWithIndex.map { case (plane, b) =>
+      val planeList = plane.map(p => if (p > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> CAST($vExpr[i] AS DOUBLE) * ($planeList)[i])) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }
+    bitTerms.mkString("(", " + ", ")")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q60_knn_brute" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |        sqrt(list_sum(list_transform(generate_series(1, 64),
+         |                                     i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)))) AS nrm
+         |      FROM e),
+         |sim AS (
+         |  SELECT b.vec_id AS q_id, a.vec_id AS vec_id,
+         |    round($dotSql / (a.nrm * b.nrm), 6) AS cos
+         |  FROM n a JOIN n b ON b.vec_id < 5 AND a.vec_id <> b.vec_id
+         |),
+         |rk AS (SELECT q_id, vec_id, cos,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+         |       FROM sim)
+         |SELECT q_id, vec_id, cos, rnk FROM rk WHERE rnk <= 10""".stripMargin,
+    "q61_lsh_pairs" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket,
+         |        sqrt(list_sum(list_transform(generate_series(1, 64),
+         |                                     i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)))) AS nrm
+         |      FROM e)
+         |SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round($dotSql / (a.nrm * b.nrm), 6) AS cos
+         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round($dotSql / (a.nrm * b.nrm), 6) >= 0.95""".stripMargin
+  )
+}

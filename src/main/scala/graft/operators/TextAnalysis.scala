@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Num, QueryModule, Tables}
+
+/** Text-analysis operators over `documents`: token statistics, heuristic
+  * language ID, quality scoring, and tokenizer comparisons — all per-row
+  * narrow transforms (no shuffle until the final aggregate), so they stream
+  * through whole-stage codegen at any scale.
+  */
+object TextAnalysis extends QueryModule {
+  import Num._
+
+  def tokens(c: Column): Column = split(c, " +")
+
+  /** Stopword profiles for the n-gram/stopword-overlap language heuristic.
+    * Deterministic tie-break: first language in alphabetical order wins. */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "de", "est")
+  )
+
+  private def overlap(toks: Column, words: Seq[String]): Column =
+    size(filter(array_distinct(toks), x => x.isin(words.map(w => w: Any): _*)))
+
+  /** Per-language corpus statistics with exact arithmetic. */
+  def stats(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("lang"),
+        col("source"),
+        col("n_chars"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens")
+      )
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        (sum(col("n_tokens")).cast(DoubleType) / count(lit(1))).as("avg_tokens")
+      )
+
+  /** Heuristic language ID: stopword-profile overlap, argmax with a fixed
+    * alphabetical tie-break; confusion counts against the labeled lang. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks   = tokens(col("text"))
+    val scored = Tables
+      .documents(s, dir)
+      .select(
+        Seq(col("doc_id"), col("lang")) ++
+          StopwordProfiles.map { case (l, ws) => overlap(toks, ws).as(s"s_$l") }: _*
+      )
+    val Seq(de, en, es, fr) = Seq("s_de", "s_en", "s_es", "s_fr").map(col)
+    val predicted = when(de >= en && de >= es && de >= fr, lit("de"))
+      .when(en >= es && en >= fr, lit("en"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+    scored
+      .withColumn("predicted", predicted)
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Quality scoring: composite of length, stopword, and alphabetic ratios;
+    * keep/drop classification aggregated per lang. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val toks   = tokens(col("text"))
+    val nTok   = size(toks).cast(DoubleType)
+    val nStop  = overlap(toks, StopwordProfiles.flatMap(_._2).distinct).cast(DoubleType)
+    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(DoubleType)
+    val lenScore   = least(nTok / lit(100.0), lit(1.0))
+    val stopRatio  = nStop / greatest(nTok, lit(1.0))
+    val alphaRatio = nAlpha / greatest(col("n_chars").cast(DoubleType), lit(1.0))
+    val score      = lit(0.4) * lenScore + lit(0.3) * stopRatio + lit(0.3) * alphaRatio
+    Tables
+      .documents(s, dir)
+      .withColumn("score", score)
+      .withColumn("keep", score >= lit(0.5) && size(toks) >= 20)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        dsum(col("score"), dec6).as("sum_score")
+      )
+  }
+
+  /** Token counting: whitespace tokenizer vs a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single other non-space chars). */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("source"),
+        size(tokens(col("text"))).cast(LongType).as("ws"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast(LongType).as("bpe")
+      )
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens")
+      )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_text_stats"  -> (stats _),
+    "q41_lang_id"     -> (langId _),
+    "q42_quality"     -> (quality _),
+    "q43_token_count" -> (tokenCount _)
+  )
+
+  private def overlapSql(listExpr: String, words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(list_distinct($listExpr), x -> x IN ($set)))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q40_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(regexp_split_to_array(text, ' +'))) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT source) AS n_sources,
+        |  CAST(sum(len(regexp_split_to_array(text, ' +'))) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q41_lang_id" -> {
+      val t  = "regexp_split_to_array(text, ' +')"
+      val by = StopwordProfiles.map { case (l, ws) => s"${overlapSql(t, ws)} AS s_$l" }.mkString(",\n  ")
+      s"""WITH scored AS (SELECT doc_id, lang, $by FROM documents)
+         |SELECT lang,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS predicted,
+         |  count(*) AS n_docs
+         |FROM scored GROUP BY 1, 2""".stripMargin
+    },
+    "q42_quality" -> {
+      val t        = "regexp_split_to_array(text, ' +')"
+      val allStops = StopwordProfiles.flatMap(_._2).distinct
+      s"""WITH f AS (
+         |  SELECT lang,
+         |    CAST(len($t) AS DOUBLE) AS n_tok,
+         |    CAST(${overlapSql(t, allStops)} AS DOUBLE) AS n_stop,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |    CAST(n_chars AS DOUBLE) AS n_chars_d
+         |  FROM documents
+         |),
+         |sc AS (
+         |  SELECT lang, n_tok,
+         |    0.4 * least(n_tok / 100.0, 1.0)
+         |      + 0.3 * (n_stop / greatest(n_tok, 1.0))
+         |      + 0.3 * (n_alpha / greatest(n_chars_d, 1.0)) AS score
+         |  FROM f
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN score >= 0.5 AND n_tok >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  ${sqlDsum("score", 6)} AS sum_score
+         |FROM sc GROUP BY lang""".stripMargin
+    },
+    "q43_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(text, ' +'))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS bpe_tokens
+        |FROM documents GROUP BY source""".stripMargin
+  )
+}

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Num, QueryModule, Tables}
+
+/** Relational analytics surface over the TPC-H-ish star schema: scan,
+  * filter/pushdown, hash aggregate, broadcast + shuffle joins, semi/anti
+  * joins, window functions, rollup, pivot, set operations, top-k.
+  *
+  * Scale notes (designed for 1000-executor / 100 TB, tested at sf0.1):
+  *  - `region`/`nation` are bounded dimensions (5/25 rows at any SF) —
+  *    always broadcast explicitly.
+  *  - `customer`/`supplier`/`orders` scale with SF — joined without hints so
+  *    AQE picks broadcast at small SF and shuffled hash/sort-merge at scale,
+  *    with skew-join splitting enabled.
+  *  - Aggregates are partial (map-side combine) by construction; filters and
+  *    column pruning reach the parquet scan (verified via explain in tests).
+  */
+object Analytics extends QueryModule {
+  import Num._
+
+  private val ship9802 = lit("1998-09-02").cast(TimestampType)
+
+  /** TPC-H Q1-style pricing summary: the canonical wide-scan partial-agg. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li        = Tables.lineitem(s, dir)
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge    = discPrice * (lit(1.0) + col("l_tax"))
+    li.filter(col("l_shipdate") <= ship9802)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(discPrice, dec6).as("sum_disc_price"),
+        dsum(charge, dec6).as("sum_charge"),
+        count(lit(1)).as("count_order")
+      )
+  }
+
+  /** TPC-H Q6-style: predicate-pushdown filter + single aggregate. */
+  def filterRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount") >= lit(0.04) && col("l_discount") <= lit(0.07) &&
+          col("l_quantity") < lit(24.0)
+      )
+      .agg(
+        dsum(col("l_extendedprice") * col("l_discount"), dec6).as("revenue"),
+        count(lit(1)).as("n_rows")
+      )
+
+  /** TPC-H Q3-style: 3-way join, aggregate, deterministic top-10. */
+  def topOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1996-06-01").cast(TimestampType))
+    val li   = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1996-06-01").cast(TimestampType))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), dec6).as("revenue"))
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue")
+      )
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q4-style: EXISTS via left-semi join. */
+  def orderPriority(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables
+      .orders(s, dir)
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-04-01").cast(TimestampType)
+      )
+    val bigLines = Tables.lineitem(s, dir).filter(col("l_quantity") > 45).select("l_orderkey")
+    ord
+      .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q5-style: 6-way join with broadcast dimensions. */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val reg  = broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA"))
+    val nat  = broadcast(Tables.nation(s, dir))
+    val cust = Tables.customer(s, dir)
+    val supp = Tables.supplier(s, dir)
+    val ord = Tables
+      .orders(s, dir)
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-01-01").cast(TimestampType)
+      )
+    val li = Tables.lineitem(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), dec6).as("revenue"))
+  }
+
+  /** Window functions: top-3 customers by spend within each market segment. */
+  def windowTopCustomers(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables
+      .orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "c_custkey")
+      .agg(dsum(col("o_totalprice")).as("total_spend"))
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("total_spend").desc, col("c_custkey"))
+    spend.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+  }
+
+  /** Anti join: customers that never placed an order, counted per nation. */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .join(Tables.orders(s, dir).select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** ROLLUP over region/nation of customer account balances. */
+  def rollupAcctbal(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_nationkey", "c_acctbal")
+    val nat  = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val reg  = Tables.region(s, dir).select("r_regionkey", "r_name")
+    cust
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region_name"), col("n_name").as("nation_name"), col("c_acctbal"))
+      .createOrReplaceTempView("graft_rollup_src")
+    // SQL path: Dataset.rollup trips Spark's ambiguous-self-join detector on
+    // the Expand node's duplicated grouping attributes (Spark 4.1); the SQL
+    // planner builds the identical plan without Dataset column tagging.
+    s.sql(
+      """SELECT region_name, nation_name,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal,
+        |  count(1) AS n_customers
+        |FROM graft_rollup_src
+        |GROUP BY ROLLUP(region_name, nation_name)""".stripMargin
+    )
+  }
+
+  /** Exact multi-distinct aggregation in one pass (expand-based). */
+  def distinctStats(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows")
+      )
+
+  /** Pivot: order-priority class counts per line status. */
+  def pivotPriority(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .withColumn(
+        "prio_class",
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit("high")).otherwise(lit("low"))
+      )
+      .groupBy("l_linestatus")
+      .pivot("prio_class", Seq("high", "low"))
+      .agg(count(lit(1)))
+
+  /** Set operations: INTERSECT / EXCEPT between order-status key sets. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val f   = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+    val o   = ord.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+    val both    = f.intersect(o).agg(count(lit(1)).as("n")).select(lit("f_and_o").as("set_name"), col("n"))
+    val fNotO   = f.except(o).agg(count(lit(1)).as("n")).select(lit("f_not_o").as("set_name"), col("n"))
+    val eitherS = f.union(o).distinct().agg(count(lit(1)).as("n")).select(lit("f_or_o").as("set_name"), col("n"))
+    both.union(fNotO).union(eitherS)
+  }
+
+  /** Scalar-subquery pattern: customers above their nation's mean balance. */
+  def aboveNationAvg(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val natAvg = cust
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(davg(col("c_acctbal")).as("nat_avg"))
+    cust
+      .join(natAvg, col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("nat_avg"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_above"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"   -> (pricingSummary _),
+    "q02_filter_revenue"    -> (filterRevenue _),
+    "q03_top_orders"        -> (topOrders _),
+    "q04_order_priority"    -> (orderPriority _),
+    "q05_region_revenue"    -> (regionRevenue _),
+    "q06_window_topk"       -> (windowTopCustomers _),
+    "q07_anti_join"         -> (customersWithoutOrders _),
+    "q08_rollup"            -> (rollupAcctbal _),
+    "q09_distinct_stats"    -> (distinctStats _),
+    "q10_pivot"             -> (pivotPriority _),
+    "q11_set_ops"           -> (setOps _),
+    "q12_scalar_subquery"   -> (aboveNationAvg _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+         |  ${sqlDsum("(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)", 6)} AS sum_charge,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_revenue" ->
+      s"""SELECT ${sqlDsum("l_extendedprice * l_discount", 6)} AS revenue, count(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount >= 0.04 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
+    "q03_top_orders" ->
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+         |  AND l_shipdate  > TIMESTAMP '1996-06-01 00:00:00'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin,
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q05_region_revenue" ->
+      s"""SELECT n_name, ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name""".stripMargin,
+    "q06_window_topk" ->
+      s"""SELECT c_mktsegment, c_custkey, total_spend, rnk FROM (
+         |  SELECT c_mktsegment, c_custkey, total_spend,
+         |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY total_spend DESC, c_custkey) AS rnk
+         |  FROM (
+         |    SELECT c_mktsegment, c_custkey, ${sqlDsum("o_totalprice")} AS total_spend
+         |    FROM orders JOIN customer ON o_custkey = c_custkey
+         |    GROUP BY c_mktsegment, c_custkey
+         |  )
+         |) WHERE rnk <= 3""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name""".stripMargin,
+    "q08_rollup" ->
+      s"""SELECT r_name AS region_name, n_name AS nation_name,
+         |  ${sqlDsum("c_acctbal")} AS sum_acctbal, count(*) AS n_customers
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q09_distinct_stats" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "q10_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus""".stripMargin,
+    "q11_set_ops" ->
+      """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'f_and_o' AS set_name, count(*) AS n FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+        |UNION ALL
+        |SELECT 'f_not_o' AS set_name, count(*) AS n FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+        |UNION ALL
+        |SELECT 'f_or_o' AS set_name, count(*) AS n FROM (SELECT * FROM f UNION SELECT * FROM o)""".stripMargin,
+    "q12_scalar_subquery" ->
+      s"""SELECT c_nationkey, count(*) AS n_above
+         |FROM customer c
+         |JOIN (
+         |  SELECT c_nationkey AS nk, ${sqlDavg("c_acctbal")} AS nat_avg
+         |  FROM customer GROUP BY c_nationkey
+         |) a ON c.c_nationkey = a.nk
+         |WHERE c.c_acctbal > a.nat_avg
+         |GROUP BY c.c_nationkey""".stripMargin
+  )
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query must execute against sf0.001 and (where it
+  * aggregates the whole table) return rows. Catches runtime plan errors
+  * before the driver's verify pass does.
+  */
+class QueriesSmokeSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("local[8]", 8)
+  private val dir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or a documented reason") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name executes on sf0.001") {
+      val df = fn(spark, dir)
+      val n  = df.count()
+      assert(n >= 0)
+    }
+  }
+}
