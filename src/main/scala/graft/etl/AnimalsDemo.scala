@@ -1,0 +1,51 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.GraftSession
+import graft.sources.{HttpResponse, HttpTransport}
+
+/** In-memory demo service with the reference's fixture data
+  * (`/root/reference/tests/test_pipeline.py:23-32`) — lets the full REST
+  * pipeline run end-to-end with no network. Swap for a real transport in
+  * production.
+  */
+class DemoTransport extends HttpTransport {
+  private val pages = Map(
+    1 -> """{"page": 1, "total_pages": 2, "items": [{"id": 1, "name": "Dog"}, {"id": 2, "name": "Cat"}]}""",
+    2 -> """{"page": 2, "total_pages": 2, "items": [{"id": 3, "name": "Mouse"}]}"""
+  )
+  private val details = Map(
+    1L -> """{"id": 1, "name": "Dog", "friends": "Kangaroo, Sea Lions", "born_at": null}""",
+    2L -> """{"id": 2, "name": "Cat", "friends": "", "born_at": 1348692957651}""",
+    3L -> """{"id": 3, "name": "Mouse", "friends": "Dog", "born_at": null}"""
+  )
+  override def request(method: String, path: String, body: Option[String], headers: Map[String, String]): HttpResponse =
+    (method, path) match {
+      case ("GET", p) if p.startsWith("/animals/v1/animals?page=") =>
+        HttpResponse(200, pages(p.stripPrefix("/animals/v1/animals?page=").toInt))
+      case ("GET", p) if p.matches("/animals/v1/animals/\\d+") =>
+        HttpResponse(200, details(p.split("/").last.toLong))
+      case ("POST", "/animals/v1/home") =>
+        DemoTransport.posted.add(body.getOrElse(""))
+        HttpResponse(200, """{"message": "ok"}""")
+      case other => HttpResponse(404, s"no route $other")
+    }
+}
+object DemoTransport {
+  val posted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+/** `sbt "runMain graft.etl.AnimalsDemo"` — runs the reference pipeline
+  * end-to-end against the demo service and prints what was POSTed. */
+object AnimalsDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get("local[4]", 4)
+    val asOf  = lit("2026-01-01 00:00:00").cast(TimestampType)
+    val res   = AnimalsPipeline.run(spark, classOf[DemoTransport].getName, asOf, concurrency = 2, batchSize = 2)
+    println(s"posted_batches=${res.postedBatches}")
+    DemoTransport.posted.forEach(b => println(s"POST /animals/v1/home $b"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,37 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.sinks.HttpBatchSink
+import graft.sources.{RestEnrich, RetryPolicy}
+
+/** The reference's full E-T-L composed Spark-first
+  * (`/root/reference/src/animals_etl/cli.py:40-43`): paginated scan →
+  * keyed-lookup enrichment → transform → batched POST. Unlike the
+  * reference's four materialization barriers, scan → enrich → transform is
+  * one pipelined narrow plan; only the sink action executes it.
+  */
+object AnimalsPipeline {
+
+  final case class Result(postedBatches: Long)
+
+  def listed(spark: SparkSession, transportClass: String): DataFrame =
+    spark.read
+      .format("graft.sources.RestAnimalsSource")
+      .option("transport", transportClass)
+      .load()
+
+  def run(
+      spark: SparkSession,
+      transportClass: String,
+      asOf: Column,
+      concurrency: Int = 8,
+      batchSize: Int = 100,
+      policy: RetryPolicy = RetryPolicy()
+  ): Result = {
+    val ids         = listed(spark, transportClass)
+    val details     = RestEnrich.details(ids, transportClass, concurrency, policy)
+    val transformed = AnimalsTransform.transform(details, asOf)
+    Result(HttpBatchSink.post(transformed, transportClass, batchSize, policy))
+  }
+}

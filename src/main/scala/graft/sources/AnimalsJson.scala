@@ -1,0 +1,62 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import scala.util.Try
+
+/** Tolerant JSON codec for the animals API payloads — the reference degrades
+  * non-JSON bodies to empty records rather than failing
+  * (`/root/reference/src/animals_etl/api.py:25-46`, S4 in SURVEY.md §2.1).
+  */
+object AnimalsJson {
+  private val mapper = new ObjectMapper()
+
+  final case class ListedAnimal(id: Long, name: String, bornAt: Option[Long])
+  final case class AnimalPage(page: Int, totalPages: Int, items: Seq[ListedAnimal])
+  final case class AnimalDetailRec(id: Long, name: String, friends: Option[String], bornAt: Option[Long])
+
+  private def optLong(n: JsonNode, field: String): Option[Long] = {
+    val v = n.get(field)
+    if (v == null || v.isNull) None else Some(v.asLong())
+  }
+
+  private def optText(n: JsonNode, field: String): Option[String] = {
+    val v = n.get(field)
+    if (v == null || v.isNull) None else Some(v.asText())
+  }
+
+  /** Page envelope; unparseable body → empty single page (api.py:27-31). */
+  def parsePage(body: String): AnimalPage =
+    Try {
+      val root  = mapper.readTree(body)
+      val items = Option(root.get("items")).map { arr =>
+        (0 until arr.size()).map { i =>
+          val it = arr.get(i)
+          ListedAnimal(it.get("id").asLong(), optText(it, "name").getOrElse(""), optLong(it, "born_at"))
+        }.toSeq
+      }.getOrElse(Seq.empty)
+      AnimalPage(
+        Option(root.get("page")).map(_.asInt()).getOrElse(1),
+        Option(root.get("total_pages")).map(_.asInt()).getOrElse(1),
+        items
+      )
+    }.getOrElse(AnimalPage(1, 1, Seq.empty))
+
+  /** Detail record; unparseable body → None (api.py:36-39 yields {}). */
+  def parseDetail(body: String): Option[AnimalDetailRec] =
+    Try {
+      val root = mapper.readTree(body)
+      AnimalDetailRec(
+        root.get("id").asLong(),
+        optText(root, "name").getOrElse(""),
+        optText(root, "friends"),
+        optLong(root, "born_at")
+      )
+    }.toOption
+
+  /** 422 `detail` extraction (http_client.py:109-117). */
+  def errorDetail(body: String): String =
+    Try(Option(mapper.readTree(body).get("detail")).map(_.toString).getOrElse(body)).getOrElse(body)
+
+  def toJsonBatch(records: Seq[String]): String = records.mkString("[", ",", "]")
+}
