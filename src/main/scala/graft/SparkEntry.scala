@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{Analytics, FaunaParity}
-import graft.operators.{Dedup, EventWindows, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventWindows, FuzzyDedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,6 +16,7 @@ object SparkEntry {
     FaunaParity,  // reference operator semantics: epoch normalize, split, JSON tolerance
     EventWindows, // tumbling / session / sliding windows over events
     Dedup,        // exact / canonical / n-gram-Jaccard dedup
+    FuzzyDedup,   // MinHash+LSH, SimHash, rolling hash, embedding near-dup
     TextAnalysis, // token stats, lang-id, quality scoring, tokenizers
     Similarity,   // brute-force cosine top-k + LSH-bucketed pair mining
     Multimodal    // binary media columns + per-partition decode plumbing

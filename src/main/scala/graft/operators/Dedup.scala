@@ -36,15 +36,23 @@ object Dedup extends QueryModule {
       .groupBy(md5(canonicalText(col("text"))).as("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-bigram shingles per document. Guards the <2-token case —
-    * `sequence(0, -1)` would generate a descending range, not an empty one. */
-  def shingles(text: Column): Column = {
+  /** Distinct word-trigram shingles per document. Trigrams over bigrams is a
+    * scale decision: document frequency per shingle drops ~|vocab|×, so the
+    * inverted-index/LSH candidate volume (∝ Σ df²) collapses while
+    * discrimination improves. Guards the <3-token case — `sequence(1, 0)`
+    * would generate a descending range, not an empty one. */
+  def shingles(text: Column): Column = graft.plans.TextHashExpressions.wordShingles(text)
+
+  /** Reference HOF formulation of [[shingles]] — semantically identical;
+    * kept for the parity test. Interpreted lambdas re-run the split per
+    * element (O(tokens²)), which is why the native expression exists. */
+  def shinglesHof(text: Column): Column = {
     val toks = split(text, " +")
-    when(size(toks) < 2, array().cast("array<string>")).otherwise(
+    when(size(toks) < 3, array().cast("array<string>")).otherwise(
       array_distinct(
         transform(
-          sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))
+          sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
         )
       )
     )
@@ -81,12 +89,14 @@ object Dedup extends QueryModule {
     "q32_dedup_jaccard"   -> (ngramJaccard _)
   )
 
-  private val shinglesSql: String =
+  /** DuckDB rendering of [[shingles]] — shared by the Jaccard and MinHash
+    * oracles. */
+  val shinglesSql: String =
     """sh AS (
       |  SELECT doc_id,
-      |    CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
-      |         ELSE list_distinct(list_transform(generate_series(1, len(t) - 1),
-      |                                           i -> t[i] || ' ' || t[i + 1]))
+      |    CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                                           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
       |    END AS shingles
       |  FROM (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents)
       |)""".stripMargin

@@ -1,0 +1,289 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryModule, Tables}
+
+/** Scale-path fuzzy deduplication: MinHash + banded LSH, SimHash, rolling
+  * hash, and embedding-cosine near-dup.
+  *
+  * Design for 100 TB:
+  *  - Signatures (MinHash / SimHash / rolling hash) are computed in ONE
+  *    narrow pass per document with higher-order array functions — no
+  *    shuffle, no UDF, stays in codegen.
+  *  - Candidate generation shuffles only (band-key, doc_id) pairs — a few
+  *    dozen bytes per doc per band — never the text.
+  *  - Verification (exact Jaccard) runs only on LSH candidates:
+  *    O(candidates), not O(n²).
+  *
+  * All hash constants are md5-derived at build time and embedded as literals
+  * in both the Spark plan and the DuckDB oracle, so results are reproducible
+  * everywhere. Base shingle hash H(s) = first 8 md5 hex chars as uint32 —
+  * identical in Spark (`conv`) and DuckDB (`CAST('0x…')`).
+  */
+object FuzzyDedup extends QueryModule {
+
+  /** Mersenne-prime-free modulus just above 2^32 (a prime). With a < 2^31
+    * and H < 2^32, a*H + b < 2^63 — no signed-64 overflow. */
+  val P: Long = 4294967311L
+  val NumHashes  = 32
+  val BandSize   = 4
+  val NumBands: Int = NumHashes / BandSize
+
+  private def md5Long(seed: String): Long =
+    BigInt(1, MessageDigest.getInstance("MD5").digest(seed.getBytes("UTF-8")).take(4)).toLong
+
+  /** (a_j, b_j) for the K universal-hash permutations. */
+  val Coeffs: Seq[(Long, Long)] = (0 until NumHashes).map { j =>
+    (md5Long(s"minhash:a:$j") % ((1L << 31) - 1) + 1, md5Long(s"minhash:b:$j") % (1L << 31))
+  }
+
+  /** H(s): first 8 md5 hex chars → uint32 as long. */
+  def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** H60(s): first 15 md5 hex chars → 60-bit long (SimHash base). */
+  def baseHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  val SimhashBits  = 60
+  val SimhashBands = 4 // 15 bits each; hamming ≤ 3 ⇒ ≥1 band identical
+
+  /** All K minhash values from a PRE-HASHED shingle array (`baseHash` per
+    * element, materialized once — inlining it here would re-run md5 inside
+    * each of the K expressions). */
+  def minhashSignature(hsCol: Column): Seq[Column] =
+    Coeffs.map { case (a, b) =>
+      array_min(transform(hsCol, h => (lit(a) * h + lit(b)) % lit(P)))
+    }
+
+  /** Band keys: signature rows grouped BandSize at a time into strings. */
+  def bandKeys(sig: Seq[Column]): Column =
+    array(
+      (0 until NumBands).map { b =>
+        concat_ws(":", (lit(b) +: sig.slice(b * BandSize, (b + 1) * BandSize)): _*)
+      }: _*
+    )
+
+  /** MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ 0.3:
+    * signatures → band buckets → same-bucket candidates → exact verify. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    // Candidate generation stays SKINNY: only (band, doc_id) shuffles. The
+    // shingle arrays would otherwise ride through the band join and the
+    // pair-dedup exchange — at 100 TB that's the difference between
+    // shuffling a few GB of ids and re-shuffling the corpus.
+    // Signatures + banding via the native single-pass expression (md5 once
+    // per shingle; the HOF formulation re-hashes per permutation).
+    val bands = docs
+      .select(col("doc_id"), explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band"))
+    val cand = bands
+      .select(col("band"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct() // a pair can collide in several bands
+    // Exact-Jaccard verification only on candidates: shingles re-join by id.
+    val shA = docs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = docs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    cand
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("union_n", (size(col("sh_a")) + size(col("sh_b"))).cast(LongType) - col("inter"))
+      .withColumn("jaccard", round(col("inter") / col("union_n"), 6))
+      .filter(col("jaccard") >= 0.3)
+      .select("id_a", "id_b", "inter", "union_n", "jaccard")
+  }
+
+  /** 60-bit SimHash from a PRE-HASHED token array (see [[simhashed]]).
+    * 60 bits (vs 32) shrinks band buckets ~2^7× at candidate-generation time
+    * and sharpens the hamming signal. */
+  def simhashFromHashes(hsCol: Column): Column = {
+    val bits = (0 until SimhashBits).map { b =>
+      val balance = aggregate(
+        hsCol,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L)
+      )
+      when(balance >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** documents → (doc_id, lang, fp) via the native single-pass SimHash. */
+  def simhashed(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"), graft.plans.TextHashExpressions.simhash60(col("text")).as("fp"))
+
+  /** Per-document SimHash fingerprints (grouped counts keep output compact
+    * and oracle-stable). */
+  def simhashFingerprints(s: SparkSession, dir: String): DataFrame =
+    simhashed(s, dir).withColumnRenamed("fp", "simhash60")
+
+  /** SimHash near-dup pairs: byte-banding (hamming ≤ 3 over 32 bits ⇒ at
+    * least one of 4 bytes identical), then exact hamming verify. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = simhashed(s, dir).select("doc_id", "fp")
+    val banded = fp.select(
+      col("doc_id"),
+      col("fp"),
+      explode(
+        array(
+          (0 until SimhashBands).map(i => concat_ws(":", lit(i), shiftright(col("fp"), i * 15) % 32768)): _*
+        )
+      ).as("band")
+    )
+    val a = banded.select(col("band"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Polynomial rolling-hash fingerprint over the canonical text. */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      split(c, ""),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L
+    )
+
+  def rollingFingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        rollingHash(Dedup.canonicalText(col("text"))).as("roll_hash")
+      )
+
+  /** Embedding-cosine near-dup: exact all-pairs ≥ 0.9 (oracle baseline; the
+    * LSH-bucketed q61 is the scale path for the same semantics). */
+  def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = Similarity.embWithNorm(s, dir)
+    val a   = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b   = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.9)
+      .select("id_a", "id_b", "cos")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_dedup_minhash_lsh"   -> (minhashLsh _),
+    "q34_simhash_fingerprint" -> (simhashFingerprints _),
+    "q35_simhash_pairs"       -> (simhashPairs _),
+    "q36_rolling_fingerprint" -> (rollingFingerprints _),
+    "q37_dedup_embedding"     -> (embeddingPairs _)
+  )
+
+  // ---- oracle SQL ----
+
+  private val baseHashSql: String = "CAST('0x' || substr(md5(%s), 1, 8) AS BIGINT)"
+
+  private val shinglesSqlCte: String = Dedup.shinglesSql
+
+  private def minhashSigSql: String = {
+    val hs = s"list_transform(shingles, s -> ${baseHashSql.format("s")})"
+    val sigs = Coeffs.zipWithIndex
+      .map { case ((a, b), j) => s"list_min(list_transform(hs, h -> (${a} * h + ${b}) % ${P})) AS sig$j" }
+      .mkString(",\n    ")
+    s"""hsig AS (SELECT doc_id, shingles, $hs AS hs FROM sh WHERE len(shingles) > 0),
+       |sig AS (SELECT doc_id, shingles,
+       |    $sigs
+       |  FROM hsig)""".stripMargin
+  }
+
+  private def bandsSql: String = {
+    val bandExprs = (0 until NumBands).map { b =>
+      val cols = (b * BandSize until (b + 1) * BandSize).map(j => s"sig$j").mkString(", ")
+      s"concat_ws(':', $b, $cols)"
+    }
+    s"bands AS (SELECT doc_id, shingles, unnest([${bandExprs.mkString(", ")}]) AS band FROM sig)"
+  }
+
+  private val baseHash60Sql: String = "CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)"
+
+  private val simhashSql: String = {
+    val hs = s"list_transform(regexp_split_to_array(text, ' +'), t -> ${baseHash60Sql.format("t")})"
+    val bits = (0 until SimhashBits)
+      .map { b =>
+        s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }
+      .mkString(" + ")
+    s"""fp AS (SELECT doc_id, lang, CAST($bits AS BIGINT) AS simhash60
+       |  FROM (SELECT doc_id, lang, $hs AS hs FROM documents))""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q33_dedup_minhash_lsh" ->
+      s"""WITH $shinglesSqlCte,
+         |$minhashSigSql,
+         |$bandsSql,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |),
+         |verified AS (
+         |  SELECT id_a, id_b,
+         |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+         |    len(sa.shingles) + len(sb.shingles)
+         |      - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS union_n
+         |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id
+         |)
+         |SELECT id_a, id_b, inter, union_n, round(inter / union_n, 6) AS jaccard
+         |FROM verified WHERE round(inter / union_n, 6) >= 0.3""".stripMargin,
+    "q34_simhash_fingerprint" ->
+      s"""WITH $simhashSql
+         |SELECT doc_id, lang, simhash60 FROM fp""".stripMargin,
+    "q35_simhash_pairs" ->
+      s"""WITH $simhashSql,
+         |banded AS (
+         |  SELECT doc_id, simhash60 AS fp,
+         |    unnest([concat_ws(':', 0, (simhash60 >> 0) % 32768),
+         |            concat_ws(':', 1, (simhash60 >> 15) % 32768),
+         |            concat_ws(':', 2, (simhash60 >> 30) % 32768),
+         |            concat_ws(':', 3, (simhash60 >> 45) % 32768)]) AS band
+         |  FROM fp
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3""".stripMargin,
+    "q36_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT), list_transform(
+        |      string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
+        |FROM documents""".stripMargin,
+    "q37_dedup_embedding" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding AS v,
+        |    sqrt(list_sum(list_transform(generate_series(1, 64),
+        |                                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.9""".stripMargin
+  )
+}

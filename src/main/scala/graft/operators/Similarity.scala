@@ -25,25 +25,30 @@ import graft.{QueryModule, Tables}
   */
 object Similarity extends QueryModule {
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product — codegen'd Catalyst expression
+    * (identical fold order to the HOF composition and the oracle). */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
+  /** Embeddings with the L2 norm precomputed ONCE per vector — at N² pair
+    * volume, recomputing norms per pair triples the hot-loop cost. */
+  def embWithNorm(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    emb.withColumn("nrm", norm(col("v")))
+  }
+
   /** Brute-force cosine top-10 neighbours for query vectors vec_id < 5. */
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables
-      .embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val emb = embWithNorm(s, dir)
     val q = emb
       .filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val sim = emb
       .join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))), 6))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     sim
       .withColumn("rnk", row_number().over(w))
@@ -78,15 +83,12 @@ object Similarity extends QueryModule {
   /** LSH-bucketed near-pair mining: cosine ≥ 0.95 pairs, candidates limited
     * to same-bucket vectors. */
   def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables
-      .embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshBucket(col("v")))
-    val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val emb = embWithNorm(s, dir).withColumn("bucket", lshBucket(col("v")))
+    val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 6))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= 0.95)
       .select("bucket", "id_a", "id_b", "cos")
   }

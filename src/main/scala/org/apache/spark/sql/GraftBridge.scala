@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge for this library's custom Catalyst
+  * expressions. `ExpressionUtils` is `private[sql]` in Spark 4's refactored
+  * Column API, so the bridge lives in the `org.apache.spark.sql` package —
+  * the established pattern for Spark extension libraries that ship native
+  * expressions.
+  */
+object GraftBridge {
+  def column(e: Expression): Column     = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, FuzzyDedup}
+import graft.plans.TextHashExpressions
+
+/** The native single-pass expressions must be value-identical to their
+  * higher-order-function reference formulations (which in turn are pinned by
+  * the DuckDB oracles).
+  */
+class ExpressionParitySpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("local[4]", 4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = Tables.documents(spark, dir)
+
+  test("WordShingles == HOF shingles") {
+    val diff = docs
+      .select(Dedup.shingles(col("text")).as("a"), Dedup.shinglesHof(col("text")).as("b"))
+      .filter(not(col("a") === col("b")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("WordShingles edge cases: empty / short / whitespace runs") {
+    import spark.implicits._
+    val edge = Seq("", "one", "one two", "a b c", "a  b   c", " lead", "trail ").toDF("text")
+    val rows = edge
+      .select(col("text"), Dedup.shingles(col("text")).as("a"), Dedup.shinglesHof(col("text")).as("b"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2), s"input='${r.getString(0)}'"))
+  }
+
+  test("MinHashBandKeys == HOF signature banding") {
+    val sh = docs
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val hof = sh
+      .withColumn("hs", transform(col("shingles"), s => FuzzyDedup.baseHash(s)))
+      .select(col("doc_id"), FuzzyDedup.bandKeys(FuzzyDedup.minhashSignature(col("hs"))).as("bands"))
+    val native = sh.select(col("doc_id"), TextHashExpressions.minhashBandKeys(col("shingles")).as("bands"))
+    val a = hof.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val b = native.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(a == b)
+  }
+
+  test("SimHash60 == HOF simhash") {
+    val hof = docs
+      .withColumn("hs", transform(split(col("text"), " +"), t => FuzzyDedup.baseHash60(t)))
+      .select(col("doc_id"), FuzzyDedup.simhashFromHashes(col("hs")).as("fp"))
+    val native = docs.select(col("doc_id"), TextHashExpressions.simhash60(col("text")).as("fp"))
+    val a = hof.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = native.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("DotProduct == HOF aggregate fold") {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cmp = emb.select(
+      graft.plans.VectorExpressions.dotProduct(col("v"), col("v")).as("a"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("b")
+    )
+    assert(cmp.filter(not(col("a") === col("b"))).count() == 0)
+  }
+}
