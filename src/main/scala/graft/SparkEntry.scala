@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{Analytics, FaunaParity}
-import graft.operators.{Dedup, EventWindows, FuzzyDedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, EventWindows, FuzzyDedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,6 +15,7 @@ object SparkEntry {
     Analytics,    // relational surface: scan/filter/agg/join/window/rollup/pivot/set-ops
     FaunaParity,  // reference operator semantics: epoch normalize, split, JSON tolerance
     EventWindows, // tumbling / session / sliding windows over events
+    AsOfJoin,     // as-of (nearest-preceding) join via union + running window
     Dedup,        // exact / canonical / n-gram-Jaccard dedup
     FuzzyDedup,   // MinHash+LSH, SimHash, rolling hash, embedding near-dup
     TextAnalysis, // token stats, lang-id, quality scoring, tokenizers
@@ -34,4 +35,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
+
+  /** Queries intentionally without an oracle (not DuckDB-reproducible);
+    * each must carry its own correctness spec instead. */
+  val noOracle: Set[String] = Set(
+    "q14_approx_distinct" // HLL++ sketch — bounded-error spec in AnalyticsSpec
+  )
 }

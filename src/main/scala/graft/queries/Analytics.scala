@@ -201,7 +201,35 @@ object Analytics extends QueryModule {
       .agg(count(lit(1)).as("n_above"))
   }
 
+  /** CUBE over order status/priority (SQL path, as with rollup). */
+  def cubeOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_cube_src")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(1) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM graft_cube_src
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+    )
+  }
+
+  /** Approximate distinct-count sketch (HyperLogLog++). Not oracle-checkable
+    * (DuckDB's HLL differs); the spec bounds its relative error against the
+    * exact count instead. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        count(lit(1)).as("n_rows")
+      )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_cube"              -> (cubeOrders _),
+    "q14_approx_distinct"   -> (approxDistinct _),
     "q01_pricing_summary"   -> (pricingSummary _),
     "q02_filter_revenue"    -> (filterRevenue _),
     "q03_top_orders"        -> (topOrders _),
@@ -217,6 +245,10 @@ object Analytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q13_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         |  ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,

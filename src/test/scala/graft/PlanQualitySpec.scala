@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.AnimalSchemas
+import graft.queries.Analytics
+
+/** Physical-plan assertions: at 100 TB the plan IS the performance. These
+  * pin the properties that must survive refactors — filters and projections
+  * reaching the parquet scan, bounded dimensions broadcasting, aggregates
+  * staying partial, and the hot paths inside whole-stage codegen.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("local[4]", 4)
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Final adaptive plan: AQE only materializes codegen stages and scan
+    * details after execution. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 pushes filters and prunes columns at the parquet scan") {
+    val plan = finalPlan(Analytics.filterRevenue(spark, dir))
+    // note: FileScan's PushedFilters list is truncated in toString — assert
+    // on its (stable) prefix and on the pruned ReadSchema instead
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), s"filters not pushed in:\n$plan")
+    assert(
+      plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"),
+      "scan schema not pruned to the 4 used columns"
+    )
+    assert(!plan.contains("l_returnflag"), "scan reads columns the query never uses")
+  }
+
+  test("q05 broadcasts the bounded dimensions") {
+    val plan = finalPlan(Analytics.regionRevenue(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "no broadcast join in 6-way star join")
+  }
+
+  test("q01 aggregate is partial (map-side combine) and codegen'd") {
+    val plan = finalPlan(Analytics.pricingSummary(spark, dir))
+    assert(plan.contains("HashAggregate"), "no hash aggregate")
+    assert(plan.contains("partial_sum"), "aggregate not map-side partial")
+    assert(plan.contains("*("), "plan has no whole-stage-codegen stages")
+  }
+
+  test("q30 dedup groups on the md5 fingerprint, not the text") {
+    val plan     = finalPlan(graft.operators.Dedup.exact(spark, dir))
+    val exchange = plan.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(exchange.contains("hashpartitioning"), s"no hash exchange in: $exchange")
+    assert(!exchange.contains("text"), "raw text column shuffles in dedup")
+  }
+
+  test("q33 LSH pair-dedup exchange is skinny (no shingle arrays)") {
+    val plan      = finalPlan(graft.operators.FuzzyDedup.minhashLsh(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    // candidate dedup must shuffle bare (id_a, id_b) — never the arrays.
+    // (At this tiny SF, AQE turns the band join itself into a broadcast,
+    // which is also array-free on the exchanged side.)
+    assert(exchanges.exists(_.contains("id_a")), s"no pair exchange among:\n${exchanges.mkString("\n")}")
+    assert(
+      exchanges.forall(e => !e.contains("shingles") && !e.contains("sh_a") && !e.contains("sh_b")),
+      s"shingle arrays ride a shuffle: ${exchanges.mkString("\n")}"
+    )
+  }
+
+  test("S3 envelope flatten matches the reference fixture") {
+    import spark.implicits._
+    val pages = Seq(
+      """{"page": 1, "total_pages": 2, "items": [{"id": 1, "name": "Dog"}, {"id": 2, "name": "Cat"}]}""",
+      """{"page": 2, "total_pages": 2, "items": [{"id": 3, "name": "Mouse"}]}"""
+    ).toDF("raw")
+    val parsed = pages.select(from_json(col("raw"), AnimalSchemas.animalPage).as("p")).select("p.*")
+    val flat   = graft.etl.AnimalsTransform.flattenPages(parsed)
+    assert(flat.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(flat.columns.toSeq == Seq("id", "name", "born_at"))
+  }
+
+  test("S4 tolerance: corrupt page json degrades to empty fields, not failure") {
+    import spark.implicits._
+    val pages  = Seq("""not json at all""", """{"page": 1, "total_pages": 1, "items": []}""").toDF("raw")
+    val parsed = pages.select(from_json(col("raw"), AnimalSchemas.animalPage).as("p"))
+    // PERMISSIVE from_json yields a struct with null fields for corrupt input
+    assert(parsed.filter(col("p.items").isNull).count() == 1)
+    assert(parsed.filter(col("p.items").isNotNull).count() == 1)
+  }
+}

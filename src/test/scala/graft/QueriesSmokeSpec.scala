@@ -16,7 +16,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("every query has an oracle or a documented reason") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    assert(missing == SparkEntry.noOracle, s"queries without oracle SQL: $missing")
+  }
+
+  test("approx_count_distinct is within its error bound") {
+    val row = SparkEntry.queries("q14_approx_distinct")(spark, dir).head()
+    val exact = graft.queries.Analytics.distinctStats(spark, dir).head()
+    val approxParts = row.getAs[Long]("approx_parts").toDouble
+    val exactParts  = exact.getAs[Long]("n_parts").toDouble
+    assert(math.abs(approxParts - exactParts) / exactParts < 0.1)
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
