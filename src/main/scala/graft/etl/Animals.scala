@@ -86,4 +86,27 @@ object AnimalsTransform {
   /** Error-row filter (P2): drop rows whose keyed lookup failed (null id). */
   def dropFailedLookups(details: DataFrame): DataFrame =
     details.na.drop(Seq("id"))
+
+  /** [[transform]] with an [[org.apache.spark.sql.Observation]] handle so
+    * callers can block on the quality metrics after their action — the
+    * engine-side replacement for the reference's printed counter
+    * (pipeline.py:82-83). */
+  def transformObserved(
+      details: DataFrame,
+      asOf: Column,
+      obs: org.apache.spark.sql.Observation
+  ): DataFrame =
+    details
+      .withColumn("born_iso", epochToIso8601Utc(col("born_at"), asOf))
+      .observe(
+        obs,
+        count(when(col("born_at").isNotNull && col("born_iso").isNull, 1)).as("invalid_born_at"),
+        count(lit(1)).as("rows")
+      )
+      .select(
+        col("id").cast(LongType).as("id"),
+        col("name"),
+        splitFriends(col("friends")).as("friends"),
+        col("born_iso").as("born_at")
+      )
 }

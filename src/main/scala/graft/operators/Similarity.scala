@@ -51,7 +51,7 @@ object Similarity extends QueryModule {
       .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     sim
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 10)
       .select("q_id", "vec_id", "cos", "rnk")
   }
@@ -93,9 +93,51 @@ object Similarity extends QueryModule {
       .select("bucket", "id_a", "id_b", "cos")
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus into inverted lists keyed by
+    * the nearest of 16 centroids (deterministically: the vectors with
+    * vec_id 0..15), then answer top-k probing only the 2 nearest lists per
+    * query. The scale shape: assignment is a broadcast-map over the corpus
+    * (one pass), and each query touches |corpus|·(nprobe/nlists) candidates
+    * instead of the full corpus.
+    */
+  def ivfKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb       = embWithNorm(s, dir)
+    val centroids = emb
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // assignment: nearest centroid by (rounded) cosine, tie-break centroid id
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = emb
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_cos", round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+      .withColumn("a_rnk", row_number().over(wAssign))
+      .filter(col("a_rnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("list_id"))
+    // queries probe their 2 nearest lists
+    val queriesSide = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("p_cos").desc, col("c_id"))
+    val probes = queriesSide
+      .crossJoin(broadcast(centroids))
+      .withColumn("p_cos", round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
+      .withColumn("p_rnk", row_number().over(wProbe))
+      .filter(col("p_rnk") <= 2)
+      .select(col("q_id"), col("qv"), col("qnrm"), col("c_id").as("list_id"))
+    // search only within probed lists
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .withColumn("rnk", row_number().over(wTop).cast(LongType))
+      .filter(col("rnk") <= 10)
+      .select("q_id", "vec_id", "list_id", "cos", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_knn_brute" -> (knnBrute _),
-    "q61_lsh_pairs" -> (lshPairs _)
+    "q61_lsh_pairs" -> (lshPairs _),
+    "q62_ivf_knn"   -> (ivfKnn _)
   )
 
   private val dotSql =
@@ -126,6 +168,32 @@ object Similarity extends QueryModule {
          |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
          |       FROM sim)
          |SELECT q_id, vec_id, cos, rnk FROM rk WHERE rnk <= 10""".stripMargin,
+    "q62_ivf_knn" -> {
+      def d(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+      s"""WITH n AS (SELECT vec_id, embedding AS v,
+         |        sqrt(${d("embedding", "embedding")}) AS nrm FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+         |ac AS (SELECT n.vec_id, n.v, n.nrm, c.c_id,
+         |         round(${d("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) AS c_cos
+         |       FROM n CROSS JOIN c),
+         |asg AS (SELECT vec_id, v, nrm, c_id AS list_id FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS a_rnk
+         |          FROM ac) WHERE a_rnk = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+         |pc AS (SELECT q.q_id, q.qv, q.qnrm, c.c_id,
+         |         round(${d("q.qv", "c.cv")} / (q.qnrm * c.cnrm), 6) AS p_cos
+         |       FROM q CROSS JOIN c),
+         |probes AS (SELECT q_id, qv, qnrm, c_id AS list_id FROM (
+         |             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY p_cos DESC, c_id) AS p_rnk
+         |             FROM pc) WHERE p_rnk <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id, a.list_id,
+         |           round(${d("a.v", "p.qv")} / (a.nrm * p.qnrm), 6) AS cos
+         |         FROM asg a JOIN probes p ON a.list_id = p.list_id AND a.vec_id <> p.q_id)
+         |SELECT q_id, vec_id, list_id, cos, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM cand
+         |) WHERE rnk <= 10""".stripMargin
+    },
     "q61_lsh_pairs" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v, ${bucketSql("embedding")} AS bucket FROM embeddings),
          |n AS (SELECT vec_id, v, bucket,

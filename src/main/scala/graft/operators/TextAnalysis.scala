@@ -108,7 +108,31 @@ object TextAnalysis extends QueryModule {
         sum(col("bpe")).as("bpe_tokens")
       )
 
+  /** TF-IDF top-5 terms per language: tf = term count within the lang,
+    * idf = ln(N_docs / df) over the whole corpus. Deterministic ranking via
+    * (rounded score desc, token). */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " +")).as("token"))
+    val tf     = tok.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+    val dfDocs = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df_docs"))
+    val nDocs  = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dfDocs, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs").cast("double") / col("df_docs")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("tfidf").desc, col("token"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("lang", "token", "tf", "df_docs", "tfidf", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_tfidf_top_terms" -> (tfidfTopTerms _),
     "q40_text_stats"  -> (stats _),
     "q41_lang_id"     -> (langId _),
     "q42_quality"     -> (quality _),
@@ -121,6 +145,22 @@ object TextAnalysis extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q44_tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(regexp_split_to_array(text, ' +')) AS token FROM documents
+        |),
+        |tf AS (SELECT lang, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfd AS (SELECT token, count(DISTINCT doc_id) AS df_docs FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT lang, tf.token AS token, tf, df_docs,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df_docs), 6) AS tfidf
+        |  FROM tf JOIN dfd ON tf.token = dfd.token CROSS JOIN n
+        |),
+        |rk AS (SELECT lang, token, tf, df_docs, tfidf,
+        |         row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, token) AS rnk
+        |       FROM scored)
+        |SELECT lang, token, tf, df_docs, tfidf, rnk FROM rk WHERE rnk <= 5""".stripMargin,
     "q40_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

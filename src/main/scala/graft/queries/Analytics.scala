@@ -119,7 +119,7 @@ object Analytics extends QueryModule {
       .groupBy("c_mktsegment", "c_custkey")
       .agg(dsum(col("o_totalprice")).as("total_spend"))
     val w = Window.partitionBy("c_mktsegment").orderBy(col("total_spend").desc, col("c_custkey"))
-    spend.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    spend.withColumn("rnk", row_number().over(w).cast(LongType)).filter(col("rnk") <= 3)
   }
 
   /** Anti join: customers that never placed an order, counted per nation. */
@@ -227,7 +227,60 @@ object Analytics extends QueryModule {
         count(lit(1)).as("n_rows")
       )
 
+  /** Analytic window functions: lag + running sum per customer order
+    * history (total ordering pinned by (date, orderkey) for determinism). */
+  def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        sum(col("o_totalprice").cast(dec4))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DoubleType).as("running_total"),
+        row_number().over(w).cast(LongType).as("order_seq")
+      )
+  }
+
+  /** Unpivot (melt): per-returnflag measures into (measure, value) rows. */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables
+      .lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), dsum(col("l_extendedprice")).as("sum_price"))
+    agg.unpivot(Array(col("l_returnflag")), Array(col("sum_qty"), col("sum_price")), "measure", "value")
+  }
+
+  /** Two-phase salted aggregation — the skew-mitigation pattern: shard hot
+    * keys across 16 salts for the partial aggregate, then combine. Results
+    * are identical to the direct group-by (which is the oracle). */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val salted = Tables
+      .lineitem(s, dir)
+      .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        sum(col("l_quantity").cast(dec4)).as("partial_qty"),
+        count(lit(1)).as("partial_n")
+      )
+    salted
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("partial_qty")).cast(DoubleType).as("sum_qty"),
+        sum(col("partial_n")).as("n_rows")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_window_funcs"      -> (windowFuncs _),
+    "q16_unpivot"           -> (unpivotMeasures _),
+    "q17_salted_agg"        -> (saltedAgg _),
     "q13_cube"              -> (cubeOrders _),
     "q14_approx_distinct"   -> (approxDistinct _),
     "q01_pricing_summary"   -> (pricingSummary _),
@@ -245,6 +298,28 @@ object Analytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q15_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+        |  row_number() OVER w AS order_seq
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q16_unpivot" ->
+      s"""WITH agg AS (
+         |  SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_qty,
+         |    ${sqlDsum("l_extendedprice")} AS sum_price
+         |  FROM lineitem GROUP BY l_returnflag
+         |)
+         |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM agg""".stripMargin,
+    "q17_salted_agg" ->
+      s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q13_cube" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
          |  ${sqlDsum("o_totalprice")} AS sum_price

@@ -137,6 +137,22 @@ class RestPipelineSpec extends AnyFunSuite {
     assert(e.status == 503 && e.attempts == 3)
   }
 
+  test("observe() reports the invalid-born quality counter") {
+    import spark.implicits._
+    val details = Seq(
+      (1L, "A", "x, y", Some(1348692957651L)), // valid ms epoch
+      (2L, "B", "", Some(4102444800L)),        // 2100 — future vs asOf → invalid
+      (3L, "C", "z", None),                    // null — not counted as invalid
+      (4L, "D", "", Some(-5L))                 // negative → invalid
+    ).toDF("id", "name", "friends", "born_at")
+    val obs = org.apache.spark.sql.Observation()
+    val out = graft.etl.AnimalsTransform.transformObserved(details, asOf, obs)
+    out.collect()
+    val m = obs.get
+    assert(m("invalid_born_at") == 2L)
+    assert(m("rows") == 4L)
+  }
+
   test("batch size clamps to [1, 100] as the reference does") {
     assert(HttpBatchSink.clampBatchSize(0) == 1)
     assert(HttpBatchSink.clampBatchSize(-5) == 1)
