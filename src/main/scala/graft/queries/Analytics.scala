@@ -277,7 +277,43 @@ object Analytics extends QueryModule {
       )
   }
 
+  /** TPC-H Q2-style correlated aggregate: each nation's top-balance
+    * customer, matched by joining back on the correlated max. */
+  def argmaxCustomer(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val maxBal = cust
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(max(col("c_acctbal")).as("max_bal"))
+    cust
+      .join(maxBal, col("c_nationkey") === col("nk") && col("c_acctbal") === col("max_bal"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        min(col("c_custkey")).as("custkey"), // deterministic if max ties
+        max(col("c_acctbal")).as("acctbal")
+      )
+  }
+
+  /** TPC-H Q19-style OR-of-ANDs predicate over a join — exercises complex
+    * disjunctive pushdown and join filtering. */
+  def orOfAnds(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val pt = Tables.part(s, dir)
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity") >= 10) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) && col("l_quantity") < 20) ||
+          (col("p_size") > 40 && col("l_quantity") >= 40)
+      )
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), dec6).as("revenue"),
+        count(lit(1)).as("n_rows")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_argmax"            -> (argmaxCustomer _),
+    "q19_or_of_ands"        -> (orOfAnds _),
     "q15_window_funcs"      -> (windowFuncs _),
     "q16_unpivot"           -> (unpivotMeasures _),
     "q17_salted_agg"        -> (saltedAgg _),
@@ -298,6 +334,19 @@ object Analytics extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q18_argmax" ->
+      """SELECT n_name, min(c_custkey) AS custkey, max(c_acctbal) AS acctbal
+        |FROM customer c
+        |JOIN (SELECT c_nationkey AS nk, max(c_acctbal) AS max_bal FROM customer GROUP BY 1) m
+        |  ON c.c_nationkey = m.nk AND c.c_acctbal = m.max_bal
+        |JOIN nation ON c.c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q19_or_of_ands" ->
+      s"""SELECT ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue, count(*) AS n_rows
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity < 20)
+         |   OR (p_size > 40 AND l_quantity >= 40)""".stripMargin,
     "q15_window_funcs" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  o_totalprice,

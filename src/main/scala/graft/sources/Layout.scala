@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Storage-layout helpers — at 100 TB the on-disk layout is the first
+  * optimizer: partition columns prune whole directories at planning time,
+  * and bucketing pre-shuffles join/agg keys so repeated queries skip the
+  * exchange entirely.
+  */
+object Layout {
+
+  /** Hive-style partitioned parquet: one directory per distinct value
+    * combination; readers filtering on `cols` get PartitionFilters (pruning
+    * before any IO) instead of data filters. Keep partition columns
+    * low-cardinality (date, region, event_type — never ids). */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
+  /** Bucketed + sorted table (requires the session catalog): co-locates
+    * rows by `bucketCol` so an equi-join or groupBy on it runs
+    * exchange-free. The table-based analog of pre-partitioning RDDs. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int
+  ): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Read a partitioned dataset back. */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -68,6 +68,25 @@ object EventStream {
         col("n_events")
       )
 
+  /** Stream → batched HTTP sink via foreachBatch: each micro-batch posts
+    * through the reference's K1 sink semantics (clamped batches, retry,
+    * key-omission JSON). Returns the started query; at-least-once —
+    * micro-batch replay can re-POST, same as the reference's non-idempotent
+    * sink (README.md:151-154).
+    */
+  def toHttpSink(
+      aggregated: DataFrame,
+      transportClass: String,
+      batchSize: Int = 100
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    aggregated.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = graft.sinks.HttpBatchSink.post(batch, transportClass, batchSize)
+        println(s"[stream-sink] micro-batch $batchId -> $n POSTs")
+      }
+      .start()
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserState(nEvents: Long, totalValue: Double)
   final case class UserSummary(user_id: Long, n_events: Long, total_value: Double)

@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column     = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function on a LIVE session (the builder-time path is
+    * `graft.plans.GraftExtensions` via `withExtensions` /
+    * `spark.sql.extensions`; this covers sessions created elsewhere, e.g.
+    * the driver's own harness). */
+  def registerFunction(spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
+    spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState
+      .functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

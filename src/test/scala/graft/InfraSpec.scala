@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Quarantine
+import graft.sources.Layout
+
+/** Storage layout, quarantine channel, SQL extensions, streaming sink. */
+class InfraSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("local[4]", 4)
+  private val dir = "/root/testdata/sf0.001"
+
+  test("partitioned write prunes partitions at planning time") {
+    val out = Files.createTempDirectory("graft_layout").toString
+    Layout.writePartitioned(
+      Tables.events(spark, dir).select("event_id", "event_type", "user_id", "value"),
+      out,
+      Seq("event_type")
+    )
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.exists(_.startsWith("event_type=click")), s"no hive layout: ${dirs.mkString(",")}")
+
+    val read = Layout.readPartitioned(spark, out).filter(col("event_type") === "purchase")
+    read.collect()
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), s"no partition pruning in:\n$plan")
+    assert(read.count() == Tables.events(spark, dir).filter(col("event_type") === "purchase").count())
+  }
+
+  test("bucketed table joins without an exchange on the bucket key") {
+    // default warehouse dir (./spark-warehouse, gitignored) — the conf is
+    // static and can't change on a live session. Clear any orphaned
+    // location from prior runs (in-memory catalog forgets it).
+    spark.sql("DROP TABLE IF EXISTS graft_orders_bucketed")
+    val loc = new java.io.File("spark-warehouse/graft_orders_bucketed")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    Layout.writeBucketed(
+      Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "graft_orders_bucketed",
+      "o_custkey",
+      8
+    )
+    val t      = spark.table("graft_orders_bucketed")
+    val agg    = t.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"bucketed agg still shuffles:\n$plan")
+  }
+
+  test("quarantine splits rows with reasons, keeps both channels complete") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ok", 10.0),
+      (2L, null.asInstanceOf[String], 5.0),
+      (3L, "bad-value", -1.0),
+      (4L, null.asInstanceOf[String], -2.0)
+    ).toDF("id", "name", "value")
+    val split = Quarantine.split(
+      df,
+      Map(
+        "name_present"  -> col("name").isNotNull,
+        "value_nonneg"  -> (col("value") >= 0)
+      )
+    )
+    assert(split.valid.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    val q = split.quarantined
+      .select(col("id"), col("_quarantine_reasons"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .toMap
+    assert(q == Map(
+      2L -> Set("name_present"),
+      3L -> Set("value_nonneg"),
+      4L -> Set("name_present", "value_nonneg")
+    ))
+  }
+
+  test("native functions register for SQL use (live-session path)") {
+    // builder-time path is withExtensions(new GraftExtensions) /
+    // spark.sql.extensions; registerAll covers already-running sessions
+    // (getOrCreate on a live context cannot apply new extensions)
+    graft.plans.GraftExtensions.registerAll(spark)
+    val r = spark
+      .sql("SELECT graft_dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "graft_simhash60('a b c') AS f, size(graft_word_shingles('a b c d')) AS n")
+      .head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) != 0L)
+    assert(r.getInt(2) == 2)
+  }
+
+  test("streaming foreachBatch drives the HTTP batch sink") {
+    val d = Files.createTempDirectory("graft_stream_sink")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), d.resolve("events.parquet"))
+    FakeAnimalsTransport.posts.clear()
+    val stream = graft.streaming.EventStream.fromParquet(spark, d.toString)
+    val agg = graft.streaming.EventStream.tumblingCounts(stream)
+    val q = graft.streaming.EventStream.toHttpSink(agg, classOf[FakeAnimalsTransport].getName, 50)
+    try {
+      q.processAllAvailable()
+      assert(!FakeAnimalsTransport.posts.isEmpty, "no POSTs from streaming sink")
+      val body = FakeAnimalsTransport.posts.peek()
+      assert(body.contains("\"hour_start\""))
+    } finally q.stop()
+  }
+}
