@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{Analytics, FaunaParity}
-import graft.operators.{AsOfJoin, Dedup, EventWindows, FuzzyDedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, EventWindows, FuzzyDedup, Multimodal, Similarity, TextAnalysis, TypedAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,6 +16,7 @@ object SparkEntry {
     FaunaParity,  // reference operator semantics: epoch normalize, split, JSON tolerance
     EventWindows, // tumbling / session / sliding windows over events
     AsOfJoin,     // as-of (nearest-preceding) join via union + running window
+    TypedAggs,    // typed Aggregator (UDAF surface): per-user type bitmask
     Dedup,        // exact / canonical / n-gram-Jaccard dedup
     FuzzyDedup,   // MinHash+LSH, SimHash, rolling hash, embedding near-dup
     TextAnalysis, // token stats, lang-id, quality scoring, tokenizers
