@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{Analytics, FaunaParity}
-import graft.operators.{AsOfJoin, Dedup, EventWindows, FuzzyDedup, Multimodal, Similarity, TextAnalysis, TypedAggs}
+import graft.operators.{AsOfJoin, Dedup, EventWindows, FuzzyDedup, Multimodal, Similarity, TextAnalysis, TrainingPrep, TypedAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,6 +17,7 @@ object SparkEntry {
     EventWindows, // tumbling / session / sliding windows over events
     AsOfJoin,     // as-of (nearest-preceding) join via union + running window
     TypedAggs,    // typed Aggregator (UDAF surface): per-user type bitmask
+    TrainingPrep, // stratified sampling, sequence packing, repetition score
     Dedup,        // exact / canonical / n-gram-Jaccard dedup
     FuzzyDedup,   // MinHash+LSH, SimHash, rolling hash, embedding near-dup
     TextAnalysis, // token stats, lang-id, quality scoring, tokenizers
