@@ -21,6 +21,14 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame   = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+
+  /** `documents` spread across all cores. The test file is a single parquet
+    * row group (= one input split = one task), which serializes CPU-heavy
+    * per-row operators (hashing, shingling) locally; on a real corpus the
+    * thousands of splits make this a no-op-equivalent. The tiny text
+    * shuffle buys full-parallel expression evaluation. */
+  def documentsDistributed(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
   /** `events` with `ts` surfaced as both a raw ns-epoch long (`ts_ns`) and a

@@ -25,14 +25,14 @@ object Dedup extends QueryModule {
   /** Exact dedup: group by content hash, keep the smallest doc_id. */
   def exact(s: SparkSession, dir: String): DataFrame =
     Tables
-      .documents(s, dir)
+      .documentsDistributed(s, dir)
       .groupBy(md5(col("text")).as("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Near-exact dedup on the canonical form (whitespace/punct/case folded). */
   def canonical(s: SparkSession, dir: String): DataFrame =
     Tables
-      .documents(s, dir)
+      .documentsDistributed(s, dir)
       .groupBy(md5(canonicalText(col("text"))).as("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
@@ -62,7 +62,7 @@ object Dedup extends QueryModule {
     * explode shingles → self-join on shingle (id_a < id_b) → intersection
     * counts → join per-doc set sizes → Jaccard. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh  = Tables.documents(s, dir).select(col("doc_id"), shingles(col("text")).as("shingles"))
+    val sh  = Tables.documentsDistributed(s, dir).select(col("doc_id"), shingles(col("text")).as("shingles"))
     val sz  = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val a   = inv.select(col("doc_id").as("id_a"), col("sh"))

@@ -73,7 +73,7 @@ object FuzzyDedup extends QueryModule {
     * signatures → band buckets → same-bucket candidates → exact verify. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables
-      .documents(s, dir)
+      .documentsDistributed(s, dir)
       .select(col("doc_id"), Dedup.shingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
     // Candidate generation stays SKINNY: only (band, doc_id) shuffles. The
@@ -121,7 +121,7 @@ object FuzzyDedup extends QueryModule {
   /** documents → (doc_id, lang, fp) via the native single-pass SimHash. */
   def simhashed(s: SparkSession, dir: String): DataFrame =
     Tables
-      .documents(s, dir)
+      .documentsDistributed(s, dir)
       .select(col("doc_id"), col("lang"), graft.plans.TextHashExpressions.simhash60(col("text")).as("fp"))
 
   /** Per-document SimHash fingerprints (grouped counts keep output compact
@@ -163,7 +163,7 @@ object FuzzyDedup extends QueryModule {
 
   def rollingFingerprints(s: SparkSession, dir: String): DataFrame =
     Tables
-      .documents(s, dir)
+      .documentsDistributed(s, dir)
       .select(
         col("doc_id"),
         rollingHash(Dedup.canonicalText(col("text"))).as("roll_hash")

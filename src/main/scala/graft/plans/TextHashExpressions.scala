@@ -32,18 +32,32 @@ object TextHash {
 
   def tokens(s: UTF8String): Array[String] = Space.split(s.toString, -1)
 
-  private def md5Hex(s: String): String = {
-    val d  = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    val sb = new java.lang.StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private def md5Bytes(s: String): Array[Byte] = {
+    val md = md5Local.get()
+    md.reset()
+    md.digest(s.getBytes("UTF-8"))
   }
 
-  /** H(s): first 8 md5 hex chars as uint32 (= conv(substr(md5,1,8),16,10)). */
-  def baseHash32(s: String): Long = java.lang.Long.parseLong(md5Hex(s).substring(0, 8), 16)
+  /** H(s): first 8 md5 hex chars as uint32 (= conv(substr(md5,1,8),16,10)) —
+    * computed directly from the first 4 digest bytes (big-endian), skipping
+    * hex-string formatting/parsing entirely. */
+  def baseHash32(s: String): Long = {
+    val d = md5Bytes(s)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
 
-  /** H60(s): first 15 md5 hex chars (60 bits). */
-  def baseHash60(s: String): Long = java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+  /** H60(s): first 15 md5 hex chars (60 bits) = first 8 bytes big-endian
+    * shifted right 4 (dropping the 16th hex digit). */
+  def baseHash60(s: String): Long = {
+    val d = md5Bytes(s)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
 
   /** Distinct word-trigrams in first-occurrence order (= the HOF shingles). */
   def shingles(s: UTF8String): Array[String] = {
