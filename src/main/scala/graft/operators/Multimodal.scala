@@ -93,9 +93,75 @@ object Multimodal extends QueryModule {
       )
   }
 
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      rw: Long,
+      rh: Long,
+      bin0: Double,
+      bin1: Double,
+      bin2: Double,
+      bin3: Double
+  )
+
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_md5: String)
+
+  /** Feature-extract + resize stage (per-partition codec): fake "image"
+    * dims from header bytes resized to fit 64×64 (aspect preserved,
+    * integer floor), plus a 4-bin byte-histogram feature vector. Pure byte
+    * arithmetic, so the SQL oracle reproduces the mapPartitions path
+    * exactly. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val p = r.payload
+        val n = p.length
+        val w = if (n > 0) (p(0) & 0x7f) + 1 else 1
+        val h = if (n > 1) (p(1) & 0x7f) + 1 else 1
+        val scale = math.min(math.min(64.0 / w, 64.0 / h), 1.0)
+        val rw = math.max(1L, math.floor(w * scale).toLong)
+        val rh = math.max(1L, math.floor(h * scale).toLong)
+        val bins = new Array[Long](4)
+        p.foreach(b => bins((b & 0x7f) >> 5) += 1)
+        // half-away-from-zero rounding to 6 decimals (= DuckDB round(x, 6))
+        def ratio(i: Int) = if (n == 0) 0.0 else math.floor(bins(i).toDouble / n * 1e6 + 0.5) / 1e6
+        MediaFeatures(r.doc_id, n.toLong, rw, rh, ratio(0), ratio(1), ratio(2), ratio(3))
+      }
+    }
+  }
+
+  /** Frame sampling: one output row per strided 16-byte "frame" at offsets
+    * 0, 256, 512, … — the generator-shaped multimodal op (explode over
+    * payload positions), as mapPartitions + flatMap. */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 256, frameLen: Int = 16): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val n = r.payload.length
+        (0 to (if (n == 0) 0 else (n - 1) / stride)).iterator.map { i =>
+          val off   = i * stride
+          val frame = r.payload.slice(off, math.min(off + frameLen, n))
+          md.reset()
+          val hex = md.digest(frame).map(b => f"${b & 0xff}%02x").mkString
+          Frame(r.doc_id, i.toLong, hex)
+        }
+      }
+    }
+  }
+
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaFromDocuments(s, dir)).toDF()
+
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaFromDocuments(s, dir)).toDF()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q50_binary_meta"  -> (binaryMeta _),
-    "q51_decode_stats" -> (decodeStats _)
+    "q50_binary_meta"    -> (binaryMeta _),
+    "q51_decode_stats"   -> (decodeStats _),
+    "q52_media_features" -> (mediaFeatures _),
+    "q53_frame_sample"   -> (frameSample _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -104,6 +170,38 @@ object Multimodal extends QueryModule {
         |  md5(text) AS checksum,
         |  lower(hex(encode(substring(text, 1, 8)))) AS header_hex
         |FROM documents""".stripMargin,
+    "q52_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |    (ascii(substring(text, 1, 1)) % 128) + 1 AS w,
+        |    (ascii(substring(text, 2, 1)) % 128) + 1 AS h
+        |  FROM documents
+        |),
+        |s AS (SELECT *, least(64.0 / w, 64.0 / h, 1.0) AS scale FROM m),
+        |b AS (
+        |  SELECT doc_id, n,
+        |    greatest(1, CAST(floor(w * scale) AS BIGINT)) AS rw,
+        |    greatest(1, CAST(floor(h * scale) AS BIGINT)) AS rh,
+        |    len(list_filter(string_split(text, ''), c -> (ascii(c) // 32) = 0)) AS b0,
+        |    len(list_filter(string_split(text, ''), c -> (ascii(c) // 32) = 1)) AS b1,
+        |    len(list_filter(string_split(text, ''), c -> (ascii(c) // 32) = 2)) AS b2,
+        |    len(list_filter(string_split(text, ''), c -> (ascii(c) // 32) = 3)) AS b3
+        |  FROM s
+        |)
+        |SELECT doc_id, n AS n_bytes, rw, rh,
+        |  floor(CAST(b0 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS bin0,
+        |  floor(CAST(b1 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS bin1,
+        |  floor(CAST(b2 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS bin2,
+        |  floor(CAST(b3 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS bin3
+        |FROM b""".stripMargin,
+    "q53_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  md5(substring(text, CAST(i * 256 + 1 AS INTEGER), 16)) AS frame_md5
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, CAST((length(text) - 1) // 256 AS BIGINT))) AS i
+        |  FROM documents
+        |)""".stripMargin,
     "q51_decode_stats" ->
       """SELECT source, count(*) AS n_media,
         |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
