@@ -181,7 +181,43 @@ object FuzzyDedup extends QueryModule {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Connected components over the near-dup pair graph: the step that turns
+    * pairwise matches into actionable dedup groups (keep min-id per
+    * cluster). Iterative min-label propagation — the Pregel-lite pattern:
+    * each round is one join + aggregate over the (skinny) edge list, with
+    * `localCheckpoint` truncating lineage; rounds ≤ component diameter.
+    * Deterministic: labels converge to the component-minimum doc_id.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir).select("id_a", "id_b")
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val propagated = labels
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node")
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = propagated
+        .join(labels.withColumnRenamed("label", "old_label"), Seq("node"))
+        .filter(col("label") =!= col("old_label"))
+        .count()
+      labels = propagated
+    }
+    labels
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_dedup_clusters"      -> (dedupClusters _),
     "q33_dedup_minhash_lsh"   -> (minhashLsh _),
     "q34_simhash_fingerprint" -> (simhashFingerprints _),
     "q35_simhash_pairs"       -> (simhashPairs _),
@@ -227,7 +263,42 @@ object FuzzyDedup extends QueryModule {
        |  FROM (SELECT doc_id, lang, $hs AS hs FROM documents))""".stripMargin
   }
 
+  /** Shared oracle CTE chain: shingles → signatures → bands → verified
+    * near-dup pairs (the q33 result). */
+  private def pairsCtes: String =
+    s"""$shinglesSqlCte,
+       |$minhashSigSql,
+       |$bandsSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+       |),
+       |verified AS (
+       |  SELECT id_a, id_b,
+       |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+       |    len(sa.shingles) + len(sb.shingles)
+       |      - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS union_n
+       |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id
+       |),
+       |pairs AS (SELECT id_a, id_b FROM verified WHERE round(inter / union_n, 6) >= 0.3)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q38_dedup_clusters" ->
+      s"""WITH RECURSIVE $pairsCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(a, b) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+         |),
+         |lab AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a)
+         |SELECT label AS cluster_id, count(*) AS cluster_size, max(node) AS max_doc_id
+         |FROM lab GROUP BY label""".stripMargin,
     "q33_dedup_minhash_lsh" ->
       s"""WITH $shinglesSqlCte,
          |$minhashSigSql,
