@@ -55,6 +55,25 @@ class InfraSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"), s"bucketed agg still shuffles:\n$plan")
   }
 
+  test("csv and json round-trip with explicit schemas") {
+    val out  = Files.createTempDirectory("graft_formats").toString
+    val src  = Tables.events(spark, dir).select("event_id", "event_type", "user_id", "value")
+    src.write.mode("overwrite").option("header", "true").csv(s"$out/csv")
+    src.write.mode("overwrite").json(s"$out/json")
+    val csvBack = spark.read
+      .option("header", "true")
+      .schema("event_id LONG, event_type STRING, user_id LONG, value DOUBLE")
+      .csv(s"$out/csv")
+    val jsonBack = spark.read
+      .schema("event_id LONG, event_type STRING, user_id LONG, value DOUBLE")
+      .json(s"$out/json")
+    assert(csvBack.count() == src.count())
+    assert(jsonBack.count() == src.count())
+    val a = src.agg(sum(col("event_id")), sum(col("user_id"))).head()
+    assert(csvBack.agg(sum(col("event_id")), sum(col("user_id"))).head() == a)
+    assert(jsonBack.agg(sum(col("event_id")), sum(col("user_id"))).head() == a)
+  }
+
   test("quarantine splits rows with reasons, keeps both channels complete") {
     import spark.implicits._
     val df = Seq(
