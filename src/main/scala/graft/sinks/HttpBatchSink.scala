@@ -37,7 +37,7 @@ object HttpBatchSink {
     val size     = clampBatchSize(batchSize)
     val batches  = df.sparkSession.sparkContext.longAccumulator("posted_batches")
     val records  = df.sparkSession.sparkContext.longAccumulator("posted_records")
-    val jsonRows = df.select(to_json(struct(df.columns.map(col): _*), java.util.Map.of("ignoreNullFields", "true")))
+    val jsonRows = df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*), java.util.Map.of("ignoreNullFields", "true")))
     jsonRows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val client = new RetryingHttpClient(HttpTransport.byName(transportClass), policy)
       it.map(_.getString(0)).grouped(size).foreach { group =>

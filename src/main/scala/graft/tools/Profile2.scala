@@ -24,7 +24,7 @@ object Profile2 {
     time("q33 band rows")(println("  rows=" + bands.count()))
     val bandSizes = bands.groupBy("band").count()
     time("q33 candidate pairs (sum k*(k-1)/2)") {
-      println("  cand=" + bandSizes.agg(sum(col("count") * (col("count") - 1) / 2)).head.getDouble(0).toLong)
+      println("  cand=" + bandSizes.agg(sum(col("count") * (col("count") - 1) / 2)).head().getDouble(0).toLong)
     }
     // q35 simhash bands
     val fp = FuzzyDedup.simhashed(spark, dir).select("doc_id", "fp")
@@ -32,13 +32,13 @@ object Profile2 {
       explode(array((0 until 4).map(i => concat_ws(":", lit(i), shiftright(col("fp"), i * 15) % 32768)): _*)).as("band"))
     time("q35 candidate pairs") {
       println("  cand=" + banded.groupBy("band").count()
-        .agg(sum(col("count") * (col("count") - 1) / 2)).head.getDouble(0).toLong)
+        .agg(sum(col("count") * (col("count") - 1) / 2)).head().getDouble(0).toLong)
     }
     // q32 inverted index volume
     val inv = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
     time("q32 join volume (sum df^2/2)") {
       println("  vol=" + inv.groupBy("sh").count()
-        .agg(sum(col("count") * (col("count") - 1) / 2)).head.getDouble(0).toLong)
+        .agg(sum(col("count") * (col("count") - 1) / 2)).head().getDouble(0).toLong)
     }
     // per-stage timing of q35
     time("q35 full")(FuzzyDedup.simhashPairs(spark, dir).count())
