@@ -20,6 +20,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Engine-wide contract: nanos-precision parquet timestamps surface as
+      // raw ns-epoch LONGs (see Tables.events). Set once here, not as a
+      // hidden side effect of a table read.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[32]", cores: Int = 32): SparkSession = {

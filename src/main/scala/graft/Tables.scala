@@ -22,20 +22,29 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
 
-  /** `documents` spread across all cores. The test file is a single parquet
-    * row group (= one input split = one task), which serializes CPU-heavy
-    * per-row operators (hashing, shingling) locally; on a real corpus the
-    * thousands of splits make this a no-op-equivalent. The tiny text
-    * shuffle buys full-parallel expression evaluation. */
-  def documentsDistributed(s: SparkSession, d: String): DataFrame =
-    documents(s, d).repartition(s.sparkContext.defaultParallelism)
+  /** `documents` with enough partitions to keep every core busy.
+    *
+    * Parallelism comes from input splits: on a real corpus the thousands of
+    * row groups already yield >= cores splits and this is a pure pass-through
+    * (NO exchange — an unconditional `repartition` here would shuffle the
+    * whole text corpus in front of every documents query). Only when the
+    * scan yields fewer splits than cores (the test fixture is one row group
+    * = one task, which would serialize the CPU-heavy hash/shingle operators)
+    * do we pay one small repartition to fan out. */
+  def documentsDistributed(s: SparkSession, d: String): DataFrame = {
+    val df    = documents(s, d)
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
   /** `events` with `ts` surfaced as both a raw ns-epoch long (`ts_ns`) and a
-    * microsecond-precision TIMESTAMP (`ts`).
+    * microsecond-precision TIMESTAMP (`ts`). Requires the engine-wide
+    * nanosAsLong conf, set once in [[GraftSession.builder]] — setting it
+    * here as a read side effect would silently change how OTHER readers in
+    * the same session see nanos-timestamp parquet.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     val raw = s.read.parquet(s"$d/events.parquet")
     raw

@@ -16,6 +16,12 @@ import graft.{QueryModule, Tables}
   * binary columns, case-class schemas, `mapPartitions` batch decode (the
   * Scala analogue of `mapInPandas` — one codec instance per partition, not
   * per row), and partition-count control for decoder parallelism.
+  *
+  * Oracle caveat (documented, enforced by the generator): q52/q53's
+  * char-level SQL (string_split / substring on `text`) equals this byte-level
+  * path only for single-byte UTF-8 payloads — the synthetic `documents.text`
+  * is ASCII by construction. Real multimodal payloads are opaque bytes and
+  * never round-trip through a char oracle.
   */
 object Multimodal extends QueryModule {
 
@@ -36,8 +42,11 @@ object Multimodal extends QueryModule {
     def decode(doc_id: Long, payload: Array[Byte]): MediaMeta = {
       val md  = java.security.MessageDigest.getInstance("MD5")
       val sum = md.digest(payload).map("%02x".format(_)).mkString
-      val w   = if (payload.length > 0) (payload(0) & 0x7f) + 1 else 0
-      val h   = if (payload.length > 1) (payload(1) & 0x7f) + 1 else 0
+      // Empty-payload floor of 1 keeps decode aligned with extractFeatures
+      // AND the SQL oracle's `ascii(substring(text,1,1)) % 128 + 1` (ascii of
+      // an empty string is 0 in DuckDB, so the oracle also yields 1).
+      val w   = if (payload.length > 0) (payload(0) & 0x7f) + 1 else 1
+      val h   = if (payload.length > 1) (payload(1) & 0x7f) + 1 else 1
       MediaMeta(doc_id, payload.length.toLong, sum, w, h, payload.length / 1024 + 1)
     }
   }

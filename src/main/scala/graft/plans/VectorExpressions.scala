@@ -32,13 +32,19 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: several DotProducts can land in ONE generated function
+      // (e.g. a filter on cos(a,b) expands to two dots in one Predicate);
+      // fixed local names collide and force interpreter fallback.
+      val n   = ctx.freshName("dpN")
+      val i   = ctx.freshName("dpI")
+      val sum = ctx.freshName("dpSum")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double sum = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  sum += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = sum;
+         |${ev.value} = $sum;
        """.stripMargin
     })
 

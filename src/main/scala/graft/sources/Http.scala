@@ -13,7 +13,18 @@ import java.util.UUID
   */
 trait HttpTransport {
   def request(method: String, path: String, body: Option[String], headers: Map[String, String]): HttpResponse
+
+  /** Receive socket-level timeouts (connect / read — the reference also
+    * applies read to write+pool, `/root/reference/src/http_client.py:66-71`).
+    * Called once per client before the first request; in-memory fakes may
+    * keep the no-op default. */
+  def configure(timeouts: HttpTimeouts): Unit = ()
 }
+
+/** Concrete timeout knobs (R6) mirroring the reference's defaults: connect
+  * 5 s, read/write/pool 30 s (`/root/reference/src/animals_etl/config.py:11-12`,
+  * `src/http_client.py:66-71`). */
+final case class HttpTimeouts(connectTimeoutMs: Long = 5000, readTimeoutMs: Long = 30000)
 
 final case class HttpResponse(status: Int, body: String)
 
@@ -29,6 +40,13 @@ final case class ClientHttpException(status: Int, method: String, path: String)
 /** Retries exhausted (http_client.py:143-155). */
 final case class RetriesExhaustedException(status: Int, attempts: Int, method: String, path: String)
     extends RuntimeException(s"giving up after $attempts attempts: $status on $method $path")
+
+/** Non-retryable unexpected status — a 5xx outside the retry set (501, 505,
+  * …). The reference logs "[fatal] … not retrying" for these
+  * (http_client.py:124-127); burning the whole backoff budget on them costs
+  * ~9 s of sleeps per request for a status that will never change. */
+final case class FatalStatusException(status: Int, method: String, path: String)
+    extends RuntimeException(s"fatal status $status on $method $path (not retryable)")
 
 /** Retry policy mirroring the reference
   * (`/root/reference/src/http_client.py:29-44`): attempts floor 1, sleep
@@ -52,7 +70,12 @@ final case class RetryPolicy(
   * header (R4), exponential backoff + jitter on transient 5xx / transport
   * errors (R1), fail-fast 4xx (R2), typed 422 channel (R3).
   */
-final class RetryingHttpClient(transport: HttpTransport, policy: RetryPolicy = RetryPolicy()) {
+final class RetryingHttpClient(
+    transport: HttpTransport,
+    policy: RetryPolicy = RetryPolicy(),
+    timeouts: HttpTimeouts = HttpTimeouts()
+) {
+  transport.configure(timeouts)
 
   def get(path: String): HttpResponse                = execute("GET", path, None)
   def post(path: String, body: String): HttpResponse = execute("POST", path, Some(body))
@@ -73,8 +96,12 @@ final class RetryingHttpClient(transport: HttpTransport, policy: RetryPolicy = R
         case Some(r) if r.status >= 400 && r.status < 500 =>
           throw ClientHttpException(r.status, method, path)
         case Some(r) if policy.retryStatuses.contains(r.status) => lastStatus = r.status
-        case Some(r)                                            => lastStatus = r.status
-        case None                                               => lastStatus = -1
+        // 3xx: returned outright, like the reference (redirect handling is
+        // the caller's concern; raise_for_status passes them through).
+        case Some(r) if r.status >= 300 && r.status < 400 => return r
+        // Unexpected 5xx (501, 505, …): fail fast, don't retry.
+        case Some(r) => throw FatalStatusException(r.status, method, path)
+        case None    => lastStatus = -1
       }
       if (attempt < policy.attempts) Thread.sleep(policy.backoffMs(attempt))
       attempt += 1

@@ -59,6 +59,20 @@ object RestAnimalsSource {
       capDelayMs = opts.getOrElse("backoff.cap.ms", "4000").toLong,
       jitterMs = opts.getOrElse("backoff.jitter.ms", "500").toLong
     )
+
+  /** Timeout options (R6), defaults = reference config.py:11-12. */
+  def timeoutsFromOptions(opts: Map[String, String]): HttpTimeouts =
+    HttpTimeouts(
+      connectTimeoutMs = opts.getOrElse("timeout.connect.ms", "5000").toLong,
+      readTimeoutMs = opts.getOrElse("timeout.read.ms", "30000").toLong
+    )
+
+  def clientFromOptions(opts: Map[String, String]): RetryingHttpClient =
+    new RetryingHttpClient(
+      HttpTransport.byName(opts("transport")),
+      policyFromOptions(opts),
+      timeoutsFromOptions(opts)
+    )
 }
 
 class RestAnimalsTable(options: Map[String, String]) extends Table with SupportsRead {
@@ -83,8 +97,7 @@ class RestAnimalsScan(options: Map[String, String]) extends Scan with Batch {
 
   /** Driver-side probe: one GET for page 1 sizes the scan. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val client =
-      new RetryingHttpClient(HttpTransport.byName(options("transport")), RestAnimalsSource.policyFromOptions(options))
+    val client = RestAnimalsSource.clientFromOptions(options)
     val first = AnimalsJson.parsePage(client.get(s"${RestAnimalsSource.ListPath}?page=1").body)
     (1 to math.max(1, first.totalPages)).map(p => PagePartition(p): InputPartition).toArray
   }
@@ -97,10 +110,7 @@ class RestPageReaderFactory(options: Map[String, String]) extends PartitionReade
     val page = partition.asInstanceOf[PagePartition].page
     new PartitionReader[InternalRow] {
       private lazy val rows: Iterator[InternalRow] = {
-        val client = new RetryingHttpClient(
-          HttpTransport.byName(options("transport")),
-          RestAnimalsSource.policyFromOptions(options)
-        )
+        val client = RestAnimalsSource.clientFromOptions(options)
         val parsed = AnimalsJson.parsePage(client.get(s"${RestAnimalsSource.ListPath}?page=$page").body)
         parsed.items.iterator.map { a =>
           InternalRow(

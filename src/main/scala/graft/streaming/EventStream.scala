@@ -34,7 +34,7 @@ object EventStream {
   /** File-based event stream from a directory of parquet (each new file is
     * a micro-batch — the standard replayable file source). */
   def fromParquet(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is part of the GraftSession contract (set in the builder)
     spark.readStream
       .schema(EventSchema)
       .parquet(path)
