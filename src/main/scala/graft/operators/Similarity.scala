@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 import graft.{QueryModule, Tables}
@@ -40,7 +39,14 @@ object Similarity extends QueryModule {
     emb.withColumn("nrm", norm(col("v")))
   }
 
-  /** Brute-force cosine top-10 neighbours for query vectors vec_id < 5. */
+  /** Brute-force cosine top-10 neighbours for query vectors vec_id < 5.
+    *
+    * Two-phase top-k via the bounded-heap [[graft.plans.TopKStructs]]
+    * aggregate: each map partition keeps ≤ 10 candidates per query (O(n
+    * log k), NO per-partition sort), the exchange carries only those
+    * partials, and the final merge is tiny. A window `row_number <= 10`
+    * would instead sort every map partition and (pre-WindowGroupLimit)
+    * funnel corpus×|queries| rows into |queries| tasks. */
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = embWithNorm(s, dir)
     val q = emb
@@ -48,12 +54,23 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val sim = emb
       .join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos")
+      )
+    // order = (cos DESC, vec_id ASC) encoded as max-struct(cos, -vec_id)
+    val key = struct(col("cos"), (-col("vec_id")).as("neg_id"), col("vec_id"))
     sim
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 10)
-      .select("q_id", "vec_id", "cos", "rnk")
+      .groupBy("q_id")
+      .agg(graft.plans.TopKAggregate.topK(key, 10).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(
+        col("q_id"),
+        col("col.vec_id").as("vec_id"),
+        col("col.cos").as("cos"),
+        (col("pos") + 1).cast(LongType).as("rnk")
+      )
   }
 
   /** Deterministic pseudo-random ±1 hyperplane matrix (8 planes × 64 dims),
@@ -96,42 +113,67 @@ object Similarity extends QueryModule {
   /** IVF-style ANN: coarse-quantize the corpus into inverted lists keyed by
     * the nearest of 16 centroids (deterministically: the vectors with
     * vec_id 0..15), then answer top-k probing only the 2 nearest lists per
-    * query. The scale shape: assignment is a broadcast-map over the corpus
-    * (one pass), and each query touches |corpus|·(nprobe/nlists) candidates
-    * instead of the full corpus.
+    * query. The scale shape: the 16 centroids are collected once on the
+    * driver (IVF centroids are always driver-resident — k-means output) and
+    * embedded as literals, so assignment is a pure map-side argmax over the
+    * corpus with ZERO exchange — no crossJoin row multiplication, no
+    * `Window.partitionBy(vec_id)` shuffle of corpus×16 rows. Each query then
+    * touches |corpus|·(nprobe/nlists) candidates instead of the full corpus,
+    * and the final per-query top-k uses the bounded-heap partial aggregate
+    * (see [[knnBrute]]).
     */
   def ivfKnn(s: SparkSession, dir: String): DataFrame = {
-    val emb       = embWithNorm(s, dir)
+    val emb = embWithNorm(s, dir)
+    // bounded driver-side collect: exactly 16 rows, pushdown on vec_id < 16
     val centroids = emb
       .filter(col("vec_id") < 16)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // assignment: nearest centroid by (rounded) cosine, tie-break centroid id
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect()
+      .sortBy(_.getLong(0))
+    // per-row array of struct(c_cos, -c_id): array_max = nearest centroid by
+    // (rounded cosine DESC, c_id ASC) — the map-side argmax
+    def centroidScores(vCol: Column, nrmCol: Column): Column =
+      array(centroids.toIndexedSeq.map { r =>
+        val cId   = r.getLong(0)
+        val cVec  = r.getSeq[Double](1)
+        val cNorm = r.getDouble(2)
+        struct(
+          round(dot(vCol, array(cVec.map(lit): _*)) / (nrmCol * lit(cNorm)), 6).as("c_cos"),
+          lit(-cId).as("neg_id")
+        )
+      }: _*)
     val assigned = emb
-      .crossJoin(broadcast(centroids))
-      .withColumn("c_cos", round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
-      .withColumn("a_rnk", row_number().over(wAssign))
-      .filter(col("a_rnk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("list_id"))
-    // queries probe their 2 nearest lists
-    val queriesSide = emb.filter(col("vec_id") < 5)
+      .withColumn("best", array_max(centroidScores(col("v"), col("nrm"))))
+      .select(col("vec_id"), col("v"), col("nrm"), (-col("best.neg_id")).as("list_id"))
+    // queries probe their 2 nearest lists: top-2 of the same literal scores
+    val probes = emb
+      .filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val wProbe = Window.partitionBy("q_id").orderBy(col("p_cos").desc, col("c_id"))
-    val probes = queriesSide
-      .crossJoin(broadcast(centroids))
-      .withColumn("p_cos", round(dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")), 6))
-      .withColumn("p_rnk", row_number().over(wProbe))
-      .filter(col("p_rnk") <= 2)
-      .select(col("q_id"), col("qv"), col("qnrm"), col("c_id").as("list_id"))
-    // search only within probed lists
-    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    assigned
+      .withColumn("near2", slice(reverse(array_sort(centroidScores(col("qv"), col("qnrm")))), 1, 2))
+      .select(col("q_id"), col("qv"), col("qnrm"), explode(col("near2")).as("e"))
+      .select(col("q_id"), col("qv"), col("qnrm"), (-col("e.neg_id")).as("list_id"))
+    // search only within probed lists; two-phase top-10 per query
+    val cand = assigned
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
-      .withColumn("rnk", row_number().over(wTop).cast(LongType))
-      .filter(col("rnk") <= 10)
-      .select("q_id", "vec_id", "list_id", "cos", "rnk")
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        col("list_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos")
+      )
+    val key = struct(col("cos"), (-col("vec_id")).as("neg_id"), col("vec_id"), col("list_id"))
+    cand
+      .groupBy("q_id")
+      .agg(graft.plans.TopKAggregate.topK(key, 10).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(
+        col("q_id"),
+        col("col.vec_id").as("vec_id"),
+        col("col.list_id").as("list_id"),
+        col("col.cos").as("cos"),
+        (col("pos") + 1).cast(LongType).as("rnk")
+      )
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.etl.Quarantine
-import graft.sources.Layout
+import graft.sources.{FatalStatusException, HttpResponse, HttpTimeouts, HttpTransport, Layout, RestAnimalsSource, RetriesExhaustedException, RetryingHttpClient, RetryPolicy}
 
 /** Storage layout, quarantine channel, SQL extensions, streaming sink. */
 class InfraSpec extends AnyFunSuite {
@@ -114,6 +114,59 @@ class InfraSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) != 0L)
     assert(r.getInt(2) == 2)
+  }
+
+  test("R6: client hands concrete timeouts to the transport; option parsing") {
+    class RecordingTransport extends HttpTransport {
+      var seen: Option[HttpTimeouts] = None
+      override def configure(t: HttpTimeouts): Unit = seen = Some(t)
+      override def request(m: String, p: String, b: Option[String], h: Map[String, String]) =
+        HttpResponse(200, "ok")
+    }
+    val t = new RecordingTransport
+    new RetryingHttpClient(t, RetryPolicy(), HttpTimeouts(1234, 5678)).get("/x")
+    assert(t.seen.contains(HttpTimeouts(1234, 5678)))
+    // defaults mirror the reference: connect 5 s, read 30 s
+    val d = new RecordingTransport
+    new RetryingHttpClient(d).get("/x")
+    assert(d.seen.contains(HttpTimeouts(5000, 30000)))
+    assert(
+      RestAnimalsSource.timeoutsFromOptions(Map("timeout.connect.ms" -> "900")) ==
+        HttpTimeouts(900, 30000)
+    )
+  }
+
+  test("R6: a timing-out transport is retried, then surfaced as exhausted") {
+    class TimeoutTransport extends HttpTransport {
+      var calls = 0
+      override def request(m: String, p: String, b: Option[String], h: Map[String, String]) = {
+        calls += 1
+        throw new java.net.SocketTimeoutException("read timed out")
+      }
+    }
+    val t = new TimeoutTransport
+    val ex = intercept[RetriesExhaustedException] {
+      new RetryingHttpClient(t, RetryPolicy(retries = 3, baseDelayMs = 1, capDelayMs = 2, jitterMs = 1))
+        .get("/slow")
+    }
+    assert(t.calls == 3)
+    assert(ex.attempts == 3)
+  }
+
+  test("unexpected 5xx fails fast (one attempt); 3xx returns outright") {
+    class StatusTransport(status: Int) extends HttpTransport {
+      var calls = 0
+      override def request(m: String, p: String, b: Option[String], h: Map[String, String]) = {
+        calls += 1
+        HttpResponse(status, "")
+      }
+    }
+    val fatal = new StatusTransport(501)
+    intercept[FatalStatusException](new RetryingHttpClient(fatal).get("/x"))
+    assert(fatal.calls == 1, "non-retryable 5xx burned the retry budget")
+    val redirect = new StatusTransport(302)
+    assert(new RetryingHttpClient(redirect).get("/x").status == 302)
+    assert(redirect.calls == 1)
   }
 
   test("streaming foreachBatch drives the HTTP batch sink") {

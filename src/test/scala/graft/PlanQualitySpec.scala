@@ -67,6 +67,33 @@ class PlanQualitySpec extends AnyFunSuite {
     )
   }
 
+  test("q60 top-k is a two-phase bounded-heap aggregate, not a window sort") {
+    val plan = finalPlan(graft.operators.Similarity.knnBrute(spark, dir))
+    val aggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(aggs >= 2, s"expected partial+final ObjectHashAggregate, got $aggs in:\n$plan")
+    assert(!plan.contains("Window"), "top-k fell back to a window sort")
+    assert(!plan.contains("Sort "), s"top-k plan contains a sort:\n$plan")
+  }
+
+  test("q62 centroid assignment is map-side: one shuffle total, on q_id") {
+    // AdaptiveSparkPlan.toString prints Final Plan then Initial Plan — count
+    // exchanges only in the final section
+    val plan     = finalPlan(graft.operators.Similarity.ivfKnn(spark, dir)).split("== Initial Plan ==").head
+    val shuffles = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(shuffles.size == 1, s"expected only the final top-k exchange, got:\n${shuffles.mkString("\n")}")
+    assert(shuffles.head.contains("q_id"), s"sole shuffle is not the per-query merge: ${shuffles.head}")
+    assert(!plan.contains("Window"), "assignment argmax fell back to a window")
+  }
+
+  test("q39 embedding-LSH pair exchange is skinny (ids only, no vectors)") {
+    val plan      = finalPlan(graft.operators.FuzzyDedup.embeddingPairsLsh(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(
+      exchanges.forall(e => !e.contains("va") && !e.contains("vb") && !e.contains(", v")),
+      s"vectors ride a shuffle:\n${exchanges.mkString("\n")}"
+    )
+  }
+
   test("S3 envelope flatten matches the reference fixture") {
     import spark.implicits._
     val pages = Seq(
