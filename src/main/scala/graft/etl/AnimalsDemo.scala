@@ -37,13 +37,16 @@ object DemoTransport {
   val posted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
 
-/** `sbt "runMain graft.etl.AnimalsDemo"` — runs the reference pipeline
-  * end-to-end against the demo service and prints what was POSTed. */
+/** `sbt "runMain graft.etl.AnimalsDemo [--concurrency N --batch-size N …]"`
+  * — runs the reference pipeline end-to-end against the demo service and
+  * prints what was POSTed. Parameters resolve exactly like the reference
+  * CLI: flag > env (CONCURRENCY, BATCH_SIZE, MAX_RETRIES, …) > default. */
 object AnimalsDemo {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.get("local[4]", 4)
-    val asOf  = lit("2026-01-01 00:00:00").cast(TimestampType)
-    val res   = AnimalsPipeline.run(spark, classOf[DemoTransport].getName, asOf, concurrency = 2, batchSize = 2)
+    val spark  = GraftSession.get("local[4]", 4)
+    val asOf   = lit("2026-01-01 00:00:00").cast(TimestampType)
+    val config = EtlConfig.resolve(args.toSeq)
+    val res    = AnimalsPipeline.run(spark, classOf[DemoTransport].getName, asOf, config)
     println(s"posted_batches=${res.postedBatches}")
     DemoTransport.posted.forEach(b => println(s"POST /animals/v1/home $b"))
     spark.stop()

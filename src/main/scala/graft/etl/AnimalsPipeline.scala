@@ -3,7 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.sinks.HttpBatchSink
-import graft.sources.{RestEnrich, RetryPolicy}
+import graft.sources.{HttpTimeouts, RestEnrich, RetryPolicy}
 
 /** The reference's full E-T-L composed Spark-first
   * (`/root/reference/src/animals_etl/cli.py:40-43`): paginated scan →
@@ -27,11 +27,16 @@ object AnimalsPipeline {
       asOf: Column,
       concurrency: Int = 8,
       batchSize: Int = 100,
-      policy: RetryPolicy = RetryPolicy()
+      policy: RetryPolicy = RetryPolicy(),
+      timeouts: HttpTimeouts = HttpTimeouts()
   ): Result = {
     val ids         = listed(spark, transportClass)
-    val details     = RestEnrich.details(ids, transportClass, concurrency, policy)
+    val details     = RestEnrich.details(ids, transportClass, concurrency, policy, timeouts)
     val transformed = AnimalsTransform.transform(details, asOf)
-    Result(HttpBatchSink.post(transformed, transportClass, batchSize, policy))
+    Result(HttpBatchSink.post(transformed, transportClass, batchSize, policy, timeouts))
   }
+
+  /** Env/CLI-configured entry point — the reference's `cli.py` run shape. */
+  def run(spark: SparkSession, transportClass: String, asOf: Column, config: EtlConfig): Result =
+    run(spark, transportClass, asOf, config.concurrency, config.batchSize, config.policy, config.timeouts)
 }

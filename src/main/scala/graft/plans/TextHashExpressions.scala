@@ -5,7 +5,7 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,9 +19,10 @@ import graft.operators.FuzzyDedup
   * re-evaluates the non-trivial sub-expressions inside each lambda
   * invocation — `element_at(split(text), i)` re-runs the regex split per
   * element (O(tokens²)) and K minhash permutations re-run md5 K times per
-  * shingle. These expressions compute the same values in one pass per row.
-  * They are CodegenFallback (a single virtual call per row at ~µs cost —
-  * negligible against the per-row work they replace).
+  * shingle. These expressions compute the same values in one pass per row,
+  * and generate code (a single static call per row) so the projections and
+  * filters around them keep whole-stage codegen instead of falling back to
+  * the interpreted path for the entire stage.
   *
   * Semantics are pinned by the DuckDB oracles of q32-q35: same split regex
   * (trailing empties kept, like Spark's `split` with limit -1), same
@@ -73,31 +74,23 @@ object TextHash {
       seen.toArray(Array.empty[String])
     }
   }
-}
 
-/** text → ARRAY<STRING> of distinct word-trigram shingles. */
-case class WordShingles(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(TextHash.shingles(input.asInstanceOf[UTF8String]).map(UTF8String.fromString))
-  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
-}
+  // ---- static entry points shared by the interpreted and generated paths
+  // (the expressions' doGenCode emits ONE static call per row; object
+  // TextHash has no companion class, so these get Java static forwarders) --
 
-/** shingles → ARRAY<STRING> of LSH band keys "b:sig..:sig..": the K
-  * universal-hash minhashes and banding in one pass (md5 once per shingle).
-  */
-case class MinHashBandKeys(child: Expression) extends UnaryExpression with CodegenFallback {
-  import FuzzyDedup.{BandSize, Coeffs, NumBands, NumHashes, P}
+  /** WordShingles eval body. */
+  def shinglesData(s: UTF8String): ArrayData =
+    new GenericArrayData(shingles(s).map(UTF8String.fromString))
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** MinHashBandKeys eval body: K minhashes + banding, md5 once per shingle. */
+  def minhashBands(arr: ArrayData): ArrayData = {
+    import FuzzyDedup.{BandSize, Coeffs, NumBands, NumHashes, P}
     val n   = arr.numElements()
     val sig = Array.fill(NumHashes)(Long.MaxValue)
     var i   = 0
     while (i < n) {
-      val h = TextHash.baseHash32(arr.getUTF8String(i).toString)
+      val h = baseHash32(arr.getUTF8String(i).toString)
       var j = 0
       while (j < NumHashes) {
         val (a, b) = Coeffs(j)
@@ -123,21 +116,14 @@ case class MinHashBandKeys(child: Expression) extends UnaryExpression with Codeg
     new GenericArrayData(bands.asInstanceOf[Array[Any]])
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
-}
-
-/** text → 60-bit SimHash LONG over the whitespace token multiset. */
-case class SimHash60(child: Expression) extends UnaryExpression with CodegenFallback {
-  import FuzzyDedup.SimhashBits
-
-  override def dataType: DataType = LongType
-
-  override def nullSafeEval(input: Any): Any = {
-    val toks    = TextHash.tokens(input.asInstanceOf[UTF8String])
+  /** SimHash60 eval body. */
+  def simhash60(s: UTF8String): Long = {
+    import FuzzyDedup.SimhashBits
+    val toks    = tokens(s)
     val balance = new Array[Long](SimhashBits)
     var i = 0
     while (i < toks.length) {
-      val h = TextHash.baseHash60(toks(i))
+      val h = baseHash60(toks(i))
       var b = 0
       while (b < SimhashBits) {
         if (((h >> b) & 1L) == 1L) balance(b) += 1 else balance(b) -= 1
@@ -153,7 +139,39 @@ case class SimHash60(child: Expression) extends UnaryExpression with CodegenFall
     }
     fp
   }
+}
 
+/** text → ARRAY<STRING> of distinct word-trigram shingles. Generates code
+  * (one static call per row) so the surrounding filter/project stays inside
+  * whole-stage codegen — a CodegenFallback here would break the span. */
+case class WordShingles(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.shinglesData(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.shinglesData($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** shingles → ARRAY<STRING> of LSH band keys "b:sig..:sig..": the K
+  * universal-hash minhashes and banding in one pass (md5 once per shingle).
+  */
+case class MinHashBandKeys(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.minhashBands(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.minhashBands($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** text → 60-bit SimHash LONG over the whitespace token multiset. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.simhash60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.simhash60($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
 }
 

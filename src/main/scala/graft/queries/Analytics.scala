@@ -311,6 +311,44 @@ object Analytics extends QueryModule {
       )
   }
 
+  /** TPC-H Q2-style correlated scalar subquery: the cheapest lineitem offer
+    * per small part. Written in SQL so Catalyst's subquery decorrelation
+    * (RewriteCorrelatedScalarSubquery → aggregate + join) plans it — the
+    * path a hand-built join would bypass. Ties collapse deterministically
+    * (min suppkey, offer count). */
+  def minCostOffer(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("graft_q63_part")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q63_lineitem")
+    s.sql(
+      """SELECT p_partkey, min(l_suppkey) AS suppkey, min(l_extendedprice) AS min_price,
+        |  count(1) AS n_offers
+        |FROM graft_q63_part JOIN graft_q63_lineitem ON p_partkey = l_partkey
+        |WHERE p_size <= 3
+        |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                         FROM graft_q63_lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_partkey""".stripMargin
+    )
+  }
+
+  /** TPC-H Q11-style GROUP BY … HAVING against a scalar subquery: suppliers
+    * whose lineitem value exceeds 1.05× the average supplier share. The
+    * threshold is count-normalized so the predicate stays selective at any
+    * SF; all double sums follow the decimal-sum pattern (see [[Num]]). */
+  def importantSuppliers(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q64_lineitem")
+    Tables.supplier(s, dir).createOrReplaceTempView("graft_q64_supplier")
+    s.sql(
+      """SELECT l_suppkey,
+        |  CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM graft_q64_lineitem
+        |GROUP BY l_suppkey
+        |HAVING CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) >
+        |  (SELECT CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE)
+        |   FROM graft_q64_lineitem) * 1.05 /
+        |  (SELECT count(1) FROM graft_q64_supplier)""".stripMargin
+    )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_argmax"            -> (argmaxCustomer _),
     "q19_or_of_ands"        -> (orOfAnds _),
@@ -330,10 +368,27 @@ object Analytics extends QueryModule {
     "q09_distinct_stats"    -> (distinctStats _),
     "q10_pivot"             -> (pivotPriority _),
     "q11_set_ops"           -> (setOps _),
-    "q12_scalar_subquery"   -> (aboveNationAvg _)
+    "q12_scalar_subquery"   -> (aboveNationAvg _),
+    "q63_min_cost_offer"    -> (minCostOffer _),
+    "q64_important_suppliers" -> (importantSuppliers _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q63_min_cost_offer" ->
+      """SELECT p_partkey, min(l_suppkey) AS suppkey, min(l_extendedprice) AS min_price,
+        |  CAST(count(*) AS BIGINT) AS n_offers
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_size <= 3
+        |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_partkey""".stripMargin,
+    "q64_important_suppliers" ->
+      s"""SELECT l_suppkey, ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} AS total_value
+         |FROM lineitem
+         |GROUP BY l_suppkey
+         |HAVING ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} >
+         |  (SELECT ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} FROM lineitem) * 1.05 /
+         |  (SELECT count(*) FROM supplier)""".stripMargin,
     "q18_argmax" ->
       """SELECT n_name, min(c_custkey) AS custkey, max(c_acctbal) AS acctbal
         |FROM customer c

@@ -3,7 +3,7 @@ package graft.sinks
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.sources.{HttpTransport, RetryingHttpClient, RetryPolicy}
+import graft.sources.{HttpTimeouts, HttpTransport, RetryingHttpClient, RetryPolicy}
 
 /** Batched HTTP POST sink (K1,
   * `/root/reference/src/animals_etl/pipeline.py:88-99`):
@@ -32,14 +32,15 @@ object HttpBatchSink {
       df: DataFrame,
       transportClass: String,
       batchSize: Int = 100,
-      policy: RetryPolicy = RetryPolicy()
+      policy: RetryPolicy = RetryPolicy(),
+      timeouts: HttpTimeouts = HttpTimeouts()
   ): Long = {
     val size     = clampBatchSize(batchSize)
     val batches  = df.sparkSession.sparkContext.longAccumulator("posted_batches")
     val records  = df.sparkSession.sparkContext.longAccumulator("posted_records")
     val jsonRows = df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*), java.util.Map.of("ignoreNullFields", "true")))
     jsonRows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-      val client = new RetryingHttpClient(HttpTransport.byName(transportClass), policy)
+      val client = new RetryingHttpClient(HttpTransport.byName(transportClass), policy, timeouts)
       it.map(_.getString(0)).grouped(size).foreach { group =>
         client.post(HomePath, group.mkString("[", ",", "]"))
         batches.add(1)

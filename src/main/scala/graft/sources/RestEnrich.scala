@@ -30,7 +30,8 @@ object RestEnrich {
       ids: DataFrame,
       transportClass: String,
       parallelism: Int = 8,
-      policy: RetryPolicy = RetryPolicy()
+      policy: RetryPolicy = RetryPolicy(),
+      timeouts: HttpTimeouts = HttpTimeouts()
   ): DataFrame = {
     val spark = ids.sparkSession
     // RDD mapPartitions: genuine per-partition imperative logic (one live
@@ -40,19 +41,28 @@ object RestEnrich {
       .repartition(math.max(1, parallelism))
       .rdd
       .mapPartitions { it =>
-        val client = new RetryingHttpClient(HttpTransport.byName(transportClass), policy)
+        val client = new RetryingHttpClient(HttpTransport.byName(transportClass), policy, timeouts)
+        val part   = org.apache.spark.TaskContext.getPartitionId()
+        var done   = 0L
         it.flatMap { row =>
           val id = row.getLong(0)
-          try {
-            AnimalsJson
-              .parseDetail(client.get(detailPath(id)).body)
-              .map(d => Row(d.id, d.name, d.friends.orNull, d.bornAt.map(Long.box).orNull))
-          } catch {
-            case scala.util.control.NonFatal(e) =>
-              // reference logs and drops the row (pipeline.py:39-43)
-              System.err.println(s"[warn] get_animal($id) failed: ${e.getMessage}")
-              None
-          }
+          val res =
+            try {
+              AnimalsJson
+                .parseDetail(client.get(detailPath(id)).body)
+                .map(d => Row(d.id, d.name, d.friends.orNull, d.bornAt.map(Long.box).orNull))
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                // reference logs and drops the row (pipeline.py:39-43)
+                System.err.println(s"[warn] get_animal($id) failed: ${e.getMessage}")
+                None
+            }
+          // progress cadence parity (pipeline.py:53-54): every 100 lookups,
+          // per partition (partitions are the unit of concurrency here)
+          done += 1
+          if (done % 100 == 0)
+            System.err.println(s"[progress] partition $part fetched $done details…")
+          res
         }
       }
     spark.createDataFrame(rdd, DetailSchema)

@@ -159,4 +159,20 @@ class RestPipelineSpec extends AnyFunSuite {
     assert(HttpBatchSink.clampBatchSize(1000) == 100)
     assert(HttpBatchSink.clampBatchSize(50) == 50)
   }
+
+  test("EtlConfig resolves flag > env > default with the reference's keys") {
+    import graft.etl.EtlConfig
+    // pure defaults = config.py's defaults
+    assert(EtlConfig.resolve(Nil, Map.empty) == EtlConfig())
+    assert(EtlConfig().timeouts == HttpTimeouts(5000, 30000))
+    // env overrides defaults (timeouts are float seconds, like the reference)
+    val env = Map("CONCURRENCY" -> "4", "READ_TIMEOUT" -> "12.5")
+    assert(
+      EtlConfig.resolve(Nil, env) == EtlConfig(concurrency = 4, readTimeoutMs = 12500)
+    )
+    // CLI flag beats env
+    val c = EtlConfig.resolve(Seq("--concurrency", "9", "--batch-size", "7"), env)
+    assert(c.concurrency == 9 && c.batchSize == 7 && c.readTimeoutMs == 12500)
+    assert(c.policy.attempts == 6)
+  }
 }
