@@ -19,12 +19,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions.All
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     All.foreach { case (name, usage, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name), GraftExtensions.info(name, usage), builder)
       )
     }
+    // declarative HOF dot products → native codegen'd expression
+    ext.injectOptimizerRule(_ => NativeDotProductRule)
+  }
 }
 
 object GraftExtensions {

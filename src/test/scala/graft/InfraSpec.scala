@@ -116,6 +116,39 @@ class InfraSpec extends AnyFunSuite {
     assert(r.getInt(2) == 2)
   }
 
+  test("optimizer rule substitutes HOF dot product with the native expression") {
+    import spark.implicits._
+    // live-session path; scoped so other suites (e.g. ExpressionParitySpec,
+    // which compares HOF vs native) keep an unmodified optimizer
+    spark.experimental.extraOptimizations = Seq(graft.plans.NativeDotProductRule)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    try {
+      // non-foldable inputs (literal rows would be constant-folded away
+      // before the rule could matter)
+      val base = spark.range(1)
+      val hof = base
+        .select(
+          array(d(col("id") + 1), d(col("id") + 2)).as("a"),
+          array(d(col("id") + 3), d(col("id") + 4)).as("b")
+        )
+        .select(aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _).as("d"))
+      val opt = hof.queryExecution.optimizedPlan.toString
+      assert(opt.toLowerCase.contains("dotproduct"), s"no substitution in:\n$opt")
+      assert(hof.head.getDouble(0) == 11.0) // 1*3 + 2*4
+      // exact-semantics guard: unequal lengths keep zip_with null-padding
+      val unequal = base
+        .select(array(d(col("id") + 1), d(col("id") + 2)).as("a"), array(d(col("id") + 3)).as("b"))
+        .select(aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _).as("d"))
+      assert(unequal.head.isNullAt(0), "guarded rewrite changed null-padding semantics")
+      // a different fold seed must NOT be rewritten
+      val seeded = base
+        .select(array(d(col("id") + 1)).as("a"), array(d(col("id") + 3)).as("b"))
+        .select(aggregate(zip_with(col("a"), col("b"), _ * _), lit(1.0), _ + _).as("d"))
+      assert(!seeded.queryExecution.optimizedPlan.toString.toLowerCase.contains("dotproduct"))
+      assert(seeded.head.getDouble(0) == 4.0) // 1 + 1*3
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("R6: client hands concrete timeouts to the transport; option parsing") {
     class RecordingTransport extends HttpTransport {
       var seen: Option[HttpTimeouts] = None

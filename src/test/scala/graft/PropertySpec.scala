@@ -75,6 +75,41 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.forall(_.isNullAt(0)))
   }
 
+  test("topK aggregate matches the sort-based reference under repartition") {
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    // adversarial: heavy duplicate scores force tie-breaks, many partitions
+    // force partial/merge paths, k > group size on some groups
+    val gen = for {
+      g <- Gen.chooseNum(0, 4)
+      s <- Gen.chooseNum(0, 9) // heavy score collisions
+      id <- Gen.chooseNum(0L, 10000L)
+    } yield (g, s.toDouble, id)
+    val rows = sample(gen, 2000).distinct // unique triples → deterministic ranks
+    val df   = rows.toDF("g", "score", "id").repartition(13)
+    val key  = struct(col("score"), (-col("id")).as("neg"), col("id"))
+    val got = df
+      .groupBy("g")
+      .agg(graft.plans.TopKAggregate.topK(key, 7).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.score"), col("col.id"), (col("pos") + 1).cast(LongType).as("rnk"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // reference model: plain Scala sort desc by (score, -id) → top 7, ranked
+    val expect = rows
+      .groupBy(_._1)
+      .flatMap { case (g, rs) =>
+        rs.map { case (_, s, id) => (s, id) }
+          .sortBy { case (s, id) => (-s, id) }
+          .zipWithIndex
+          .take(7)
+          .map { case ((s, id), i) => (g, s, id, (i + 1).toLong) }
+      }
+      .toSet
+    assert(got == expect, s"diff: got-extra=${got -- expect}, missing=${expect -- got}")
+  }
+
   test("ISO validation: every rendered timestamp validates; offset forms reject") {
     import spark.implicits._
     val secs = sample(Gen.chooseNum(0L, 1700000000L), 200)
