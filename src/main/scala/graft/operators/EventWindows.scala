@@ -59,13 +59,73 @@ object EventWindows extends QueryModule {
         col("n_events")
       )
 
+  /** Range-join window in micros: 10 minutes. Bucket width == window length
+    * so a preceding-window click lands in exactly one of two buckets. */
+  val RangeUs = 600000000L
+
+  /** Per-purchase count of same-user clicks in the strictly-preceding
+    * 10-minute window — a range join, expressed scale-first as a BINNED
+    * equi-join: bucket = floor(ts / 10min); each purchase probes buckets
+    * {b-1, b}; clicks join on (user, bucket) and the exact time predicate
+    * refines. A naive formulation is a theta-join (Broadcast/CartesianNLJ —
+    * quadratic); the binned plan is a plain shuffle-hash/sort-merge join on
+    * (user_id, bucket) whose per-key fan-in is bounded by window density,
+    * so it survives a 100× scale-up. Each click matches at most one of the
+    * two probe rows (its own bucket), so no post-join dedup is needed. */
+  def rangeJoinClicks(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts").as("p_ts"),
+        unix_micros(col("ts")).as("p_us"),
+        floor(unix_micros(col("ts")) / lit(RangeUs)).as("b")
+      )
+      .withColumn("probe_b", explode(array(col("b") - 1, col("b"))))
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"),
+        floor(unix_micros(col("ts")) / lit(RangeUs)).as("c_b")
+      )
+    purchases
+      .join(
+        clicks,
+        col("user_id") === col("c_user") && col("probe_b") === col("c_b") &&
+          col("c_us") >= col("p_us") - lit(RangeUs) && col("c_us") < col("p_us"),
+        "left"
+      )
+      .groupBy(col("event_id"), col("user_id"), col("p_ts"))
+      .agg(count(col("c_user")).as("n_clicks_10m"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_ts"),
+        col("n_clicks_10m")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_range_join"      -> (rangeJoinClicks _),
     "q25_window_tumbling" -> (tumbling _),
     "q26_window_session"  -> (sessions _),
     "q27_window_sliding"  -> (sliding _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q65_range_join" ->
+      s"""SELECT p.event_id AS event_id, p.user_id AS user_id,
+         |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+         |  count(c.user_id) AS n_clicks_10m
+         |FROM events p LEFT JOIN events c
+         |  ON c.user_id = p.user_id AND c.event_type = 'click'
+         |  AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP)) - $RangeUs
+         |  AND epoch_us(CAST(c.ts AS TIMESTAMP)) < epoch_us(CAST(p.ts AS TIMESTAMP))
+         |WHERE p.event_type = 'purchase'
+         |GROUP BY 1, 2, 3""".stripMargin,
     "q25_window_tumbling" ->
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
          |  event_type, count(*) AS n_events, ${sqlDsum("value", 6)} AS sum_value

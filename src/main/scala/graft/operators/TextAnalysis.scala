@@ -131,7 +131,39 @@ object TextAnalysis extends QueryModule {
       .select("lang", "token", "tf", "df_docs", "tfidf", "rnk")
   }
 
+  val TopBigrams = 25
+
+  /** Corpus-wide top-25 bigrams. The bigram counts come from one hash
+    * aggregate on the (bounded) bigram vocabulary; the global top-k then
+    * runs through [[graft.plans.TopKAggregate]]'s bounded-heap aggregate, so
+    * each partition contributes ≤ k rows to a single final merge — no global
+    * sort, no one-task window funnel. Ordering: count desc, bigram desc
+    * (struct natural order; documented tie-break, mirrored in the oracle).
+    */
+  def bigramTopK(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b)
+    )
+    val counts = Tables
+      .documents(s, dir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .agg(graft.plans.TopKAggregate.topK(struct(col("n"), col("bigram")), TopBigrams).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        (col("pos") + 1).cast(LongType).as("rnk"),
+        col("t.bigram").as("bigram"),
+        col("t.n").as("n")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_bigram_topk"     -> (bigramTopK _),
     "q44_tfidf_top_terms" -> (tfidfTopTerms _),
     "q40_text_stats"  -> (stats _),
     "q41_lang_id"     -> (langId _),
@@ -145,6 +177,15 @@ object TextAnalysis extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q48_bigram_topk" ->
+      s"""WITH t AS (SELECT regexp_split_to_array(text, ' +') AS toks FROM documents),
+         |bg AS (
+         |  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+         |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+         |),
+         |c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
+         |SELECT row_number() OVER (ORDER BY n DESC, bigram DESC) AS rnk, bigram, n
+         |FROM c ORDER BY n DESC, bigram DESC LIMIT $TopBigrams""".stripMargin,
     "q44_tfidf_top_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(regexp_split_to_array(text, ' +')) AS token FROM documents

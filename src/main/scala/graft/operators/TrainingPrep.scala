@@ -69,13 +69,78 @@ object TrainingPrep extends QueryModule {
       )
   }
 
+  val NumShards = 16
+
+  /** C4-style length filtering: keep documents whose n_chars lies within the
+    * per-language [p5, p95] band. The bounds are one tiny aggregate (|langs|
+    * rows) broadcast back onto the corpus — no window, no corpus sort, the
+    * big side stays a narrow scan+filter. Bounds are rounded to 6 decimals
+    * on BOTH sides: the true interpolated values here have ≤ 2 decimals
+    * (integer inputs, centile fractions), so rounding erases any final-ulp
+    * difference between Spark's `percentile` and DuckDB's `quantile_cont`
+    * interpolation arithmetic. */
+  def lengthQuantileFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bounds = docs
+      .groupBy("lang")
+      .agg(
+        round(expr("percentile(n_chars, 0.05)"), 6).as("lo"),
+        round(expr("percentile(n_chars, 0.95)"), 6).as("hi")
+      )
+    docs
+      .join(broadcast(bounds), Seq("lang"))
+      .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .groupBy("lang", "lo", "hi")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars")
+      )
+  }
+
+  /** Deterministic seeded shard assignment: shard = md5-derived uint32 of
+    * (seed, doc_id) mod NumShards. Pure per-row narrow transform — the
+    * writer path at scale is `repartition(shard).sortWithinPartitions(h)`,
+    * which reproduces the same deterministic order with no single-task
+    * window. Reruns and other engines agree exactly (no RNG state). */
+  def shardAssign(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("shard:42:"), col("doc_id").cast(StringType))), 1, 8), 16, 10)
+      .cast(LongType)
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        h.as("h"),
+        (h % NumShards).cast(LongType).as("shard")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_length_quantile"   -> (lengthQuantileFilter _),
+    "q56_shard_assign"      -> (shardAssign _),
     "q45_stratified_sample" -> (stratifiedSample _),
     "q46_sequence_packing"  -> (sequencePacking _),
     "q47_repetition_score"  -> (repetitionScore _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q49_length_quantile" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    round(quantile_cont(n_chars, 0.05), 6) AS lo,
+        |    round(quantile_cont(n_chars, 0.95), 6) AS hi
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT d.lang AS lang, b.lo AS lo, b.hi AS hi,
+        |  count(*) AS n_kept,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+        |FROM documents d JOIN b ON d.lang = b.lang
+        |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q56_shard_assign" ->
+      s"""SELECT doc_id,
+         |  CAST('0x' || substr(md5('shard:42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h,
+         |  CAST('0x' || substr(md5('shard:42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % $NumShards AS shard
+         |FROM documents""".stripMargin,
     "q45_stratified_sample" ->
       s"""SELECT doc_id, lang, n_chars, rk FROM (
          |  SELECT doc_id, lang, n_chars,

@@ -94,6 +94,35 @@ class PlanQualitySpec extends AnyFunSuite {
     )
   }
 
+  test("q48 global bigram top-k is a partial bounded-heap aggregate, no sort") {
+    val plan = finalPlan(graft.operators.TextAnalysis.bigramTopK(spark, dir))
+    val aggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(aggs >= 2, s"expected partial+final ObjectHashAggregate, got $aggs in:\n$plan")
+    assert(!plan.contains("Window"), "global top-k fell back to a window")
+    assert(!plan.contains("Sort "), s"global top-k plan sorts:\n$plan")
+  }
+
+  test("q49 per-lang quantile bounds broadcast back onto the corpus") {
+    val plan = finalPlan(graft.operators.TrainingPrep.lengthQuantileFilter(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"bounds join is not broadcast:\n$plan")
+    assert(!plan.contains("Window"), "quantile filter fell back to a window")
+  }
+
+  test("q56 shard assignment is a pure narrow transform (zero exchanges)") {
+    val plan = finalPlan(graft.operators.TrainingPrep.shardAssign(spark, dir)).split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), s"shard assignment shuffles:\n$plan")
+  }
+
+  test("q65 range join is a binned equi-join, not a nested-loop theta join") {
+    val plan = finalPlan(graft.operators.EventWindows.rangeJoinClicks(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"range join fell back to BNLJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"range join is cartesian:\n$plan")
+    assert(
+      plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"no hash/merge equi-join in range-join plan:\n$plan"
+    )
+  }
+
   test("S3 envelope flatten matches the reference fixture") {
     import spark.implicits._
     val pages = Seq(
