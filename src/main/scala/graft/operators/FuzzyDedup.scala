@@ -169,65 +169,91 @@ object FuzzyDedup extends QueryModule {
         rollingHash(Dedup.canonicalText(col("text"))).as("roll_hash")
       )
 
+  /** Hard ceiling for [[embeddingPairs]]' all-pairs join (override with the
+    * `graft.exactPairs.maxRows` session conf). 100k vectors ≈ 5e9 pairs is
+    * already hours of CPU; anything bigger is a mistake, not a query. */
+  val ExactPairsDefaultMaxRows = 100000L
+
   /** Embedding-cosine near-dup: exact all-pairs ≥ 0.9.
     *
     * TEST-SCALE ORACLE BASELINE ONLY — the quadratic theta-join is the
     * ground truth that pins [[embeddingPairsLsh]]'s (q39) oracle; q39 is the
-    * production path at corpus scale. Do not run this on a real corpus. */
+    * production path at corpus scale. Enforced: fails fast when the corpus
+    * exceeds `graft.exactPairs.maxRows` (default 100k vectors) instead of
+    * silently running an O(n²) join — the count is one footer-statistics
+    * read, not a scan. */
   def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
     val emb = Similarity.embWithNorm(s, dir)
-    val a   = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b   = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val maxRows = s.conf.getOption("graft.exactPairs.maxRows").map(_.toLong).getOrElse(ExactPairsDefaultMaxRows)
+    val n = Tables.embeddings(s, dir).count()
+    require(
+      n <= maxRows,
+      s"embeddingPairs is the O(n²) test-scale baseline: corpus has $n vectors > limit $maxRows. " +
+        "Use embeddingPairsLsh (q39) at corpus scale, or raise graft.exactPairs.maxRows explicitly."
+    )
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos", round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= 0.9)
       .select("id_a", "id_b", "cos")
   }
 
-  val EmbBands = 16
-  val EmbBits  = 4
+  /** Banded hyperplane-LSH shape for the 0.9-cosine threshold.
+    *
+    * CANDIDATE VOLUME is what the parameters buy (recall alone is cheap —
+    * all-pairs has recall 1.0): for a NON-duplicate pair, per-plane sign
+    * agreement is ~0.5, so per-band collision is 0.5^bits and the expected
+    * candidate rate is ≤ bands·0.5^bits of all C(n,2) pairs. At 12 bits ×
+    * 24 bands that is 24/4096 ≈ 0.6% — a ~170× prune — where the previous
+    * 4 bits × 16 bands admitted 1−(15/16)^16 ≈ 64% of ALL pairs (all-pairs
+    * with extra steps). RECALL at cosine c: per-plane agreement is
+    * 1−acos(c)/π (0.856 at c = 0.9), per-band 0.856^12 ≈ 0.156, overall
+    * 1−(1−0.156)^24 ≈ 0.983 at the 0.9 boundary and ≥ 0.9999 at c ≥ 0.95
+    * where real near-dups live. To keep candidates near-linear as the
+    * corpus grows, `bits` must track log₂(n): expected per-band bucket
+    * occupancy is n/2^bits, so per-band candidate volume n²/2^bits stays
+    * O(n·bands) when 2^bits ≈ n. */
+  val EmbBits  = 12
+  val EmbBands = 24
 
-  /** ±1 hyperplanes for the banded embedding LSH: 16 bands × 4 planes × 64
-    * dims, md5-derived at build time (deterministic, embedded in the plan).
-    * Band-collision probability for cosine c is (1 - acos(c)/π)^4; with 16
-    * bands the recall at c = 0.9 is 1 - (1 - 0.539)^16 ≈ 0.99996. */
-  val EmbPlanes: Seq[Seq[Seq[Double]]] = (0 until EmbBands).map { b =>
-    (0 until EmbBits).map { p =>
-      (0 until 64).map { i =>
-        val digest = MessageDigest.getInstance("MD5").digest(s"emb-lsh:$b:$p:$i".getBytes("UTF-8"))
-        if ((digest(3) & 1) == 0) 1.0 else -1.0
-      }
-    }
-  }
+  /** Band keys "b:sig" per vector — one fused narrow pass (codegen'd native
+    * expression; see [[graft.plans.HyperplaneBandKeys]]), no shuffle. */
+  def embBandKeys(v: Column, bits: Int = EmbBits, bands: Int = EmbBands): Column =
+    graft.plans.VectorExpressions.hyperplaneBandKeys(v, bits, bands)
 
-  /** 16 band keys "b:bits" per vector — one narrow pass, no shuffle. */
-  def embBandKeys(v: Column): Column =
-    array(EmbPlanes.zipWithIndex.map { case (planes, b) =>
-      val bits = planes.zipWithIndex.map { case (plane, p) =>
-        when(Similarity.dot(v, array(plane.map(lit): _*)) >= 0, lit(1 << p)).otherwise(lit(0))
-      }
-      concat_ws(":", lit(b) +: Seq(bits.reduce(_ + _)): _*)
-    }: _*)
-
-  /** Scale-safe embedding near-dup at 0.9: banded hyperplane LSH candidates
-    * + exact cosine verify — [[embeddingPairs]]' semantics without the
-    * all-pairs join. Only (band, vec_id) pairs shuffle (the vectors rejoin
-    * by id for verification), so the exchange stays skinny at corpus scale;
-    * candidates are per-bucket, O(Σ bucket²) not O(n²). Oracle = the exact
-    * all-pairs SQL: LSH recall at this band/bit setting is ~0.99996 per
-    * qualifying pair (exact equality is verified by the gate on the test
-    * corpus). */
-  def embeddingPairsLsh(s: SparkSession, dir: String): DataFrame = {
-    val emb    = Similarity.embWithNorm(s, dir)
-    val banded = emb.select(col("vec_id"), explode(embBandKeys(col("v"))).as("band"))
-    val cand = banded
+  /** LSH candidate pairs only (pre-verification) — exposed so specs can
+    * measure the candidate volume the banding actually admits. */
+  def embCandidates(s: SparkSession, dir: String, bits: Int = EmbBits, bands: Int = EmbBands): DataFrame = {
+    val banded = Similarity
+      .embWithNorm(s, dir)
+      .select(col("vec_id"), explode(embBandKeys(col("v"), bits, bands)).as("band"))
+    banded
       .select(col("band"), col("vec_id").as("id_a"))
       .join(banded.select(col("band"), col("vec_id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+  }
+
+  /** Scale-safe embedding near-dup at 0.9: banded hyperplane LSH candidates
+    * + exact cosine verify — [[embeddingPairs]]' semantics without the
+    * all-pairs join. Only (band, vec_id) pairs shuffle (the vectors rejoin
+    * by id for verification), so the exchange stays skinny at corpus scale,
+    * and the banding prunes candidates to ~bands·0.5^bits of all pairs (see
+    * [[EmbBits]] for the volume/recall trade and the bits ~ log₂(n) sizing
+    * rule). Oracle = the exact all-pairs SQL; recall on planted near-dups is
+    * additionally pinned by FuzzyDedupSpec. */
+  def embeddingPairsLsh(
+      s: SparkSession,
+      dir: String,
+      bits: Int = EmbBits,
+      bands: Int = EmbBands
+  ): DataFrame = {
+    val emb  = Similarity.embWithNorm(s, dir)
+    val cand = embCandidates(s, dir, bits, bands)
+    val a    = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b    = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     cand
       .join(a, Seq("id_a"))
       .join(b, Seq("id_b"))
@@ -293,7 +319,7 @@ object FuzzyDedup extends QueryModule {
     "q35_simhash_pairs"       -> (simhashPairs _),
     "q36_rolling_fingerprint" -> (rollingFingerprints _),
     "q37_dedup_embedding"     -> (embeddingPairs _),
-    "q39_dedup_embedding_lsh" -> (embeddingPairsLsh _)
+    "q39_dedup_embedding_lsh" -> ((s, d) => embeddingPairsLsh(s, d))
   )
 
   // ---- oracle SQL ----

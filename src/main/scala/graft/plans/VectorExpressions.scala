@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the similarity hot path.
   *
@@ -52,8 +53,86 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared eval body for [[HyperplaneBandKeys]] — an object so the generated
+  * code can call it as a Java static (one call per row).
+  */
+object VectorHash {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  /** ±1 random hyperplanes for `bands` sign-signatures of `bits` planes each,
+    * md5-derived at first use (seed "emb-lsh:band:plane:dim") so the banding
+    * is deterministic across engines and reruns — no RNG state, and the
+    * DuckDB-side analysis scripts can reproduce it bit-for-bit. Cached per
+    * (dim, bits, bands): built once per executor JVM, shared by all tasks. */
+  def planes(dim: Int, bits: Int, bands: Int): Array[Array[Double]] =
+    cache.computeIfAbsent(
+      (dim, bits, bands),
+      _ => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Array.tabulate(bands * bits) { bp =>
+          val b = bp / bits
+          val p = bp % bits
+          Array.tabulate(dim) { i =>
+            md.reset()
+            val d = md.digest(s"emb-lsh:$b:$p:$i".getBytes("UTF-8"))
+            if ((d(3) & 1) == 0) 1.0 else -1.0
+          }
+        }
+      }
+    )
+
+  /** All band keys "band:signature" for one vector in a single pass: bands ×
+    * bits sign projections over a stack-local copy of the vector. */
+  def bandKeys(v: ArrayData, bits: Int, bands: Int): ArrayData = {
+    val dim = v.numElements()
+    val x   = new Array[Double](dim)
+    var i   = 0
+    while (i < dim) { x(i) = v.getDouble(i); i += 1 }
+    val pl  = planes(dim, bits, bands)
+    val out = new Array[Any](bands)
+    var b   = 0
+    while (b < bands) {
+      var sig = 0
+      var p   = 0
+      while (p < bits) {
+        val plane = pl(b * bits + p)
+        var s     = 0.0
+        var j     = 0
+        while (j < dim) { s += plane(j) * x(j); j += 1 }
+        if (s >= 0) sig |= (1 << p)
+        p += 1
+      }
+      out(b) = UTF8String.fromString(b.toString + ":" + sig.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** ARRAY<DOUBLE> vector → ARRAY<STRING> of banded random-hyperplane LSH keys
+  * "band:signature". The HOF formulation (one literal-array dot product per
+  * plane) builds a bands×bits×dim expression tree — at 24 bands × 12 bits
+  * that's 288 CreateArray literals, which blows past the codegen method-size
+  * limit and falls back to the interpreter. This computes all signatures in
+  * one fused pass per row behind a single static call.
+  */
+case class HyperplaneBandKeys(child: Expression, bits: Int, bands: Int) extends UnaryExpression {
+  require(bits > 0 && bits <= 30 && bands > 0, s"bad LSH shape: $bits bits × $bands bands")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorHash.bandKeys(input.asInstanceOf[ArrayData], bits, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorHash.bandKeys($c, $bits, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd sequential-order dot product of two ARRAY<DOUBLE> columns. */
   def dotProduct(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd banded hyperplane-LSH band keys of an ARRAY<DOUBLE> column. */
+  def hyperplaneBandKeys(v: Column, bits: Int, bands: Int): Column =
+    GraftBridge.column(HyperplaneBandKeys(GraftBridge.expression(v), bits, bands))
 }

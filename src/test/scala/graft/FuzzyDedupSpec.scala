@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.FuzzyDedup
+import graft.plans.{VectorExpressions, VectorHash}
+
+/** Embedding near-dup (q37/q39) semantics the 0-row gate corpus can't pin:
+  * recall on PLANTED near-duplicates, the candidate-volume prune the banding
+  * must deliver, parity of the fused band-keys expression with its per-plane
+  * reference formulation, and the q37 scale guard.
+  */
+class FuzzyDedupSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("local[4]", 4)
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Synthetic corpus with planted near-dups: `nBase` random unit-ish vectors
+    * plus, for the first `nDup`, a perturbed copy at cosine ≥ 0.9. Written as
+    * an embeddings.parquet table so the production readers run unchanged. */
+  private lazy val plantedDir: String = {
+    val rnd  = new scala.util.Random(42)
+    val out  = Files.createTempDirectory("graft-planted").toFile
+    out.deleteOnExit()
+    val nBase = 80
+    val nDup  = 12
+    val base = (0 until nBase).map(_ => Array.fill(64)(rnd.nextGaussian().toFloat))
+    val dups = (0 until nDup).map { i =>
+      // small additive noise: cos(v, v + eps) stays well above 0.9 for
+      // |eps| << |v| (verified below against the exact all-pairs join)
+      base(i).map(x => x + (rnd.nextGaussian() * 0.05).toFloat)
+    }
+    val rows = (base ++ dups).zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"${out.getAbsolutePath}/embeddings.parquet")
+    out.getAbsolutePath
+  }
+
+  test("q39 LSH finds every planted near-dup the exact all-pairs join finds") {
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairSet(FuzzyDedup.embeddingPairs(spark, plantedDir))
+    val lsh   = pairSet(FuzzyDedup.embeddingPairsLsh(spark, plantedDir))
+    assert(exact.nonEmpty, "fixture planted no qualifying pairs — perturbation too large")
+    assert(exact.size >= 10, s"expected >= 10 planted pairs, got ${exact.size}")
+    assert(lsh == exact, s"LSH missed pairs: ${exact -- lsh}; extra: ${lsh -- exact}")
+  }
+
+  test("q39 banding prunes candidates >= 50x below all-pairs") {
+    val n        = Tables.embeddings(spark, dir).count()
+    val allPairs = n * (n - 1) / 2
+    val cands    = FuzzyDedup.embCandidates(spark, dir).count()
+    assert(
+      cands * 50 <= allPairs,
+      s"banding admits $cands of $allPairs pairs (${cands * 100.0 / allPairs}%) — no real prune"
+    )
+  }
+
+  test("HyperplaneBandKeys == per-plane reference formulation") {
+    val (bits, bands) = (FuzzyDedup.EmbBits, FuzzyDedup.EmbBands)
+    val emb = Tables.embeddings(spark, dir).limit(50)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    // reference: one literal-array dot product per plane, same md5 planes
+    val pl = VectorHash.planes(64, bits, bands)
+    val ref = array((0 until bands).map { b =>
+      val sig = (0 until bits).map { p =>
+        val plane = array(pl(b * bits + p).toIndexedSeq.map(lit): _*)
+        when(VectorExpressions.dotProduct(col("v"), plane) >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      concat_ws(":", lit(b), sig)
+    }: _*)
+    val rows = emb
+      .select(
+        col("vec_id"),
+        FuzzyDedup.embBandKeys(col("v")).as("a"),
+        ref.as("b")
+      )
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2), s"vec_id=${r.getLong(0)}"))
+  }
+
+  test("q37 guard fails fast above the row limit and can be overridden") {
+    spark.conf.set("graft.exactPairs.maxRows", "10")
+    try {
+      val e = intercept[IllegalArgumentException](FuzzyDedup.embeddingPairs(spark, dir))
+      assert(e.getMessage.contains("embeddingPairsLsh"))
+      spark.conf.set("graft.exactPairs.maxRows", "1000000")
+      assert(FuzzyDedup.embeddingPairs(spark, dir).count() >= 0)
+    } finally spark.conf.unset("graft.exactPairs.maxRows")
+  }
+}
