@@ -73,12 +73,19 @@ object Similarity extends QueryModule {
       )
   }
 
-  /** Deterministic pseudo-random ±1 hyperplane matrix (8 planes × 64 dims),
+  /** Default hyperplane count for [[lshBucket]]: bucket fan-out is 2^bits.
+    * Like the banded embedding LSH, bits must track log₂(corpus): expected
+    * bucket occupancy is n/2^bits, so per-bucket candidate volume n²/2^bits
+    * stays O(n) only while 2^bits ≈ n — at a billion vectors use ~30 bits
+    * (or the banded multi-table shape of q39 for recall). */
+  val LshBucketBits = 8
+
+  /** Deterministic pseudo-random ±1 hyperplane matrix (bits × 64 dims),
     * derived from md5("plane<b>:<i>") parity at build time. Embedded as
     * literals in both the Spark plan and the DuckDB oracle, so the bucketing
     * is reproducible everywhere and costs no per-row hashing.
     */
-  val Planes: Seq[Seq[Double]] = (0 until 8).map { b =>
+  def planesFor(bits: Int): Seq[Seq[Double]] = (0 until bits).map { b =>
     (0 until 64).map { i =>
       val digest = java.security.MessageDigest
         .getInstance("MD5")
@@ -87,24 +94,36 @@ object Similarity extends QueryModule {
     }
   }
 
-  /** 8-bit random-hyperplane signature: bucket id in [0, 256). */
-  def lshBucket(v: Column): Column = {
-    val bits = Planes.zipWithIndex.map { case (plane, b) =>
+  val Planes: Seq[Seq[Double]] = planesFor(LshBucketBits)
+
+  /** Random-hyperplane signature: bucket id in [0, 2^bits). */
+  def lshBucket(v: Column, bits: Int = LshBucketBits): Column = {
+    val terms = planesFor(bits).zipWithIndex.map { case (plane, b) =>
       val planeCol = array(plane.map(lit): _*)
       val proj     = dot(v, planeCol)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    terms.reduce(_ + _)
   }
 
   /** LSH-bucketed near-pair mining: cosine ≥ 0.95 pairs, candidates limited
-    * to same-bucket vectors. */
-  def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val emb = embWithNorm(s, dir).withColumn("bucket", lshBucket(col("v")))
-    val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
+    * to same-bucket vectors. The bucket self-join exchanges only
+    * (bucket, vec_id) — the vectors and norms rejoin BY ID for the cosine
+    * verify (q39's shape), so the wide columns never ride the bucket
+    * shuffle. A vector lives in exactly one bucket, so candidate pairs are
+    * already distinct. */
+  def lshPairs(s: SparkSession, dir: String, bits: Int = LshBucketBits): DataFrame = {
+    val emb = embWithNorm(s, dir)
+    val skinny = emb.select(lshBucket(col("v"), bits).as("bucket"), col("vec_id"))
+    val cand = skinny
+      .select(col("bucket"), col("vec_id").as("id_a"))
+      .join(skinny.select(col("bucket"), col("vec_id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand
+      .join(a, Seq("id_a"))
+      .join(b, Seq("id_b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= 0.95)
       .select("bucket", "id_a", "id_b", "cos")
@@ -178,7 +197,7 @@ object Similarity extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_knn_brute" -> (knnBrute _),
-    "q61_lsh_pairs" -> (lshPairs _),
+    "q61_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
     "q62_ivf_knn"   -> (ivfKnn _)
   )
 

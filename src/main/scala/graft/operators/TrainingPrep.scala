@@ -35,19 +35,49 @@ object TrainingPrep extends QueryModule {
       .filter(col("rk") <= SamplePerLang)
   }
 
+  /** Chunk width (in doc_id space) for [[sequencePacking]]'s two-phase
+    * cumulative sum. Width-invariant result: bin ids depend only on the
+    * total exclusive prefix sum, so the chunking is purely a parallelism
+    * knob (specs run it at width 7 to exercise multi-chunk composition). */
+  val PackChunk = 65536L
+
   /** Pack documents into fixed token-budget bins per language: bin id =
-    * floor(exclusive-cumulative-tokens / budget), docs in doc_id order. */
-  def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    * floor(exclusive-cumulative-tokens / budget), docs in doc_id order.
+    *
+    * A single running-sum window over `partitionBy(lang)` funnels the whole
+    * corpus into |langs| sort tasks — a genuine 100×-scale killer (no
+    * WindowGroupLimit applies to an unbounded running sum). Two-phase
+    * instead: (1) the running sum within each (lang, doc_id-range chunk) —
+    * thousands of parallel window partitions; (2) per-chunk token subtotals
+    * (corpus/PackChunk rows — tiny) prefix-summed per language and joined
+    * back by broadcast, so the only |langs|-wide window runs on chunk
+    * COUNTS, not the corpus. Bin arithmetic is integer division on longs —
+    * exact by construction, no double-precision dependency. */
+  def sequencePacking(s: SparkSession, dir: String, chunk: Long = PackChunk): DataFrame = {
     val nTokens = size(split(col("text"), " +")).cast(LongType)
-    val w       = Window.partitionBy("lang").orderBy("doc_id")
-    val cumBefore = coalesce(
-      sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-      lit(0L)
-    )
-    Tables
+    val docs = Tables
       .documents(s, dir)
       .select(col("doc_id"), col("lang"), nTokens.as("n_tokens"))
-      .withColumn("bin_id", floor(cumBefore / lit(TokenBudget)).cast(LongType))
+      .withColumn("g", call_function("div", col("doc_id"), lit(chunk)))
+    val wIn = Window.partitionBy("lang", "g").orderBy("doc_id")
+    val within = coalesce(
+      sum(col("n_tokens")).over(wIn.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L)
+    )
+    val wChunks = Window.partitionBy("lang").orderBy("g")
+    val offsets = docs
+      .groupBy("lang", "g")
+      .agg(sum(col("n_tokens")).as("chunk_tokens"))
+      .withColumn(
+        "offset",
+        coalesce(sum(col("chunk_tokens")).over(wChunks.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      )
+      .select("lang", "g", "offset")
+    docs
+      .withColumn("within", within)
+      .join(broadcast(offsets), Seq("lang", "g"))
+      .withColumn("bin_id", call_function("div", col("offset") + col("within"), lit(TokenBudget.toLong)))
+      .select("doc_id", "lang", "n_tokens", "bin_id")
   }
 
   /** Intra-document repetition: 1 - distinct/total trigram-shingle ratio,
@@ -118,7 +148,7 @@ object TrainingPrep extends QueryModule {
     "q49_length_quantile"   -> (lengthQuantileFilter _),
     "q56_shard_assign"      -> (shardAssign _),
     "q45_stratified_sample" -> (stratifiedSample _),
-    "q46_sequence_packing"  -> (sequencePacking _),
+    "q46_sequence_packing"  -> ((s, d) => sequencePacking(s, d)),
     "q47_repetition_score"  -> (repetitionScore _)
   )
 

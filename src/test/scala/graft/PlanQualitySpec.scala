@@ -94,6 +94,28 @@ class PlanQualitySpec extends AnyFunSuite {
     )
   }
 
+  test("q61 bucket self-join exchanges are skinny (ids only, no vectors)") {
+    val plan      = finalPlan(graft.operators.Similarity.lshPairs(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(
+      exchanges.forall(e => !e.contains("va") && !e.contains("vb") && !e.contains("nrm") && !e.contains(", v")),
+      s"vectors/norms ride a shuffle:\n${exchanges.mkString("\n")}"
+    )
+  }
+
+  test("q46 running sum is chunked (lang, g) — no full-corpus |langs|-task window") {
+    val plan    = finalPlan(graft.operators.TrainingPrep.sequencePacking(spark, dir))
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    // the corpus-sized window must partition by (lang, g); only the tiny
+    // chunk-totals window may partition by lang alone
+    assert(windows.nonEmpty, s"no window in q46 plan:\n$plan")
+    assert(
+      windows.exists(w => w.contains("windowspecdefinition(lang") && w.contains(" g#")),
+      s"no (lang, g)-chunked window found:\n${windows.mkString("\n")}"
+    )
+    assert(plan.contains("BroadcastHashJoin"), "chunk offsets are not broadcast back")
+  }
+
   test("q48 global bigram top-k is a partial bounded-heap aggregate, no sort") {
     val plan = finalPlan(graft.operators.TextAnalysis.bigramTopK(spark, dir))
     val aggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))

@@ -27,6 +27,20 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(math.abs(approxParts - exactParts) / exactParts < 0.1)
   }
 
+  test("q46 bin ids are chunk-width invariant (two-phase offset composition)") {
+    import org.apache.spark.sql.functions.col
+    def rows(chunk: Long) =
+      graft.operators.TrainingPrep
+        .sequencePacking(spark, dir, chunk)
+        .orderBy(col("doc_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    // chunk 7 forces many chunks per language at sf0.001 — composition of
+    // per-chunk running sums + offsets must equal the single-window result
+    assert(rows(7L) == rows(1L << 30))
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes on sf0.001") {
       val df = fn(spark, dir)
