@@ -110,7 +110,11 @@ object TextAnalysis extends QueryModule {
 
   /** TF-IDF top-5 terms per language: tf = term count within the lang,
     * idf = ln(N_docs / df) over the whole corpus. Deterministic ranking via
-    * (rounded score desc, token). */
+    * (rounded score desc, token asc), materialized by the bounded-heap
+    * [[graft.plans.TopKAggregate]] — each map partition contributes ≤ 5 rows
+    * per language before the exchange and nothing is sorted, where a
+    * `row_number` window (even with WindowGroupLimit) still sorts every map
+    * partition by (lang, tfidf, token) first. */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables
       .documents(s, dir)
@@ -122,13 +126,26 @@ object TextAnalysis extends QueryModule {
       .join(dfDocs, Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") * log(col("n_docs").cast("double") / col("df_docs")), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang")
-      .orderBy(col("tfidf").desc, col("token"))
     scored
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 5)
-      .select("lang", "token", "tf", "df_docs", "tfidf", "rnk")
+      .groupBy("lang")
+      .agg(
+        graft.plans.TopKAggregate
+          .topK(
+            struct(col("tfidf"), col("token"), col("tf"), col("df_docs")),
+            5,
+            reversed = Seq(false, true) // tfidf DESC, token ASC
+          )
+          .as("top")
+      )
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("lang"),
+        col("t.token").as("token"),
+        col("t.tf").as("tf"),
+        col("t.df_docs").as("df_docs"),
+        col("t.tfidf").as("tfidf"),
+        (col("pos") + 1).cast(LongType).as("rnk")
+      )
   }
 
   val TopBigrams = 25

@@ -23,17 +23,37 @@ object TrainingPrep extends QueryModule {
   val SamplePerLang = 20
   val TokenBudget   = 4096
 
-  /** Deterministic stratified sample: top-N per language in md5 order. */
-  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val w = Window
-      .partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+  /** Deterministic stratified sample: first-N per language in
+    * (md5(doc_id), doc_id) order, via the bounded-heap
+    * [[graft.plans.TopKAggregate]] with both key fields reversed
+    * (smallest-first) — each map partition contributes ≤ N rows per language
+    * before the exchange, no per-partition sort, no window funnel. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
     Tables
       .documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-      .withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= SamplePerLang)
-  }
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        md5(col("doc_id").cast(StringType)).as("h")
+      )
+      .groupBy("lang")
+      .agg(
+        graft.plans.TopKAggregate
+          .topK(
+            struct(col("h"), col("doc_id"), col("n_chars")),
+            SamplePerLang,
+            reversed = Seq(true, true) // md5 ASC, doc_id ASC
+          )
+          .as("top")
+      )
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("t.doc_id").as("doc_id"),
+        col("lang"),
+        col("t.n_chars").as("n_chars"),
+        (col("pos") + 1).cast(LongType).as("rk")
+      )
 
   /** Chunk width (in doc_id space) for [[sequencePacking]]'s two-phase
     * cumulative sum. Width-invariant result: bin ids depend only on the

@@ -25,13 +25,17 @@ import org.apache.spark.sql.types._
   *
   * Callers encode the desired order into the struct: for "cos DESC, id ASC"
   * pass `struct(cos, -id, …payload)` — the largest struct is then max-cos
-  * with min-id tie-break. Ties beyond the key fields are broken by the
-  * remaining fields, so include a unique field to keep results
+  * with min-id tie-break. For non-negatable fields (strings), flag them in
+  * `reversed` instead: `reversed(i) = true` makes SMALLER values of field i
+  * rank better (e.g. "tfidf DESC, token ASC" = struct(tfidf, token) with
+  * reversed = Seq(false, true)). Ties beyond the key fields are broken by
+  * the remaining fields, so include a unique field to keep results
   * deterministic.
   */
 case class TopKStructs(
     child: Expression,
     k: Int,
+    reversed: Seq[Boolean] = Nil,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[java.util.PriorityQueue[InternalRow]] {
@@ -41,8 +45,37 @@ case class TopKStructs(
   // resolved lazily: child is unresolved when the Column is first built
   private def structType: StructType = child.dataType.asInstanceOf[StructType]
 
+  /** Ranking order: compare(a, b) > 0 ⇔ a ranks better. Natural struct
+    * ordering unless a field is flagged in [[reversed]]; nulls rank worst. */
   @transient private lazy val ordering: Ordering[InternalRow] =
-    TypeUtils.getInterpretedOrdering(structType).asInstanceOf[Ordering[InternalRow]]
+    if (reversed.forall(r => !r))
+      TypeUtils.getInterpretedOrdering(structType).asInstanceOf[Ordering[InternalRow]]
+    else {
+      // `rev`: the anonymous Ordering inherits java.util.Comparator.reversed()
+      val rev = reversed
+      new Ordering[InternalRow] {
+        private val fields = structType.fields
+        private val fieldOrds =
+          fields.map(f => TypeUtils.getInterpretedOrdering(f.dataType).asInstanceOf[Ordering[Any]])
+        override def compare(a: InternalRow, b: InternalRow): Int = {
+          var i = 0
+          while (i < fields.length) {
+            val dt = fields(i).dataType
+            val va = a.get(i, dt)
+            val vb = b.get(i, dt)
+            val c =
+              if (va == null && vb == null) 0
+              else if (va == null) -1
+              else if (vb == null) 1
+              else fieldOrds(i).compare(va, vb)
+            val adj = if (i < rev.length && rev(i)) -c else c
+            if (adj != 0) return adj
+            i += 1
+          }
+          0
+        }
+      }
+    }
 
   @transient private lazy val toUnsafe: UnsafeProjection = UnsafeProjection.create(structType)
 
@@ -129,7 +162,8 @@ case class TopKStructs(
 }
 
 object TopKAggregate {
-  /** `topK(struct(...), k)` as an aggregate Column. */
-  def topK(structCol: Column, k: Int): Column =
-    GraftBridge.column(TopKStructs(GraftBridge.expression(structCol), k).toAggregateExpression())
+  /** `topK(struct(...), k)` as an aggregate Column. `reversed(i) = true`
+    * flips field i to smaller-ranks-better (ASC in the emitted order). */
+  def topK(structCol: Column, k: Int, reversed: Seq[Boolean] = Nil): Column =
+    GraftBridge.column(TopKStructs(GraftBridge.expression(structCol), k, reversed).toAggregateExpression())
 }

@@ -116,6 +116,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "chunk offsets are not broadcast back")
   }
 
+  test("q44 per-lang tf-idf top-k is a bounded-heap aggregate, no window sort") {
+    val plan = finalPlan(graft.operators.TextAnalysis.tfidfTopTerms(spark, dir))
+    val aggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(aggs >= 2, s"expected partial+final ObjectHashAggregate, got $aggs in:\n$plan")
+    assert(!plan.contains("Window"), "per-lang top-k fell back to a window")
+    assert(!plan.contains("Sort "), s"per-lang top-k plan sorts:\n$plan")
+  }
+
+  test("q45 stratified sample is a bounded-heap aggregate, no window sort") {
+    val plan = finalPlan(graft.operators.TrainingPrep.stratifiedSample(spark, dir))
+    val aggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(aggs >= 2, s"expected partial+final ObjectHashAggregate, got $aggs in:\n$plan")
+    assert(!plan.contains("Window"), "stratified sample fell back to a window")
+    assert(!plan.contains("Sort "), s"stratified sample plan sorts:\n$plan")
+  }
+
   test("q48 global bigram top-k is a partial bounded-heap aggregate, no sort") {
     val plan = finalPlan(graft.operators.TextAnalysis.bigramTopK(spark, dir))
     val aggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
