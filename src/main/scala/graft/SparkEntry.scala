@@ -39,8 +39,8 @@ object SparkEntry {
     modules.flatMap(_.oracles).toMap
 
   /** Queries intentionally without an oracle (not DuckDB-reproducible);
-    * each must carry its own correctness spec instead. */
-  val noOracle: Set[String] = Set(
-    "q14_approx_distinct" // HLL++ sketch — bounded-error spec in AnalyticsSpec
-  )
+    * each must carry its own correctness spec instead. Empty since q14's
+    * pairing: the sketch query now carries exact counts + in-row error
+    * flags, which DuckDB CAN oracle (Analytics.approxDistinct). */
+  val noOracle: Set[String] = Set.empty
 }

@@ -25,17 +25,33 @@ object Tables {
   /** `documents` with enough partitions to keep every core busy.
     *
     * Parallelism comes from input splits: on a real corpus the thousands of
-    * row groups already yield >= cores splits and this is a pure pass-through
+    * files already yield >= cores splits and this is a pure pass-through
     * (NO exchange — an unconditional `repartition` here would shuffle the
     * whole text corpus in front of every documents query). Only when the
-    * scan yields fewer splits than cores (the test fixture is one row group
+    * scan yields fewer splits than cores (the test fixture is one small file
     * = one task, which would serialize the CPU-heavy hash/shingle operators)
-    * do we pay one small repartition to fan out. */
+    * do we pay one small repartition to fan out. The split count is
+    * ESTIMATED from file count/bytes + maxPartitionBytes and cached per
+    * directory — `df.rdd.getNumPartitions` would build the RDD lineage on
+    * every plan construction. */
   def documentsDistributed(s: SparkSession, d: String): DataFrame = {
     val df    = documents(s, d)
     val cores = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    val est = splitEstimates.computeIfAbsent(
+      d,
+      _ => {
+        val path    = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+        val fs      = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val summary = fs.getContentSummary(path)
+        val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          s.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+        math.max(math.max(1L, summary.getFileCount), (summary.getLength + maxSplit - 1) / maxSplit)
+      }
+    )
+    if (est < cores) df.repartition(cores) else df
   }
+  private val splitEstimates = new java.util.concurrent.ConcurrentHashMap[String, Long]()
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
   /** `events` with `ts` surfaced as both a raw ns-epoch long (`ts_ns`) and a

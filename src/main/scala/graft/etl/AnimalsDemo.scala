@@ -42,13 +42,40 @@ object DemoTransport {
   * prints what was POSTed. Parameters resolve exactly like the reference
   * CLI: flag > env (CONCURRENCY, BATCH_SIZE, MAX_RETRIES, …) > default. */
 object AnimalsDemo {
+
+  /** Exit mapping mirroring the reference CLI
+    * (`/root/reference/src/animals_etl/cli.py:46-53`): a 422 validation
+    * error prints "Validation error: <detail>" to stderr and exits 2; an
+    * interrupt prints "Aborted." and exits 0 (the reference catches
+    * KeyboardInterrupt and falls through to a normal return). Spark
+    * surfaces executor-side failures wrapped (SparkException chains), so
+    * the cause chain is walked. Anything unmapped propagates. */
+  def exitFor(t: Throwable): Option[(Int, String)] = {
+    val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16).toSeq
+    chain.collectFirst {
+      case graft.sources.ValidationHttpException(detail, _, _) => (2, s"Validation error: $detail")
+      case _: InterruptedException                              => (0, "Aborted.")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark  = GraftSession.get("local[4]", 4)
     val asOf   = lit("2026-01-01 00:00:00").cast(TimestampType)
     val config = EtlConfig.resolve(args.toSeq)
-    val res    = AnimalsPipeline.run(spark, classOf[DemoTransport].getName, asOf, config)
-    println(s"posted_batches=${res.postedBatches}")
-    DemoTransport.posted.forEach(b => println(s"POST /animals/v1/home $b"))
+    try {
+      val res = AnimalsPipeline.run(spark, classOf[DemoTransport].getName, asOf, config)
+      println(s"posted_batches=${res.postedBatches}")
+      DemoTransport.posted.forEach(b => println(s"POST /animals/v1/home $b"))
+    } catch {
+      case t: Throwable =>
+        exitFor(t) match {
+          case Some((code, msg)) =>
+            System.err.println(msg)
+            spark.stop()
+            sys.exit(code)
+          case None => throw t
+        }
+    }
     spark.stop()
   }
 }

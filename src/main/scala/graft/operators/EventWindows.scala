@@ -81,7 +81,9 @@ object EventWindows extends QueryModule {
         col("user_id"),
         col("ts").as("p_ts"),
         unix_micros(col("ts")).as("p_us"),
-        floor(unix_micros(col("ts")) / lit(RangeUs)).as("b")
+        // integer division: exact bucketing by construction (Column `/` is
+        // double division — exact only below 2^53 µs), epochs non-negative
+        call_function("div", unix_micros(col("ts")), lit(RangeUs)).as("b")
       )
       .withColumn("probe_b", explode(array(col("b") - 1, col("b"))))
     val clicks = ev
@@ -89,7 +91,7 @@ object EventWindows extends QueryModule {
       .select(
         col("user_id").as("c_user"),
         unix_micros(col("ts")).as("c_us"),
-        floor(unix_micros(col("ts")) / lit(RangeUs)).as("c_b")
+        call_function("div", unix_micros(col("ts")), lit(RangeUs)).as("c_b")
       )
     purchases
       .join(

@@ -275,8 +275,21 @@ object FuzzyDedup extends QueryModule {
     * separate checkpoint job + join-and-count job. Deterministic: labels
     * converge to the component-minimum doc_id.
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(s, dir).select("id_a", "id_b")
+  /** Round ceiling for [[connectedComponents]]. With pointer jumping the
+    * propagation distance at least doubles per round, so convergence needs
+    * ≤ log₂(diameter) + 2 rounds; 64 covers any graph whose diameter fits
+    * in a long. Hitting the cap therefore means a logic regression, not a
+    * big graph — fail loudly rather than loop. */
+  val MaxCcRounds = 64
+
+  /** Min-label propagation with pointer jumping over an undirected edge
+    * list; returns (node, label) plus the round count (spec surface — a
+    * chain-shaped fixture pins the O(log diameter) bound). Each round is
+    * ONE action (the label sum, which also materializes the lazy
+    * localCheckpoint); min-propagation is monotone decreasing, so an
+    * unchanged sum ⇔ fixpoint, and an INCREASED sum is asserted away as a
+    * broken invariant. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = MaxCcRounds): (DataFrame, Int) = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -289,7 +302,12 @@ object FuzzyDedup extends QueryModule {
 
     var prevSum = -1L
     var curSum  = labelSum(labels)
+    var rounds  = 0
     while (curSum != prevSum) {
+      assert(
+        rounds < maxRounds,
+        s"connectedComponents did not converge in $maxRounds rounds — monotone propagation is broken"
+      )
       val propagated = labels
         .join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), col("label"))
@@ -305,8 +323,15 @@ object FuzzyDedup extends QueryModule {
         .localCheckpoint(eager = false) // materialized by the sum action below
       prevSum = curSum
       curSum = labelSum(jumped)
+      assert(curSum <= prevSum, s"label sum increased ($prevSum -> $curSum): propagation not monotone")
       labels = jumped
+      rounds += 1
     }
+    (labels, rounds)
+  }
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val (labels, _) = connectedComponents(minhashLsh(s, dir).select("id_a", "id_b"))
     labels
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc_id"))

@@ -35,9 +35,31 @@ object Multimodal extends QueryModule {
       n_frames: Int
   )
 
-  /** Deterministic fake decoder — replace with a real codec binding in a
-    * production image. Reads "dimensions" from the first header bytes and
-    * samples every 1024th byte as a "frame". */
+  /** Decoder seam, injected by FQN exactly like
+    * [[graft.sources.HttpTransport.byName]]: a production image binds a real
+    * image/audio codec by shipping a class name — the operators never
+    * change. Implementations must have a no-arg constructor; they are
+    * instantiated PER PARTITION on the executor (codec handles don't
+    * serialize). */
+  trait MediaCodec {
+    /** Called once per partition, before the first decode — native-library
+      * init goes here; the fakes keep the no-op default. */
+    def open(): Unit = ()
+    def decode(docId: Long, payload: Array[Byte]): MediaMeta
+  }
+
+  object MediaCodec {
+    def byName(className: String): MediaCodec =
+      Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[MediaCodec]
+  }
+
+  /** Deterministic fake decoder — the default binding (this container ships
+    * no codecs). Reads "dimensions" from the first header bytes and counts
+    * one "frame" per 1024 bytes. */
+  final class FakeCodec extends MediaCodec {
+    override def decode(docId: Long, payload: Array[Byte]): MediaMeta = FakeCodec.decode(docId, payload)
+  }
+
   object FakeCodec {
     def decode(doc_id: Long, payload: Array[Byte]): MediaMeta = {
       val md  = java.security.MessageDigest.getInstance("MD5")
@@ -51,13 +73,18 @@ object Multimodal extends QueryModule {
     }
   }
 
-  /** Typed decode stage: one codec per partition, batch iteration —
-    * the distributed decode shape a real pipeline needs. */
-  def decodeAll(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+  /** Typed decode stage: one codec instance per partition (constructed by
+    * FQN on the executor, `open()` once), batch iteration — the distributed
+    * decode shape a real pipeline needs. */
+  def decodeAll(
+      media: Dataset[MediaRecord],
+      codecClass: String = classOf[FakeCodec].getName
+  ): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition setup cost happens once here (codec init in real life)
-      it.map(r => FakeCodec.decode(r.doc_id, r.payload))
+      val codec = MediaCodec.byName(codecClass)
+      codec.open()
+      it.map(r => codec.decode(r.doc_id, r.payload))
     }
   }
 

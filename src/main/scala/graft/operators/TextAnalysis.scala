@@ -150,10 +150,13 @@ object TextAnalysis extends QueryModule {
 
   val TopBigrams = 25
 
-  /** Corpus-wide top-25 bigrams. The bigram counts come from one hash
-    * aggregate on the (bounded) bigram vocabulary; the global top-k then
-    * runs through [[graft.plans.TopKAggregate]]'s bounded-heap aggregate, so
-    * each partition contributes ≤ k rows to a single final merge — no global
+  /** Corpus-wide top-25 bigrams. The count aggregate is map-side partial, so
+    * each partition pre-reduces its slice to its distinct bigrams before the
+    * exchange — but the vocabulary itself GROWS with the corpus, so that
+    * vocabulary-sized shuffle (not the k-bounded top-k after it) is the
+    * dominant cost at scale. The global top-k then runs through
+    * [[graft.plans.TopKAggregate]]'s bounded-heap aggregate, so each
+    * partition contributes ≤ k rows to a single final merge — no global
     * sort, no one-task window funnel. Ordering: count desc, bigram desc
     * (struct natural order; documented tie-break, mirrored in the oracle).
     */

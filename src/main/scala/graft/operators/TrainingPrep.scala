@@ -122,9 +122,15 @@ object TrainingPrep extends QueryModule {
   val NumShards = 16
 
   /** C4-style length filtering: keep documents whose n_chars lies within the
-    * per-language [p5, p95] band. The bounds are one tiny aggregate (|langs|
-    * rows) broadcast back onto the corpus — no window, no corpus sort, the
-    * big side stays a narrow scan+filter. Bounds are rounded to 6 decimals
+    * per-language [p5, p95] band. The bounds OUTPUT is tiny (|langs| rows)
+    * and broadcasts back onto the corpus — no window, no corpus sort, the
+    * big side stays a narrow scan+filter. Caveat: exact `percentile` buffers
+    * a counts map of every distinct n_chars per language on one reducer —
+    * fine for bounded-range lengths, but a very long-tailed distribution
+    * pressures that task; at scale swap `percentile` for
+    * `approx_percentile(n_chars, [0.05, 0.95], accuracy)` (constant-memory
+    * sketch, mergeable map-side) and keep exact percentile where oracle
+    * parity matters. Bounds are rounded to 6 decimals
     * on BOTH sides: the true interpolated values here have ≤ 2 decimals
     * (integer inputs, centile fractions), so rounding erases any final-ulp
     * difference between Spark's `percentile` and DuckDB's `quantile_cont`

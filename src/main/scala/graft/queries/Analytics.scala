@@ -215,15 +215,37 @@ object Analytics extends QueryModule {
     )
   }
 
-  /** Approximate distinct-count sketch (HyperLogLog++). Not oracle-checkable
-    * (DuckDB's HLL differs); the spec bounds its relative error against the
-    * exact count instead. */
+  /** Approximate distinct-count sketch (HyperLogLog++), made oracle-checkable
+    * by pairing: DuckDB cannot reproduce Spark's HLL bit-for-bit, but it CAN
+    * reproduce the exact distinct counts — so the row carries the exact
+    * counts (hash-matched against DuckDB) plus 0/1 flags asserting the
+    * sketch's relative error against those exact counts stays within 3·rsd
+    * (rsd 0.02 → bound 0.06); the oracle expects the flags to be 1. The raw
+    * sketch values are additionally exposed via [[approxDistinctRaw]] for
+    * the bounded-error spec. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    approxDistinctRaw(s, dir)
+      .select(
+        col("n_parts"),
+        col("n_orders"),
+        col("n_rows"),
+        (abs(col("approx_parts") - col("n_parts")).cast(DoubleType) / col("n_parts") <= 0.06)
+          .cast(LongType)
+          .as("parts_ok"),
+        (abs(col("approx_orders") - col("n_orders")).cast(DoubleType) / col("n_orders") <= 0.06)
+          .cast(LongType)
+          .as("orders_ok")
+      )
+
+  /** The sketch next to the exact counts, unprojected (spec surface). */
+  def approxDistinctRaw(s: SparkSession, dir: String): DataFrame =
     Tables
       .lineitem(s, dir)
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
         count(lit(1)).as("n_rows")
       )
 
@@ -389,6 +411,13 @@ object Analytics extends QueryModule {
          |HAVING ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} >
          |  (SELECT ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} FROM lineitem) * 1.05 /
          |  (SELECT count(*) FROM supplier)""".stripMargin,
+    "q14_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(*) AS n_rows,
+        |  CAST(1 AS BIGINT) AS parts_ok,
+        |  CAST(1 AS BIGINT) AS orders_ok
+        |FROM lineitem""".stripMargin,
     "q18_argmax" ->
       """SELECT n_name, min(c_custkey) AS custkey, max(c_acctbal) AS acctbal
         |FROM customer c

@@ -92,4 +92,21 @@ class FuzzyDedupSpec extends AnyFunSuite {
       assert(FuzzyDedup.embeddingPairs(spark, dir).count() >= 0)
     } finally spark.conf.unset("graft.exactPairs.maxRows")
   }
+
+  test("connected components: chain converges in O(log diameter) rounds, one cluster") {
+    import spark.implicits._
+    // worst case for plain label propagation: a 64-node chain (diameter 63).
+    // pointer jumping must close it in ~log2 rounds, not ~diameter rounds.
+    val n     = 64
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = FuzzyDedup.connectedComponents(chain)
+    val byLabel = labels.groupBy("label").count().collect()
+    assert(byLabel.length == 1 && byLabel.head.getLong(1) == n, "chain did not merge into one cluster")
+    assert(byLabel.head.getLong(0) == 0L, "cluster label is not the component minimum")
+    assert(rounds <= 10, s"chain of $n took $rounds rounds — pointer jumping regressed")
+    // two disjoint chains stay two clusters
+    val two = chain.union(Seq((100L, 101L), (101L, 102L)).toDF("id_a", "id_b"))
+    val (l2, _) = FuzzyDedup.connectedComponents(two)
+    assert(l2.select("label").distinct().count() == 2)
+  }
 }

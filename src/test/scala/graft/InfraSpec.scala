@@ -202,6 +202,26 @@ class InfraSpec extends AnyFunSuite {
     assert(redirect.calls == 1)
   }
 
+  test("CLI exit parity: 422 -> 'Validation error' + code 2, interrupt -> 'Aborted.' (cli.py:46-53)") {
+    import graft.etl.AnimalsDemo.exitFor
+    val v = graft.sources.ValidationHttpException("friends must be a list", "POST", "/animals/v1/home")
+    assert(exitFor(v).contains((2, "Validation error: friends must be a list")))
+    // Spark wraps executor-side failures — the cause chain must be walked
+    val wrapped = new RuntimeException("Job aborted", new RuntimeException("task failed", v))
+    assert(exitFor(wrapped).contains((2, "Validation error: friends must be a list")))
+    assert(exitFor(new InterruptedException()).contains((0, "Aborted.")))
+    assert(exitFor(new RuntimeException("boom")).isEmpty, "unmapped errors must propagate")
+  }
+
+  test("single-file variant presets: backoff 0.5/8.0 s, concurrency clamp [1,32]") {
+    val p = RetryPolicy.SingleFileVariant
+    assert(p.baseDelayMs == 500 && p.capDelayMs == 8000 && p.jitterMs == 500)
+    assert(p.retryStatuses == Set(500, 502, 503, 504))
+    assert(RetryPolicy.clampSingleFileConcurrency(0) == 1)
+    assert(RetryPolicy.clampSingleFileConcurrency(100) == 32)
+    assert(RetryPolicy.clampSingleFileConcurrency(7) == 7)
+  }
+
   test("streaming foreachBatch drives the HTTP batch sink") {
     val d = Files.createTempDirectory("graft_stream_sink")
     Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), d.resolve("events.parquet"))

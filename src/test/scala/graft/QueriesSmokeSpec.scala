@@ -20,11 +20,22 @@ class QueriesSmokeSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct is within its error bound") {
-    val row = SparkEntry.queries("q14_approx_distinct")(spark, dir).head()
-    val exact = graft.queries.Analytics.distinctStats(spark, dir).head()
+    val row         = graft.queries.Analytics.approxDistinctRaw(spark, dir).head()
     val approxParts = row.getAs[Long]("approx_parts").toDouble
-    val exactParts  = exact.getAs[Long]("n_parts").toDouble
+    val exactParts  = row.getAs[Long]("n_parts").toDouble
     assert(math.abs(approxParts - exactParts) / exactParts < 0.1)
+    // the registered q14 row carries the same check as oracle-visible flags
+    val q14 = SparkEntry.queries("q14_approx_distinct")(spark, dir).head()
+    assert(q14.getAs[Long]("parts_ok") == 1L && q14.getAs[Long]("orders_ok") == 1L)
+  }
+
+  test("media decode binds a codec by FQN (production seam, second fake)") {
+    val media = graft.operators.Multimodal.mediaFromDocuments(spark, dir)
+    val metas = graft.operators.Multimodal
+      .decodeAll(media, classOf[ConstCodec].getName)
+      .collect()
+    assert(metas.nonEmpty)
+    assert(metas.forall(m => m.checksum == "const" && m.width == 1 && m.height == 2 && m.n_frames == 3))
   }
 
   test("q46 bin ids are chunk-width invariant (two-phase offset composition)") {
@@ -48,4 +59,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
       assert(n >= 0)
     }
   }
+}
+
+/** Second fake codec, loaded by FQN in the seam test above — proves a
+  * production decoder can bind without touching the operators. */
+class ConstCodec extends graft.operators.Multimodal.MediaCodec {
+  override def decode(docId: Long, payload: Array[Byte]): graft.operators.Multimodal.MediaMeta =
+    graft.operators.Multimodal.MediaMeta(docId, payload.length.toLong, "const", 1, 2, 3)
 }
