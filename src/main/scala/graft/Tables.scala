@@ -34,13 +34,22 @@ object Tables {
     * ESTIMATED from file count/bytes + maxPartitionBytes and cached per
     * directory — `df.rdd.getNumPartitions` would build the RDD lineage on
     * every plan construction. */
-  def documentsDistributed(s: SparkSession, d: String): DataFrame = {
-    val df    = documents(s, d)
+  def documentsDistributed(s: SparkSession, d: String): DataFrame =
+    distributed(s, d, "documents")
+
+  /** Same fan-out guarantee for `embeddings` — the N²-adjacent similarity
+    * operators are pure CPU over the vector column, so a single-split test
+    * fixture would otherwise serialize them onto one core. */
+  def embeddingsDistributed(s: SparkSession, d: String): DataFrame =
+    distributed(s, d, "embeddings")
+
+  private def distributed(s: SparkSession, d: String, name: String): DataFrame = {
+    val df    = apply(s, d, name)
     val cores = s.sparkContext.defaultParallelism
     val est = splitEstimates.computeIfAbsent(
-      d,
+      s"$d/$name",
       _ => {
-        val path    = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+        val path    = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
         val fs      = path.getFileSystem(s.sparkContext.hadoopConfiguration)
         val summary = fs.getContentSummary(path)
         val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(

@@ -33,9 +33,11 @@ object Similarity extends QueryModule {
   private def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
   /** Embeddings with the L2 norm precomputed ONCE per vector — at N² pair
-    * volume, recomputing norms per pair triples the hot-loop cost. */
+    * volume, recomputing norms per pair triples the hot-loop cost. Reads
+    * the fanned-out table: the pair joins are pure CPU on the stream side,
+    * so a single-split fixture would otherwise run them on one core. */
   def embWithNorm(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val emb = Tables.embeddingsDistributed(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
     emb.withColumn("nrm", norm(col("v")))
   }
 
