@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+
+/** Structured Streaming surface over a `documents` stream: the dedup family
+  * (batch q30/q33) re-expressed for continuous ingestion — the shape a
+  * training-data pipeline needs when the corpus arrives as a feed rather
+  * than a snapshot.
+  *
+  * State design for scale:
+  *  - Exact dedup state is one tiny row per DISTINCT fingerprint. Unbounded
+  *    over an unbounded feed — so the watermark-bounded variant
+  *    ([[dedupWithinHorizon]]) is the production path: state evicts past the
+  *    horizon, trading global dedup for windowed dedup (the standard
+  *    crawl-pipeline compromise).
+  *  - LSH band state holds ≤ [[MaxPerBand]] doc ids per band key; bands are
+  *    md5-banded minhash signatures, so keys distribute uniformly and the
+  *    per-key list stays small for non-degenerate corpora. The cap bounds
+  *    worst-case state AND worst-case per-event emission (a degenerate band
+  *    would otherwise emit O(members) pairs per arrival forever).
+  */
+object DocStream {
+
+  /** File-streaming schema for the `documents` table. */
+  val DocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  /** File-based document stream (each new file is a micro-batch). */
+  def fromParquet(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(DocSchema).parquet(path)
+
+  /** Streaming exact dedup — batch q30's semantics on a stream: narrow md5
+    * fingerprint, keep the first document per fingerprint. Exact parity
+    * with the batch result, at the cost of state that grows with the
+    * distinct corpus; see [[dedupWithinHorizon]] for the bounded variant. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(col("text")))
+      .dropDuplicates(Seq("fingerprint"))
+
+  /** Watermark-bounded streaming dedup: duplicates are suppressed within
+    * the event-time horizon and state is EVICTED past the watermark, so
+    * state size tracks the horizon's data volume, not the corpus. The
+    * timestamp column is caller-provided — documents carry no event time;
+    * production stamps ingest time at the source. */
+  def dedupWithinHorizon(docs: DataFrame, tsCol: String, horizon: String): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(col("text")))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(Seq("fingerprint"))
+
+  /** Default cap on per-band state (ids kept per band key). */
+  val MaxPerBand = 64
+
+  final case class BandDoc(band: String, doc_id: Long)
+  final case class BandState(ids: List[Long])
+  final case class CandPair(id_a: Long, id_b: Long)
+
+  /** Streaming MinHash-LSH candidate mining — batch q33's candidate stage as
+    * keyed state: signatures + band keys computed in the same narrow
+    * codegen'd pass as batch (one md5 per shingle), then
+    * `flatMapGroupsWithState` keyed on band emits a candidate pair between
+    * each newcomer and the ids already resident in its band. A pair
+    * colliding in several bands (or a doc replayed across micro-batches) can
+    * emit more than once — consumers dedupe downstream, exactly like the
+    * batch path's `distinct()`. Verification (exact Jaccard on the pair's
+    * shingles) joins by id downstream, unchanged from batch. */
+  def lshCandidates(docs: DataFrame, maxPerBand: Int = MaxPerBand): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = docs
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(
+        col("doc_id"),
+        explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")
+      )
+      .as[BandDoc]
+    bands
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[BandDoc], state: GroupState[BandState]) => {
+          var ids = state.getOption.map(_.ids).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[CandPair]
+          rows.foreach { r =>
+            if (!ids.contains(r.doc_id)) {
+              ids.foreach { prev =>
+                out += (if (prev < r.doc_id) CandPair(prev, r.doc_id) else CandPair(r.doc_id, prev))
+              }
+              if (ids.length < maxPerBand) ids = r.doc_id :: ids
+            }
+          }
+          state.update(BandState(ids))
+          out.iterator
+        }
+      )
+  }
+}

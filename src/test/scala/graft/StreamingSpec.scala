@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.EventWindows
-import graft.streaming.EventStream
+import graft.streaming.{DocStream, EventStream}
 
 /** Streaming/batch semantic parity: the streaming windowed aggregations over
   * the events files must produce exactly the batch module's results once the
@@ -59,6 +59,109 @@ class StreamingSpec extends AnyFunSuite {
       // per-user session event counts must total the source row count
       val total = sessions.map(_.getAs[Long]("n_events")).sum
       assert(total == spark.read.parquet(s"$dir/events.parquet").count())
+    } finally q.stop()
+  }
+
+  /** Documents staged across TWO files = two micro-batches, so the dedup
+    * state must carry fingerprints across batch boundaries. */
+  private lazy val docStreamDir: String = {
+    val d    = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$d/part_a")
+    docs.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$d/part_b")
+    // file source streams a flat dir of parquet files
+    val flat = java.nio.file.Files.createTempDirectory("graft_stream_docs_flat")
+    var i = 0
+    Seq("part_a", "part_b").foreach { p =>
+      java.nio.file.Files.list(d.resolve(p)).forEach { f =>
+        if (f.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(f, flat.resolve(s"docs_$i.parquet")); i += 1
+        }
+      }
+    }
+    flat.toString
+  }
+
+  test("streaming exact dedup equals batch distinct fingerprints across micro-batches") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val q = DocStream
+      .dedupExact(DocStream.fromParquet(spark, docStreamDir))
+      .select("fingerprint", "doc_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_dedup")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_dedup").select("fingerprint").collect().map(_.getString(0))
+      val batch = spark.read.parquet(s"$dir/documents.parquet")
+        .select(md5(col("text")).as("f")).distinct().collect().map(_.getString(0))
+      assert(streamed.length == streamed.distinct.length, "stream emitted a fingerprint twice")
+      assert(streamed.toSet == batch.toSet)
+    } finally q.stop()
+  }
+
+  test("streaming LSH band candidates equal the batch candidate set") {
+    import org.apache.spark.sql.functions.{col, explode, size}
+    val q = DocStream
+      .lshCandidates(DocStream.fromParquet(spark, docStreamDir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_lsh_cand")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_lsh_cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch candidate set: same banding, self-join, distinct
+      val bands = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), graft.operators.Dedup.shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), explode(graft.plans.TextHashExpressions.minhashBandKeys(col("sh"))).as("band"))
+      val batch = bands.select(col("band"), col("doc_id").as("id_a"))
+        .join(bands.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("watermark-bounded dedup suppresses duplicates within the horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_horizon")
+    Seq(
+      (1L, "same text", 100L),
+      (2L, "same text", 150L), // dup within horizon → suppressed
+      (3L, "other text", 160L)
+    ).toDF("doc_id", "text", "t")
+      .write.parquet(s"$d/in.parquet")
+    val flat = java.nio.file.Files.createTempDirectory("graft_stream_horizon_flat")
+    var i = 0
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$d/in.parquet")).forEach { f =>
+      if (f.toString.endsWith(".parquet")) {
+        java.nio.file.Files.copy(f, flat.resolve(s"h_$i.parquet")); i += 1
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType)
+    ))
+    val stream = spark.readStream.schema(schema).parquet(flat.toString)
+      .withColumn("ts", timestamp_seconds(col("t")))
+    val q = DocStream.dedupWithinHorizon(stream, "ts", "10 minutes")
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("stream_horizon").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("stream_horizon").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L), s"horizon dedup kept $kept")
     } finally q.stop()
   }
 
