@@ -119,6 +119,81 @@ object TrainingPrep extends QueryModule {
       )
   }
 
+  /** Eval-set selector for the contamination screen: every 97th doc plays
+    * the held-out benchmark. */
+  val EvalMod                = 97
+  val ContaminationThreshold = 0.5
+
+  /** Benchmark-contamination screen (q54): the fraction of each training
+    * document's distinct trigram shingles that appear in the held-out eval
+    * set's shingle vocabulary — the decontamination step every training
+    * corpus needs before evaluation means anything.
+    *
+    * Scale shape: the eval side is tiny (benchmarks are), so its distinct
+    * grams BROADCAST; the training side is a narrow shingle pass + explode
+    * + broadcast hash join, and the only exchanges carry skinny
+    * (doc_id, count) rows — the corpus text never shuffles. */
+  def contaminationScreen(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val evalGrams = docs
+      .filter(col("doc_id") % EvalMod === 0)
+      .select(explode(col("sh")).as("gram"))
+      .distinct()
+    val train = docs.filter(col("doc_id") % EvalMod =!= 0 && size(col("sh")) > 0)
+    val matched = train
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"))
+    train
+      .select(col("doc_id"), size(col("sh")).cast(LongType).as("n_grams"))
+      .join(matched, Seq("doc_id"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("contamination", round(col("n_matched").cast(DoubleType) / col("n_grams"), 6))
+      .withColumn("flagged", (col("contamination") >= ContaminationThreshold).cast(LongType))
+  }
+
+  /** Shard-prefix width (hex chars) for [[trainingOrder]]: 2 ⇒ 256 shards.
+    * Like the pack chunking, purely a parallelism knob — the result is
+    * prefix-width invariant (pinned by spec) because md5-prefix shard order
+    * IS the prefix of the full md5 order. Width must track log₁₆(corpus/
+    * per-task budget): each shard is one sort task, so 100 TB wants 4–5. */
+  val OrderPrefixLen = 2
+
+  /** Deterministic global training order (q55): the "global shuffle" every
+    * epoch pipeline needs, as rank in (md5(doc_id), doc_id) order — same
+    * RNG-free determinism as q45/q56.
+    *
+    * A naive global `row_number()` is a single-task sort of the corpus.
+    * Two-phase instead: rank WITHIN each md5-prefix shard (16^prefixLen
+    * parallel sort tasks), then compose with exclusive per-shard count
+    * offsets (a tiny broadcast — the only global window runs on 16^prefixLen
+    * count rows). Because shards are md5 PREFIXES, shard order concatenated
+    * with within-shard order equals the global md5 order exactly. */
+  def trainingOrder(s: SparkSession, dir: String, prefixLen: Int = OrderPrefixLen): DataFrame = {
+    val h = md5(col("doc_id").cast(StringType))
+    val docs = Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), h.as("h"), substring(h, 1, prefixLen).as("shard"))
+    val wIn    = Window.partitionBy("shard").orderBy("h", "doc_id")
+    val within = row_number().over(wIn).cast(LongType) - lit(1L)
+    val wSh    = Window.orderBy("shard")
+    val offsets = docs
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "offset",
+        coalesce(sum(col("n")).over(wSh.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      )
+      .select("shard", "offset")
+    docs
+      .withColumn("within", within)
+      .join(broadcast(offsets), Seq("shard"))
+      .select(col("doc_id"), col("h"), (col("offset") + col("within")).as("global_idx"))
+  }
+
   val NumShards = 16
 
   /** C4-style length filtering: keep documents whose n_chars lies within the
@@ -175,7 +250,9 @@ object TrainingPrep extends QueryModule {
     "q56_shard_assign"      -> (shardAssign _),
     "q45_stratified_sample" -> (stratifiedSample _),
     "q46_sequence_packing"  -> ((s, d) => sequencePacking(s, d)),
-    "q47_repetition_score"  -> (repetitionScore _)
+    "q47_repetition_score"  -> (repetitionScore _),
+    "q54_contamination"     -> (contaminationScreen _),
+    "q55_training_order"    -> ((s, d) => trainingOrder(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -211,6 +288,28 @@ object TrainingPrep extends QueryModule {
          |  SELECT doc_id, lang, CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n_tokens
          |  FROM documents
          |)""".stripMargin,
+    "q54_contamination" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |ev AS (SELECT DISTINCT unnest(shingles) AS gram FROM sh WHERE doc_id % $EvalMod = 0),
+         |tr AS (SELECT doc_id, shingles FROM sh WHERE doc_id % $EvalMod <> 0 AND len(shingles) > 0),
+         |m AS (
+         |  SELECT t.doc_id, count(*) AS n_matched
+         |  FROM (SELECT doc_id, unnest(shingles) AS gram FROM tr) t
+         |  JOIN ev USING (gram)
+         |  GROUP BY 1
+         |)
+         |SELECT tr.doc_id AS doc_id,
+         |  CAST(len(tr.shingles) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+         |  round(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / len(tr.shingles), 6) AS contamination,
+         |  CAST(CASE WHEN round(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / len(tr.shingles), 6)
+         |              >= $ContaminationThreshold THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         |FROM tr LEFT JOIN m ON tr.doc_id = m.doc_id""".stripMargin,
+    "q55_training_order" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+        |    AS global_idx
+        |FROM documents""".stripMargin,
     "q47_repetition_score" ->
       s"""WITH ${Dedup.shinglesSql},
          |r AS (

@@ -132,6 +132,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), s"stratified sample plan sorts:\n$plan")
   }
 
+  test("q54 contamination joins eval grams by broadcast; text never shuffles") {
+    val plan = finalPlan(graft.operators.TrainingPrep.contaminationScreen(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"eval-gram join is not broadcast:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(
+      exchanges.forall(e => !e.contains("text") && !e.contains("sh#")),
+      s"corpus text/shingles ride a shuffle:\n${exchanges.mkString("\n")}"
+    )
+  }
+
+  test("q55 global order: per-shard sorts compose with broadcast offsets") {
+    val plan    = finalPlan(graft.operators.TrainingPrep.trainingOrder(spark, dir))
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(
+      windows.exists(_.contains("windowspecdefinition(shard")),
+      s"no shard-partitioned rank window found:\n${windows.mkString("\n")}"
+    )
+    assert(plan.contains("BroadcastHashJoin"), "shard offsets are not broadcast back")
+  }
+
   test("q48 global bigram top-k is a partial bounded-heap aggregate, no sort") {
     val plan = finalPlan(graft.operators.TextAnalysis.bigramTopK(spark, dir))
     val aggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))

@@ -52,6 +52,18 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(rows(7L) == rows(1L << 30))
   }
 
+  test("q55 global order is shard-prefix-width invariant (two-phase rank composition)") {
+    import org.apache.spark.sql.functions.col
+    def rows(prefixLen: Int) =
+      graft.operators.TrainingPrep
+        .trainingOrder(spark, dir, prefixLen)
+        .orderBy(col("doc_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq
+    assert(rows(1) == rows(3))
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes on sf0.001") {
       val df = fn(spark, dir)
