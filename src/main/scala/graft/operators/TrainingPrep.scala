@@ -194,6 +194,37 @@ object TrainingPrep extends QueryModule {
       .select(col("doc_id"), col("h"), (col("offset") + col("within")).as("global_idx"))
   }
 
+  /** Chunk width (tokens) for [[docChunking]] — small enough that the test
+    * corpus (docs up to ~100 tokens) actually splits multi-way. */
+  val ChunkTokens = 32L
+
+  /** Long-document chunking (q57) — the complement of q46's packing: split
+    * each document into ceil(n_tokens / chunk) fixed-width training
+    * sequences, last chunk ragged. Pure narrow explode (one row in,
+    * n_chunks out, no shuffle at all) — the shape that streams through
+    * codegen at any corpus size. */
+  def docChunking(s: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(split(col("text"), " +")).cast(LongType)
+    Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), col("lang"), nTokens.as("n_tokens"))
+      .withColumn(
+        "n_chunks",
+        call_function("div", col("n_tokens") + lit(ChunkTokens - 1), lit(ChunkTokens))
+      )
+      .filter(col("n_chunks") > 0)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx")
+      )
+      .withColumn(
+        "chunk_tokens",
+        least(lit(ChunkTokens), col("n_tokens") - col("chunk_idx") * lit(ChunkTokens))
+      )
+  }
+
   val NumShards = 16
 
   /** C4-style length filtering: keep documents whose n_chars lies within the
@@ -252,7 +283,8 @@ object TrainingPrep extends QueryModule {
     "q46_sequence_packing"  -> ((s, d) => sequencePacking(s, d)),
     "q47_repetition_score"  -> (repetitionScore _),
     "q54_contamination"     -> (contaminationScreen _),
-    "q55_training_order"    -> ((s, d) => trainingOrder(s, d))
+    "q55_training_order"    -> ((s, d) => trainingOrder(s, d)),
+    "q57_doc_chunking"      -> (docChunking _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -305,6 +337,20 @@ object TrainingPrep extends QueryModule {
          |  CAST(CASE WHEN round(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / len(tr.shingles), 6)
          |              >= $ContaminationThreshold THEN 1 ELSE 0 END AS BIGINT) AS flagged
          |FROM tr LEFT JOIN m ON tr.doc_id = m.doc_id""".stripMargin,
+    "q57_doc_chunking" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |),
+         |c AS (SELECT *, (n_tokens + ${ChunkTokens - 1}) // $ChunkTokens AS n_chunks FROM d)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(i AS BIGINT) AS chunk_idx,
+         |  CAST(least($ChunkTokens, n_tokens - i * $ChunkTokens) AS BIGINT) AS chunk_tokens
+         |FROM (
+         |  SELECT doc_id, lang, n_tokens, unnest(generate_series(0, n_chunks - 1)) AS i
+         |  FROM c WHERE n_chunks > 0
+         |)""".stripMargin,
     "q55_training_order" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
         |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)

@@ -110,6 +110,44 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expect, s"diff: got-extra=${got -- expect}, missing=${expect -- got}")
   }
 
+  test("TopKStructs reversed fields: heap equals reference sort (score desc, name asc)") {
+    import spark.implicits._
+    // small domains force heavy ties so every comparison level is exercised
+    val row = for {
+      g     <- Gen.chooseNum(0, 3)
+      score <- Gen.chooseNum(0, 4).map(_.toDouble)
+      name  <- Gen.oneOf("apple", "pear", "quince")
+    } yield (g, score, name)
+    val cases = sample(row, 400).zipWithIndex.map { case ((g, s, n), i) => (g, s, n, i.toLong) }
+    val k     = 5
+    val got = cases
+      .toDF("g", "score", "name", "id")
+      .groupBy("g")
+      .agg(
+        graft.plans.TopKAggregate
+          .topK(struct(col("score"), col("name"), col("id")), k, reversed = Seq(false, true))
+          .as("top")
+      )
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("g"), col("t.score"), col("t.name"), col("t.id"), (col("pos") + 1).cast("long"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // reference: plain sort by (score desc, name asc, id desc — field 3 is
+    // NOT reversed, so larger ids rank better on full ties)
+    val expect = cases
+      .groupBy(_._1)
+      .flatMap { case (g, rs) =>
+        rs.map { case (_, s, n, id) => (s, n, id) }
+          .sortBy { case (s, n, id) => (-s, n, -id) }
+          .take(k)
+          .zipWithIndex
+          .map { case ((s, n, id), i) => (g, s, n, id, (i + 1).toLong) }
+      }
+      .toSet
+    assert(got == expect, s"diff: got-extra=${got -- expect}, missing=${expect -- got}")
+  }
+
   test("ISO validation: every rendered timestamp validates; offset forms reject") {
     import spark.implicits._
     val secs = sample(Gen.chooseNum(0L, 1700000000L), 200)
