@@ -69,7 +69,15 @@ object TextAnalysis extends QueryModule {
   }
 
   /** Quality scoring: composite of length, stopword, and alphabetic ratios;
-    * keep/drop classification aggregated per lang. */
+    * keep/drop classification aggregated per lang.
+    *
+    * `sum_score` sums floor(score·10⁶) as LONGs, then divides once at the
+    * end — multiply and floor are single IEEE-754 ops, bit-identical in
+    * every engine. The decimal-cast sum pattern (`Num.dsum`) is NOT safe
+    * here: the score is an arbitrary-precision double, and Spark's
+    * double→decimal cast (shortest-string BigDecimal) vs DuckDB's
+    * (multiply-and-round) can disagree by one 6th-decimal ulp on
+    * adversarial values — one such row exists in the sf0.1 corpus. */
   def quality(s: SparkSession, dir: String): DataFrame = {
     val toks   = tokens(col("text"))
     val nTok   = size(toks).cast(DoubleType)
@@ -87,7 +95,7 @@ object TextAnalysis extends QueryModule {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
-        dsum(col("score"), dec6).as("sum_score")
+        (sum(floor(col("score") * lit(1e6)).cast(LongType)).cast(DoubleType) / lit(1e6)).as("sum_score")
       )
   }
 
@@ -261,7 +269,7 @@ object TextAnalysis extends QueryModule {
          |)
          |SELECT lang, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN score >= 0.5 AND n_tok >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-         |  ${sqlDsum("score", 6)} AS sum_score
+         |  CAST(sum(CAST(floor(score * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_score
          |FROM sc GROUP BY lang""".stripMargin
     },
     "q43_token_count" ->
