@@ -69,9 +69,33 @@ object FuzzyDedup extends QueryModule {
       }: _*
     )
 
+  /** Default band-bucket occupancy cap for [[boundedBands]]: far above any
+    * honest near-dup cluster at test scale (so oracle results are
+    * unaffected), low enough that the worst bucket contributes ≤ ~5·10⁷
+    * candidate pairs instead of taking the job down. */
+  val MaxBandOccupancy = 10000
+
+  /** Skew guard for LSH self-joins: drop band buckets whose occupancy
+    * exceeds `cap` from candidate generation. A degenerate bucket — one
+    * band key shared by m documents — contributes C(m,2) candidate pairs;
+    * a boilerplate-heavy corpus (or an adversarial one) can put millions of
+    * near-identical documents in one bucket and turn the "pruned" join
+    * quadratic. Members of such mega-buckets are near-identical by
+    * construction, which is exact/canonical dedup's territory (q30/q31
+    * catch them at O(n)); dropping them from the NEAR-dup candidate join
+    * loses only cross-mega-bucket fringe pairs. Costs one extra aggregate +
+    * join on the already-skinny (band, id) table, co-partitioned with the
+    * self-join that follows. */
+  def boundedBands(bands: DataFrame, key: String, cap: Int): DataFrame = {
+    val sizes = bands.groupBy(key).agg(count(lit(1)).as("bucket_n"))
+    bands
+      .join(sizes.filter(col("bucket_n") <= cap), Seq(key))
+      .drop("bucket_n")
+  }
+
   /** MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ 0.3:
     * signatures → band buckets → same-bucket candidates → exact verify. */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(s: SparkSession, dir: String, maxOccupancy: Int = MaxBandOccupancy): DataFrame = {
     val docs = Tables
       .documentsDistributed(s, dir)
       .select(col("doc_id"), Dedup.shingles(col("text")).as("shingles"))
@@ -82,8 +106,11 @@ object FuzzyDedup extends QueryModule {
     // shuffling a few GB of ids and re-shuffling the corpus.
     // Signatures + banding via the native single-pass expression (md5 once
     // per shingle; the HOF formulation re-hashes per permutation).
-    val bands = docs
-      .select(col("doc_id"), explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band"))
+    val bands = boundedBands(
+      docs.select(col("doc_id"), explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")),
+      "band",
+      maxOccupancy
+    )
     val cand = bands
       .select(col("band"), col("doc_id").as("id_a"))
       .join(bands.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
@@ -225,9 +252,13 @@ object FuzzyDedup extends QueryModule {
   /** LSH candidate pairs only (pre-verification) — exposed so specs can
     * measure the candidate volume the banding actually admits. */
   def embCandidates(s: SparkSession, dir: String, bits: Int = EmbBits, bands: Int = EmbBands): DataFrame = {
-    val banded = Similarity
-      .embWithNorm(s, dir)
-      .select(col("vec_id"), explode(embBandKeys(col("v"), bits, bands)).as("band"))
+    val banded = boundedBands(
+      Similarity
+        .embWithNorm(s, dir)
+        .select(col("vec_id"), explode(embBandKeys(col("v"), bits, bands)).as("band")),
+      "band",
+      MaxBandOccupancy
+    )
     banded
       .select(col("band"), col("vec_id").as("id_a"))
       .join(banded.select(col("band"), col("vec_id").as("id_b")), Seq("band"))
@@ -339,7 +370,7 @@ object FuzzyDedup extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_dedup_clusters"      -> (dedupClusters _),
-    "q33_dedup_minhash_lsh"   -> (minhashLsh _),
+    "q33_dedup_minhash_lsh"   -> ((s, d) => minhashLsh(s, d)),
     "q34_simhash_fingerprint" -> (simhashFingerprints _),
     "q35_simhash_pairs"       -> (simhashPairs _),
     "q36_rolling_fingerprint" -> (rollingFingerprints _),

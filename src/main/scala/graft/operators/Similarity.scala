@@ -116,7 +116,11 @@ object Similarity extends QueryModule {
     * already distinct. */
   def lshPairs(s: SparkSession, dir: String, bits: Int = LshBucketBits): DataFrame = {
     val emb = embWithNorm(s, dir)
-    val skinny = emb.select(lshBucket(col("v"), bits).as("bucket"), col("vec_id"))
+    val skinny = FuzzyDedup.boundedBands(
+      emb.select(lshBucket(col("v"), bits).as("bucket"), col("vec_id")),
+      "bucket",
+      FuzzyDedup.MaxBandOccupancy
+    )
     val cand = skinny
       .select(col("bucket"), col("vec_id").as("id_a"))
       .join(skinny.select(col("bucket"), col("vec_id").as("id_b")), Seq("bucket"))

@@ -93,6 +93,34 @@ class FuzzyDedupSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.exactPairs.maxRows")
   }
 
+  test("band-occupancy cap drops mega-buckets; honest near-dup pairs survive") {
+    import spark.implicits._
+    // degenerate corpus: 300 identical docs (one mega-bucket per band) plus
+    // one honest near-dup pair in ordinary buckets
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val nearA  = "spark shuffles partitions across the cluster with hash keys fast"
+    val nearB  = "spark shuffles partitions across the cluster with hash keys slowly"
+    val rows = (0 until 300).map(i => (i.toLong, boiler, "en", "s", boiler.length.toLong)) ++
+      Seq(
+        (1000L, nearA, "en", "s", nearA.length.toLong),
+        (1001L, nearB, "en", "s", nearB.length.toLong)
+      )
+    val d = java.nio.file.Files.createTempDirectory("graft-megabucket")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val capped = FuzzyDedup.minhashLsh(spark, d.toString, maxOccupancy = 50)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1000L, 1001L)), s"capped run emitted $capped")
+    // the dropped mega-bucket members are exact-dup territory: q30 catches them
+    val exact = graft.operators.Dedup.exact(spark, d.toString)
+      .collect().map(r => r.getAs[Long]("n_copies")).max
+    assert(exact == 300L, "exact dedup does not cover the mega-bucket members")
+    // without the cap the same corpus pays C(300,2)+1 verified pairs
+    val uncapped = FuzzyDedup.minhashLsh(spark, d.toString, maxOccupancy = 1000000).count()
+    assert(uncapped == 300L * 299 / 2 + 1)
+  }
+
   test("connected components: chain converges in O(log diameter) rounds, one cluster") {
     import spark.implicits._
     // worst case for plain label propagation: a 64-node chain (diameter 63).
