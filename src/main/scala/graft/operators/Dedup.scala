@@ -58,10 +58,28 @@ object Dedup extends QueryModule {
     )
   }
 
+  /** Row ceiling for [[ngramJaccard]] (override with the
+    * `graft.invertedJaccard.maxRows` session conf): the inverted index is
+    * O(Σ df²) — exact, but quadratic in per-shingle document frequency. */
+  val JaccardDefaultMaxRows = 1000000L
+
   /** All-pairs word-bigram Jaccard ≥ 0.3 via inverted index:
     * explode shingles → self-join on shingle (id_a < id_b) → intersection
-    * counts → join per-doc set sizes → Jaccard. */
+    * counts → join per-doc set sizes → Jaccard.
+    *
+    * TEST-SCALE ORACLE BASELINE — exact Jaccard over every co-shingled
+    * pair, the ground truth that q33's banded MinHash approximates. Like
+    * q37, it fails fast above a row ceiling instead of silently running a
+    * Σ df² join on a corpus; q33 is the production path. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val maxRows =
+      s.conf.getOption("graft.invertedJaccard.maxRows").map(_.toLong).getOrElse(JaccardDefaultMaxRows)
+    val n = Tables.documents(s, dir).count()
+    require(
+      n <= maxRows,
+      s"ngramJaccard is the O(sum df^2) test-scale baseline: corpus has $n docs > limit $maxRows. " +
+        "Use minhashLsh (q33) at corpus scale, or raise graft.invertedJaccard.maxRows explicitly."
+    )
     val sh  = Tables.documentsDistributed(s, dir).select(col("doc_id"), shingles(col("text")).as("shingles"))
     val sz  = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))

@@ -157,17 +157,24 @@ object FuzzyDedup extends QueryModule {
     simhashed(s, dir).withColumnRenamed("fp", "simhash60")
 
   /** SimHash near-dup pairs: byte-banding (hamming ≤ 3 over 32 bits ⇒ at
-    * least one of 4 bytes identical), then exact hamming verify. */
+    * least one of 4 bytes identical), then exact hamming verify. Band
+    * buckets above [[MaxBandOccupancy]] are dropped ([[boundedBands]]) —
+    * identical texts share ALL bands, so a boilerplate mega-cluster would
+    * otherwise go quadratic here exactly as in q33. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val fp = simhashed(s, dir).select("doc_id", "fp")
-    val banded = fp.select(
-      col("doc_id"),
-      col("fp"),
-      explode(
-        array(
-          (0 until SimhashBands).map(i => concat_ws(":", lit(i), shiftright(col("fp"), i * 15) % 32768)): _*
-        )
-      ).as("band")
+    val banded = boundedBands(
+      fp.select(
+        col("doc_id"),
+        col("fp"),
+        explode(
+          array(
+            (0 until SimhashBands).map(i => concat_ws(":", lit(i), shiftright(col("fp"), i * 15) % 32768)): _*
+          )
+        ).as("band")
+      ),
+      "band",
+      MaxBandOccupancy
     )
     val a = banded.select(col("band"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
     val b = banded.select(col("band"), col("doc_id").as("id_b"), col("fp").as("fp_b"))

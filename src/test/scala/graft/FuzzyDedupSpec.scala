@@ -93,6 +93,16 @@ class FuzzyDedupSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.exactPairs.maxRows")
   }
 
+  test("q32 guard fails fast above the row limit and can be overridden") {
+    spark.conf.set("graft.invertedJaccard.maxRows", "10")
+    try {
+      val e = intercept[IllegalArgumentException](graft.operators.Dedup.ngramJaccard(spark, dir))
+      assert(e.getMessage.contains("minhashLsh"))
+      spark.conf.set("graft.invertedJaccard.maxRows", "1000000")
+      assert(graft.operators.Dedup.ngramJaccard(spark, dir).count() >= 0)
+    } finally spark.conf.unset("graft.invertedJaccard.maxRows")
+  }
+
   test("band-occupancy cap drops mega-buckets; honest near-dup pairs survive") {
     import spark.implicits._
     // degenerate corpus: 300 identical docs (one mega-bucket per band) plus
