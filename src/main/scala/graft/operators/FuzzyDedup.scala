@@ -300,6 +300,66 @@ object FuzzyDedup extends QueryModule {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Base/delta split for the incremental scenario: docs with
+    * doc_id % 10 ∈ {8, 9} play the newly arrived batch; the rest are the
+    * existing corpus. Scale-invariant (any corpus size exercises both
+    * sides). */
+  val DeltaMod = 10
+  private def isDelta(c: Column): Column = c % DeltaMod >= 8
+
+  /** Incremental dedup (q58) — the production shape for CONTINUOUS corpus
+    * building: screen a newly arrived batch against the existing corpus
+    * without ever re-deduping the corpus against itself.
+    *
+    *  - Exact: delta fingerprints probe the base fingerprint set — a skinny
+    *    join on the 32-char md5 (at scale, the base side is a bloom/bucketed
+    *    index; the join key never carries text).
+    *  - Near: delta band keys probe base band keys (asymmetric — candidate
+    *    volume is |delta|·occupancy, NOT corpus²), occupancy-capped like
+    *    q33, then exact-Jaccard verification on candidates only.
+    *
+    * Output: one row per delta doc with its exact/near verdicts and the
+    * keep decision a pipeline would act on. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs   = Tables.documentsDistributed(s, dir)
+    val withFp = docs.select(col("doc_id"), md5(col("text")).as("fingerprint"))
+    val delta  = withFp.filter(isDelta(col("doc_id")))
+    val baseFp = withFp.filter(!isDelta(col("doc_id"))).select("fingerprint").distinct()
+    val exactDup = delta
+      .join(baseFp.withColumn("e", lit(1L)), Seq("fingerprint"), "left")
+      .select(col("doc_id"), coalesce(col("e"), lit(0L)).as("exact_dup"))
+    val sh = docs
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val bands = boundedBands(
+      sh.select(col("doc_id"), explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")),
+      "band",
+      MaxBandOccupancy
+    )
+    val cand = bands
+      .filter(isDelta(col("doc_id")))
+      .select(col("band"), col("doc_id").as("d_id"))
+      .join(bands.filter(!isDelta(col("doc_id"))).select(col("band"), col("doc_id").as("b_id")), Seq("band"))
+      .select("d_id", "b_id")
+      .distinct()
+    val shD = sh.select(col("doc_id").as("d_id"), col("shingles").as("sh_d"))
+    val shB = sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"))
+    val near = cand
+      .join(shD, Seq("d_id"))
+      .join(shB, Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("sh_d"), col("sh_b"))).cast(LongType))
+      .withColumn("union_n", (size(col("sh_d")) + size(col("sh_b"))).cast(LongType) - col("inter"))
+      .filter(round(col("inter") / col("union_n"), 6) >= 0.3)
+      .groupBy(col("d_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_near"), min(col("b_id")).as("near_match"))
+    exactDup
+      .join(near, Seq("doc_id"), "left")
+      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+      .withColumn("near_match", coalesce(col("near_match"), lit(-1L)))
+      .withColumn("keep", (col("exact_dup") === 0 && col("n_near") === 0).cast(LongType))
+      .select("doc_id", "exact_dup", "n_near", "near_match", "keep")
+  }
+
   /** Connected components over the near-dup pair graph: the step that turns
     * pairwise matches into actionable dedup groups (keep min-id per
     * cluster). Hash-min label propagation WITH pointer jumping: each round
@@ -382,7 +442,8 @@ object FuzzyDedup extends QueryModule {
     "q35_simhash_pairs"       -> (simhashPairs _),
     "q36_rolling_fingerprint" -> (rollingFingerprints _),
     "q37_dedup_embedding"     -> (embeddingPairs _),
-    "q39_dedup_embedding_lsh" -> ((s, d) => embeddingPairsLsh(s, d))
+    "q39_dedup_embedding_lsh" -> ((s, d) => embeddingPairsLsh(s, d)),
+    "q58_incremental_dedup"   -> (incrementalDedup _)
   )
 
   // ---- oracle SQL ----
@@ -443,6 +504,39 @@ object FuzzyDedup extends QueryModule {
        |pairs AS (SELECT id_a, id_b FROM verified WHERE round(inter / union_n, 6) >= 0.3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q58_incremental_dedup" ->
+      s"""WITH $shinglesSqlCte,
+         |$minhashSigSql,
+         |$bandsSql,
+         |d AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % $DeltaMod >= 8),
+         |bse AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % $DeltaMod < 8),
+         |ex AS (
+         |  SELECT d.doc_id, CASE WHEN bse.fp IS NULL THEN 0 ELSE 1 END AS exact_dup
+         |  FROM d LEFT JOIN bse ON d.fp = bse.fp
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band
+         |  WHERE a.doc_id % $DeltaMod >= 8 AND b.doc_id % $DeltaMod < 8
+         |),
+         |ver AS (
+         |  SELECT d_id, b_id,
+         |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+         |    len(sa.shingles) + len(sb.shingles)
+         |      - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS union_n
+         |  FROM cand JOIN sh sa ON cand.d_id = sa.doc_id JOIN sh sb ON cand.b_id = sb.doc_id
+         |),
+         |nr AS (
+         |  SELECT d_id AS doc_id, count(*) AS n_near, min(b_id) AS near_match
+         |  FROM ver WHERE round(CAST(inter AS DOUBLE) / union_n, 6) >= 0.3 GROUP BY 1
+         |)
+         |SELECT ex.doc_id AS doc_id,
+         |  CAST(ex.exact_dup AS BIGINT) AS exact_dup,
+         |  CAST(COALESCE(nr.n_near, 0) AS BIGINT) AS n_near,
+         |  CAST(COALESCE(nr.near_match, -1) AS BIGINT) AS near_match,
+         |  CAST(CASE WHEN ex.exact_dup = 0 AND COALESCE(nr.n_near, 0) = 0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM ex LEFT JOIN nr ON ex.doc_id = nr.doc_id""".stripMargin,
     "q38_dedup_clusters" ->
       s"""WITH RECURSIVE $pairsCtes,
          |edges AS (
