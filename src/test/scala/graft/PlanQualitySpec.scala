@@ -132,6 +132,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), s"stratified sample plan sorts:\n$plan")
   }
 
+  test("q58 incremental dedup: no text or shingle arrays ride any exchange") {
+    val plan      = finalPlan(graft.operators.FuzzyDedup.incrementalDedup(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty)
+    assert(
+      exchanges.forall(e => !e.contains("text") && !e.contains("sh_d") && !e.contains("sh_b") && !e.contains("shingles")),
+      s"corpus text/shingles ride a shuffle:\n${exchanges.mkString("\n")}"
+    )
+  }
+
   test("q54 contamination joins eval grams by broadcast; text never shuffles") {
     val plan = finalPlan(graft.operators.TrainingPrep.contaminationScreen(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), s"eval-gram join is not broadcast:\n$plan")
