@@ -156,6 +156,52 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** Vocabulary size for the unigram LM (q59). */
+  val LmVocab = 256
+
+  /** Unigram-LM quality score (q59) — the CCNet-style LM filter: score each
+    * document by the average log-probability of its tokens under a unigram
+    * model fitted on the corpus itself (OOV tokens get a 0.5-count floor).
+    * Low scores flag gibberish/rare-token text; high scores flag
+    * boilerplate.
+    *
+    * Scale shape: the model is the global top-[[LmVocab]] token table — one
+    * partial count aggregate + the bounded-heap top-k, then a ~V-row
+    * BROADCAST onto the token stream; the only corpus-sized exchange is the
+    * skinny (doc_id, long) score aggregate. Determinism: per-token
+    * log-probs are floored to integer micros before summing (IEEE multiply
+    * + floor, identical everywhere), so partial-aggregation order cannot
+    * drift the sum. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val vocab = counts
+      .agg(graft.plans.TopKAggregate.topK(struct(col("cnt"), col("token")), LmVocab).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.token").as("token"), col("t.cnt").as("cnt"))
+    val total = tok.agg(count(lit(1)).as("total"))
+    val scored = tok
+      .join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "lpm",
+        floor(
+          log(
+            coalesce(col("cnt").cast(DoubleType), lit(0.5)) / col("total").cast(DoubleType)
+          ) * lit(1e6)
+        ).cast(LongType)
+      )
+    scored
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("lpm")).as("sum_logp_micro"))
+      .withColumn(
+        "avg_logp",
+        col("sum_logp_micro").cast(DoubleType) / lit(1e6) / col("n_toks")
+      )
+  }
+
   val TopBigrams = 25
 
   /** Corpus-wide top-25 bigrams. The count aggregate is map-side partial, so
@@ -193,6 +239,7 @@ object TextAnalysis extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_bigram_topk"     -> (bigramTopK _),
     "q44_tfidf_top_terms" -> (tfidfTopTerms _),
+    "q59_lm_score"        -> (lmScore _),
     "q40_text_stats"  -> (stats _),
     "q41_lang_id"     -> (langId _),
     "q42_quality"     -> (quality _),
@@ -214,6 +261,23 @@ object TextAnalysis extends QueryModule {
          |c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
          |SELECT row_number() OVER (ORDER BY n DESC, bigram DESC) AS rnk, bigram, n
          |FROM c ORDER BY n DESC, bigram DESC LIMIT $TopBigrams""".stripMargin,
+    "q59_lm_score" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS token FROM documents
+         |),
+         |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+         |v AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token DESC LIMIT $LmVocab),
+         |n AS (SELECT count(*) AS total FROM tok),
+         |lp AS (
+         |  SELECT t.doc_id,
+         |    CAST(floor(ln(COALESCE(CAST(v.cnt AS DOUBLE), 0.5) / CAST(n.total AS DOUBLE))
+         |               * 1000000.0) AS BIGINT) AS lpm
+         |  FROM tok t LEFT JOIN v ON t.token = v.token CROSS JOIN n
+         |)
+         |SELECT doc_id, count(*) AS n_toks,
+         |  CAST(sum(lpm) AS BIGINT) AS sum_logp_micro,
+         |  CAST(sum(lpm) AS DOUBLE) / 1000000.0 / count(*) AS avg_logp
+         |FROM lp GROUP BY doc_id""".stripMargin,
     "q44_tfidf_top_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(regexp_split_to_array(text, ' +')) AS token FROM documents

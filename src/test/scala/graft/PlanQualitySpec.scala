@@ -142,6 +142,16 @@ class PlanQualitySpec extends AnyFunSuite {
     )
   }
 
+  test("q59 LM score: vocab broadcasts onto the token stream, no text shuffles") {
+    val plan = finalPlan(graft.operators.TextAnalysis.lmScore(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join is not broadcast:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(
+      exchanges.forall(e => !e.contains("text")),
+      s"corpus text rides a shuffle:\n${exchanges.mkString("\n")}"
+    )
+  }
+
   test("q54 contamination joins eval grams by broadcast; text never shuffles") {
     val plan = finalPlan(graft.operators.TrainingPrep.contaminationScreen(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), s"eval-gram join is not broadcast:\n$plan")
