@@ -59,6 +59,33 @@ object EventWindows extends QueryModule {
         col("n_events")
       )
 
+  /** Trailing event-time frame for [[movingAvg]]: 1 hour in micros. */
+  val TrailUs = 3600000000L
+
+  /** Event-time RANGE-frame moving average (q66): per-user trailing 1-hour
+    * mean — the frame q15's ROWS window cannot express (it is bounded by
+    * event-time DISTANCE, not row count; sparse and dense hours get the
+    * same time horizon). Partitioning is per-user, so window groups scale
+    * with the key space — no few-task funnel. Ties on the order key share a
+    * frame (RANGE semantics) identically in both engines; the mean is a
+    * decimal-exact sum over a count — deterministic. */
+  def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy("us")
+      .rangeBetween(-TrailUs, 0)
+    Tables
+      .events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("us"),
+        (sum(col("value").cast(dec6)).over(w).cast("double") / count(lit(1)).over(w)).as("avg_1h"),
+        count(lit(1)).over(w).as("n_1h")
+      )
+  }
+
   /** Range-join window in micros: 10 minutes. Bucket width == window length
     * so a preceding-window click lands in exactly one of two buckets. */
   val RangeUs = 600000000L
@@ -114,10 +141,21 @@ object EventWindows extends QueryModule {
     "q65_range_join"      -> (rangeJoinClicks _),
     "q25_window_tumbling" -> (tumbling _),
     "q26_window_session"  -> (sessions _),
-    "q27_window_sliding"  -> (sliding _)
+    "q27_window_sliding"  -> (sliding _),
+    "q66_moving_avg"      -> (movingAvg _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q66_moving_avg" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events
+         |)
+         |SELECT event_id, user_id, us,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / (count(*) OVER w) AS avg_1h,
+         |  count(*) OVER w AS n_1h
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY us
+         |             RANGE BETWEEN $TrailUs PRECEDING AND CURRENT ROW)""".stripMargin,
     "q65_range_join" ->
       s"""SELECT p.event_id AS event_id, p.user_id AS user_id,
          |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
