@@ -76,4 +76,20 @@ object Tables {
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(call_function("div", col("ts_ns"), lit(1000L))))
   }
+
+  /** All table names this engine serves. */
+  val Names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings"
+  )
+
+  /** Register every table as a temp view so the whole corpus is queryable
+    * through `spark.sql` (the SQL-text interface next to the typed one).
+    * `events` registers with the engine's normalized shape (ts_ns + µs
+    * TIMESTAMP), same as the typed loader. */
+  def registerAll(s: SparkSession, d: String): Unit =
+    Names.foreach {
+      case "events" => events(s, d).createOrReplaceTempView("events")
+      case n        => apply(s, d, n).createOrReplaceTempView(n)
+    }
 }

@@ -29,6 +29,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(q14.getAs[Long]("parts_ok") == 1L && q14.getAs[Long]("orders_ok") == 1L)
   }
 
+  test("Tables.registerAll exposes every table to spark.sql") {
+    Tables.registerAll(spark, dir)
+    val n = spark
+      .sql("SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .head()
+      .getLong(0)
+    assert(n > 0)
+    // events registers in normalized shape: µs TIMESTAMP + raw ns long
+    val cols = spark.sql("SELECT * FROM events").columns.toSet
+    assert(cols.contains("ts") && cols.contains("ts_ns"))
+    assert(Tables.Names.forall(t => spark.sql(s"SELECT * FROM $t LIMIT 1").count() == 1))
+  }
+
   test("media decode binds a codec by FQN (production seam, second fake)") {
     val media = graft.operators.Multimodal.mediaFromDocuments(spark, dir)
     val metas = graft.operators.Multimodal
