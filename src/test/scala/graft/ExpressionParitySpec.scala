@@ -56,6 +56,28 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("native expressions propagate null inputs (no crash, null out)") {
+    import spark.implicits._
+    val nullText = Seq((1L, null: String), (2L, "three token doc here")).toDF("doc_id", "text")
+    val r = nullText
+      .select(
+        col("doc_id"),
+        Dedup.shingles(col("text")).as("sh"),
+        TextHashExpressions.minhashBandKeys(Dedup.shingles(col("text"))).as("bands"),
+        TextHashExpressions.simhash60(col("text")).as("fp")
+      )
+      .orderBy("doc_id")
+      .collect()
+    assert(r(0).isNullAt(1) && r(0).isNullAt(2) && r(0).isNullAt(3), "null text must yield nulls")
+    assert(!r(1).isNullAt(1) && !r(1).isNullAt(2) && !r(1).isNullAt(3))
+    val nullVec = Seq((1L, null: Array[Double]), (2L, Array(1.0, 2.0))).toDF("id", "v")
+    val d = nullVec
+      .select(col("id"), graft.plans.VectorExpressions.dotProduct(col("v"), col("v")).as("d"))
+      .orderBy("id")
+      .collect()
+    assert(d(0).isNullAt(1) && d(1).getDouble(1) == 5.0)
+  }
+
   test("DotProduct == HOF aggregate fold") {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
