@@ -214,16 +214,19 @@ object TextAnalysis extends QueryModule {
     * sort, no one-task window funnel. Ordering: count desc, bigram desc
     * (struct natural order; documented tie-break, mirrored in the oracle).
     */
-  def bigramTopK(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val bigrams = zip_with(
+  private def bigramsOf(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    zip_with(
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
       slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b)
     )
+  }
+
+  def bigramTopK(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables
       .documents(s, dir)
-      .select(explode(bigrams).as("bigram"))
+      .select(explode(bigramsOf(col("text"))).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
     counts
@@ -236,8 +239,52 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** Sketch capacity for [[heavyHitters]] — deliberately SMALLER than the
+    * test vocabulary so the eviction and merge paths actually run. */
+  val HhCapacity = 256
+
+  /** Heavy hitters via the Space-Saving sketch (q67) — the scale path for
+    * q48's exact top-k: the exact formulation shuffles the entire (corpus-
+    * growing) vocabulary; the sketch shuffles ≤ capacity entries per
+    * partition. The sketch's counts are approximate, so the oracle checks
+    * its two GUARANTEES against the exact counts rather than the counts
+    * themselves (regeneration-robust):
+    *  - coverage: every bigram with true count > N/capacity is tracked;
+    *  - sandwich: estimate ≥ true ≥ estimate − err for every tracked item.
+    * Exact scalars (total bigram count, how many exceed the bound) hash-
+    * match DuckDB; the flags must be 1. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val bg    = Tables.documentsDistributed(s, dir).select(explode(bigramsOf(col("text"))).as("bigram"))
+    val exact = bg.groupBy("bigram").agg(count(lit(1)).as("n"))
+    val mg = bg
+      .agg(graft.plans.HeavyHitters.spaceSaving(col("bigram"), HhCapacity).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item").as("item"), col("h.cnt").as("cnt"), col("h.err").as("err"))
+    val tot   = exact.agg(sum(col("n")).as("total"))
+    val bound = col("total").cast(DoubleType) / lit(HhCapacity)
+    exact
+      .join(mg, col("bigram") === col("item"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .agg(
+        max(col("total")).as("total_bigrams"),
+        sum(when(col("n").isNotNull && col("n") > bound, 1L).otherwise(0L)).as("n_over_bound"),
+        (sum(when(col("n").isNotNull && col("n") > bound && col("item").isNull, 1L).otherwise(0L)) === 0)
+          .cast(LongType)
+          .as("coverage_ok"),
+        (sum(
+          when(
+            col("item").isNotNull &&
+              !(col("cnt") >= coalesce(col("n"), lit(0L)) &&
+                col("cnt") - col("err") <= coalesce(col("n"), lit(0L))),
+            1L
+          ).otherwise(0L)
+        ) === 0).cast(LongType).as("sandwich_ok")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_bigram_topk"     -> (bigramTopK _),
+    "q67_heavy_hitters"   -> (heavyHitters _),
     "q44_tfidf_top_terms" -> (tfidfTopTerms _),
     "q59_lm_score"        -> (lmScore _),
     "q40_text_stats"  -> (stats _),
@@ -261,6 +308,20 @@ object TextAnalysis extends QueryModule {
          |c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
          |SELECT row_number() OVER (ORDER BY n DESC, bigram DESC) AS rnk, bigram, n
          |FROM c ORDER BY n DESC, bigram DESC LIMIT $TopBigrams""".stripMargin,
+    "q67_heavy_hitters" ->
+      s"""WITH t AS (SELECT regexp_split_to_array(text, ' +') AS toks FROM documents),
+         |bg AS (
+         |  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+         |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+         |),
+         |c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+         |SELECT tot.total AS total_bigrams,
+         |  (SELECT count(*) FROM c, tot WHERE n > CAST(total AS DOUBLE) / $HhCapacity)
+         |    AS n_over_bound,
+         |  CAST(1 AS BIGINT) AS coverage_ok,
+         |  CAST(1 AS BIGINT) AS sandwich_ok
+         |FROM tot""".stripMargin,
     "q59_lm_score" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS token FROM documents

@@ -148,6 +148,32 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expect, s"diff: got-extra=${got -- expect}, missing=${expect -- got}")
   }
 
+  test("SpaceSaving sketch: heavy hitter survives tiny capacity across merges") {
+    import spark.implicits._
+    // 500 copies of "hot", 30 of "warm", 2000 distinct singletons; capacity
+    // 16 << vocabulary forces heavy eviction, repartition(8) forces merges
+    val items = Seq.fill(500)("hot") ++ Seq.fill(30)("warm") ++ (0 until 2000).map(i => s"cold$i")
+    val rnd   = new scala.util.Random(7)
+    val df    = rnd.shuffle(items).toDF("item").repartition(8)
+    val tracked = df
+      .agg(graft.plans.HeavyHitters.spaceSaving(col("item"), 16).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.cnt"), col("h.err"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(tracked.length <= 16)
+    val hot = tracked.find(_._1 == "hot")
+    assert(hot.isDefined, s"true heavy hitter evicted: ${tracked.mkString(", ")}")
+    val (_, cnt, err) = hot.get
+    assert(cnt >= 500L, s"estimate $cnt underestimates true 500")
+    assert(cnt - err <= 500L, s"estimate $cnt - err $err exceeds true 500")
+    // every tracked estimate must sandwich its true count
+    val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    tracked.foreach { case (k, c, e) =>
+      assert(c >= truth(k) && c - e <= truth(k), s"sandwich violated for $k: ($c, $e) vs ${truth(k)}")
+    }
+  }
+
   test("ISO validation: every rendered timestamp validates; offset forms reject") {
     import spark.implicits._
     val secs = sample(Gen.chooseNum(0L, 1700000000L), 200)
