@@ -78,15 +78,34 @@ object TextAnalysis extends QueryModule {
     * double→decimal cast (shortest-string BigDecimal) vs DuckDB's
     * (multiply-and-round) can disagree by one 6th-decimal ulp on
     * adversarial values — one such row exists in the sf0.1 corpus. */
-  def quality(s: SparkSession, dir: String): DataFrame = {
-    val toks   = tokens(col("text"))
+  /** Per-document quality score column — shared by q42 and the q68 funnel.
+    * Same IEEE op sequence as [[qualityScoreSql]], so unrounded threshold
+    * comparisons agree across engines. */
+  def qualityScore(textCol: Column, nCharsCol: Column): Column = {
+    val toks   = tokens(textCol)
     val nTok   = size(toks).cast(DoubleType)
     val nStop  = overlap(toks, StopwordProfiles.flatMap(_._2).distinct).cast(DoubleType)
-    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast(DoubleType)
+    val nAlpha = length(regexp_replace(textCol, "[^a-zA-Z]", "")).cast(DoubleType)
     val lenScore   = least(nTok / lit(100.0), lit(1.0))
     val stopRatio  = nStop / greatest(nTok, lit(1.0))
-    val alphaRatio = nAlpha / greatest(col("n_chars").cast(DoubleType), lit(1.0))
-    val score      = lit(0.4) * lenScore + lit(0.3) * stopRatio + lit(0.3) * alphaRatio
+    val alphaRatio = nAlpha / greatest(nCharsCol.cast(DoubleType), lit(1.0))
+    lit(0.4) * lenScore + lit(0.3) * stopRatio + lit(0.3) * alphaRatio
+  }
+
+  /** DuckDB rendering of [[qualityScore]] over a row with `text`/`n_chars`. */
+  lazy val qualityScoreSql: String = {
+    val t        = "regexp_split_to_array(text, ' +')"
+    val allStops = StopwordProfiles.flatMap(_._2).distinct
+    s"""0.4 * least(CAST(len($t) AS DOUBLE) / 100.0, 1.0)
+       | + 0.3 * (CAST(${overlapSql(t, allStops)} AS DOUBLE)
+       |          / greatest(CAST(len($t) AS DOUBLE), 1.0))
+       | + 0.3 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       |          / greatest(CAST(n_chars AS DOUBLE), 1.0))""".stripMargin.linesIterator.mkString(" ")
+  }
+
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val toks  = tokens(col("text"))
+    val score = qualityScore(col("text"), col("n_chars"))
     Tables
       .documents(s, dir)
       .withColumn("score", score)

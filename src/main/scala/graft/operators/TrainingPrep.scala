@@ -276,7 +276,49 @@ object TrainingPrep extends QueryModule {
       )
   }
 
+  /** End-to-end clean-corpus funnel (q68): the composition a production
+    * pipeline actually runs — canonical dedup → quality filter → per-lang
+    * length band — reported as per-language survivor counts at each stage.
+    *
+    * Scale shape: every per-doc signal (canonical fingerprint, quality
+    * score, token count) is computed in ONE narrow pass and the text is
+    * dropped before anything shuffles — the dedup group/join run on the
+    * skinny (fp, doc_id, …) projection, and the length bounds broadcast.
+    * The corpus text never rides an exchange (pinned by PlanQualitySpec). */
+  def cleanFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsDistributed(s, dir)
+    val skinny = docs.select(
+      col("doc_id"),
+      col("lang"),
+      col("n_chars"),
+      md5(Dedup.canonicalText(col("text"))).as("fp"),
+      TextAnalysis.qualityScore(col("text"), col("n_chars")).as("score"),
+      size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_toks")
+    )
+    val minFp = skinny.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    val bounds = docs
+      .groupBy("lang")
+      .agg(
+        round(expr("percentile(n_chars, 0.05)"), 6).as("lo"),
+        round(expr("percentile(n_chars, 0.95)"), 6).as("hi")
+      )
+    skinny
+      .join(minFp, Seq("fp"))
+      .join(broadcast(bounds), Seq("lang"))
+      .withColumn("is_uniq", col("doc_id") === col("keep_id"))
+      .withColumn("q_keep", col("score") >= lit(0.5) && col("n_toks") >= 20)
+      .withColumn("in_band", col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("is_uniq"), 1L).otherwise(0L)).as("n_uniq"),
+        sum(when(col("is_uniq") && col("q_keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("is_uniq") && col("q_keep") && col("in_band"), 1L).otherwise(0L)).as("n_final")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_clean_funnel"      -> (cleanFunnel _),
     "q49_length_quantile"   -> (lengthQuantileFilter _),
     "q56_shard_assign"      -> (shardAssign _),
     "q45_stratified_sample" -> (stratifiedSample _),
@@ -288,6 +330,30 @@ object TrainingPrep extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q68_clean_funnel" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+         |    ${TextAnalysis.qualityScoreSql} AS score,
+         |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n_toks
+         |  FROM documents
+         |),
+         |m AS (SELECT fp, min(doc_id) AS keep_id FROM s GROUP BY fp),
+         |b AS (
+         |  SELECT lang,
+         |    round(quantile_cont(n_chars, 0.05), 6) AS lo,
+         |    round(quantile_cont(n_chars, 0.95), 6) AS hi
+         |  FROM documents GROUP BY lang
+         |)
+         |SELECT s.lang AS lang, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN s.doc_id = m.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_uniq,
+         |  CAST(sum(CASE WHEN s.doc_id = m.keep_id AND s.score >= 0.5 AND s.n_toks >= 20
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN s.doc_id = m.keep_id AND s.score >= 0.5 AND s.n_toks >= 20
+         |                 AND s.n_chars >= b.lo AND s.n_chars <= b.hi
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+         |FROM s JOIN m ON s.fp = m.fp JOIN b ON s.lang = b.lang
+         |GROUP BY 1""".stripMargin,
     "q49_length_quantile" ->
       """WITH b AS (
         |  SELECT lang,

@@ -132,6 +132,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), s"stratified sample plan sorts:\n$plan")
   }
 
+  test("q68 clean funnel: text never shuffles, length bounds broadcast") {
+    val plan      = finalPlan(graft.operators.TrainingPrep.cleanFunnel(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(
+      exchanges.forall(e => !e.contains("text")),
+      s"corpus text rides a shuffle:\n${exchanges.mkString("\n")}"
+    )
+    assert(plan.contains("BroadcastHashJoin"), "length bounds are not broadcast")
+  }
+
   test("q58 incremental dedup: no text or shingle arrays ride any exchange") {
     val plan      = finalPlan(graft.operators.FuzzyDedup.incrementalDedup(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
