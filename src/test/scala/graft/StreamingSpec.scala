@@ -165,6 +165,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("SpaceSaving sketch aggregates in streaming complete mode, guarantees hold") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val stream = DocStream.fromParquet(spark, docStreamDir)
+    val q = stream
+      .select(col("source"))
+      .groupBy()
+      .agg(graft.plans.HeavyHitters.spaceSaving(col("source"), 4).as("hh"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_hh")
+      .start()
+    try {
+      q.processAllAvailable()
+      val tracked = spark
+        .table("stream_hh")
+        .select(explode(col("hh")).as("h"))
+        .select("h.item", "h.cnt", "h.err")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(tracked.nonEmpty && tracked.length <= 4)
+      val truth = spark.read.parquet(s"$dir/documents.parquet")
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      tracked.foreach { case (k, c, e) =>
+        assert(c >= truth(k) && c - e <= truth(k), s"sandwich violated for $k: ($c, $e) vs ${truth(k)}")
+      }
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val stream = EventStream.fromParquet(spark, streamDir)
     val q = EventStream
