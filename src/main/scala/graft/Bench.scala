@@ -5,12 +5,13 @@ import java.util.concurrent.atomic.LongAdder
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
 /** Benchmark harness: runs every registered query against
-  * SPARK_GRAFT_SF_DIR, reports one JSON line of per-query wall seconds PLUS
-  * per-query executor CPU seconds. CPU time comes from task metrics via a
-  * SparkListener, so wall-vs-cpu divergence makes environmental contention
-  * self-evident in the artifact: a contended run inflates wall time but not
-  * cpu time (a CPU-bound query on an idle box keeps wall ≲ cpu ≤
-  * wall·cores).
+  * SPARK_GRAFT_SF_DIR, reports one compact JSON line (short qNN keys, wall
+  * seconds) on stdout and writes full-name per-query wall+cpu detail to
+  * `bench_detail.json` (override via SPARK_GRAFT_BENCH_DETAIL). CPU time
+  * comes from task metrics via a SparkListener, so wall-vs-cpu divergence
+  * makes environmental contention self-evident: a contended run inflates
+  * wall time but not cpu time (a CPU-bound query on an idle box keeps
+  * wall ≲ cpu ≤ wall·cores).
   */
 object Bench {
 
@@ -44,14 +45,27 @@ object Bench {
       org.apache.spark.GraftSparkBridge.drainListenerBus(sc)
       (name, wall, (cpu.cpuNs.sum() - cpu0) / 1e9)
     }
+    def s3(v: Double): String   = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def json(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs     = json(results.map(r => r._1 -> r._2))
-    val cpuQs  = json(results.map(r => r._1 -> r._3))
+      kv.map { case (k, v) => "\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
+    // The stdout JSON line must stay well under 2 KB (the harness keeps only
+    // the tail of the run's output), so the line uses short "qNN" keys and
+    // millisecond precision; the full-name wall+cpu per-query detail goes to
+    // a sidecar file instead.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val qs     = json(results.map(r => shortKey(r._1) -> r._2))
     val total  = results.map(_._2).sum
     val cpuTot = results.map(_._3).sum
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    val detail = results
+      .map(r => s""""${r._1}":{"wall_sec":${s3(r._2)},"cpu_sec":${s3(r._3)}}""")
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(detailPath),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTot,"queries":$qs,"cpu_queries":$cpuQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_sec":${s3(cpuTot)},"queries":$qs,"sf":"$sfDir"}"""
     )
     spark.stop()
   }
