@@ -239,17 +239,21 @@ object FuzzyDedup extends QueryModule {
     * all-pairs has recall 1.0): for a NON-duplicate pair, per-plane sign
     * agreement is ~0.5, so per-band collision is 0.5^bits and the expected
     * candidate rate is ≤ bands·0.5^bits of all C(n,2) pairs. At 12 bits ×
-    * 24 bands that is 24/4096 ≈ 0.6% — a ~170× prune — where the previous
+    * 64 bands that is 64/4096 ≈ 1.6% — a ~64× prune — where the original
     * 4 bits × 16 bands admitted 1−(15/16)^16 ≈ 64% of ALL pairs (all-pairs
     * with extra steps). RECALL at cosine c: per-plane agreement is
     * 1−acos(c)/π (0.856 at c = 0.9), per-band 0.856^12 ≈ 0.156, overall
-    * 1−(1−0.156)^24 ≈ 0.983 at the 0.9 boundary and ≥ 0.9999 at c ≥ 0.95
-    * where real near-dups live. To keep candidates near-linear as the
-    * corpus grows, `bits` must track log₂(n): expected per-band bucket
-    * occupancy is n/2^bits, so per-band candidate volume n²/2^bits stays
-    * O(n·bands) when 2^bits ≈ n. */
+    * 1−(1−0.156)^64 ≈ 0.99998 AT the 0.9 boundary itself — bands are sized
+    * so that even a pair sitting exactly on the threshold is all but
+    * guaranteed a candidate slot (a boundary pair is pinned by
+    * FuzzyDedupSpec), and recall only climbs from there (≥ 1−10⁻⁷ at
+    * c ≥ 0.93). To keep candidates near-linear as the corpus grows, `bits`
+    * must track log₂(n): expected per-band bucket occupancy is n/2^bits, so
+    * per-band candidate volume n²/2^bits stays O(n·bands) when 2^bits ≈ n
+    * (and recall at fixed c rises with more bands, so re-sizing bits up
+    * pairs with more bands, never fewer). */
   val EmbBits  = 12
-  val EmbBands = 24
+  val EmbBands = 64
 
   /** Band keys "b:sig" per vector — one fused narrow pass (codegen'd native
     * expression; see [[graft.plans.HyperplaneBandKeys]]), no shuffle. */
@@ -402,7 +406,10 @@ object FuzzyDedup extends QueryModule {
     var curSum  = labelSum(labels)
     var rounds  = 0
     while (curSum != prevSum) {
-      assert(
+      // require, not assert: these are the only guards between a logic
+      // regression and an infinite loop, so they must survive
+      // -Xdisable-assertions builds
+      require(
         rounds < maxRounds,
         s"connectedComponents did not converge in $maxRounds rounds — monotone propagation is broken"
       )
@@ -421,7 +428,7 @@ object FuzzyDedup extends QueryModule {
         .localCheckpoint(eager = false) // materialized by the sum action below
       prevSum = curSum
       curSum = labelSum(jumped)
-      assert(curSum <= prevSum, s"label sum increased ($prevSum -> $curSum): propagation not monotone")
+      require(curSum <= prevSum, s"label sum increased ($prevSum -> $curSum): propagation not monotone")
       labels = jumped
       rounds += 1
     }
@@ -468,7 +475,11 @@ object FuzzyDedup extends QueryModule {
       val cols = (b * BandSize until (b + 1) * BandSize).map(j => s"sig$j").mkString(", ")
       s"concat_ws(':', $b, $cols)"
     }
-    s"bands AS (SELECT doc_id, shingles, unnest([${bandExprs.mkString(", ")}]) AS band FROM sig)"
+    // the QUALIFY mirrors boundedBands' occupancy cap, so Spark/oracle
+    // parity holds even on a corpus with a >= cap boilerplate cluster
+    s"""bands_all AS (SELECT doc_id, shingles, unnest([${bandExprs.mkString(", ")}]) AS band FROM sig),
+       |bands AS (SELECT doc_id, shingles, band FROM bands_all
+       |  QUALIFY count(*) OVER (PARTITION BY band) <= $MaxBandOccupancy)""".stripMargin
   }
 
   private val baseHash60Sql: String = "CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)"
@@ -575,7 +586,7 @@ object FuzzyDedup extends QueryModule {
          |SELECT doc_id, lang, simhash60 FROM fp""".stripMargin,
     "q35_simhash_pairs" ->
       s"""WITH $simhashSql,
-         |banded AS (
+         |banded_all AS (
          |  SELECT doc_id, simhash60 AS fp,
          |    unnest([concat_ws(':', 0, (simhash60 >> 0) % 32768),
          |            concat_ws(':', 1, (simhash60 >> 15) % 32768),
@@ -583,6 +594,8 @@ object FuzzyDedup extends QueryModule {
          |            concat_ws(':', 3, (simhash60 >> 45) % 32768)]) AS band
          |  FROM fp
          |),
+         |banded AS (SELECT doc_id, fp, band FROM banded_all
+         |  QUALIFY count(*) OVER (PARTITION BY band) <= $MaxBandOccupancy),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b
          |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id

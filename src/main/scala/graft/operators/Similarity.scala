@@ -262,11 +262,15 @@ object Similarity extends QueryModule {
          |) WHERE rnk <= 10""".stripMargin
     },
     "q61_lsh_pairs" ->
+      // the QUALIFY mirrors boundedBands' occupancy cap (parity even on a
+      // corpus with a >= cap degenerate bucket)
       s"""WITH e AS (SELECT vec_id, embedding AS v, ${bucketSql("embedding")} AS bucket FROM embeddings),
-         |n AS (SELECT vec_id, v, bucket,
+         |n_all AS (SELECT vec_id, v, bucket,
          |        sqrt(list_sum(list_transform(generate_series(1, 64),
          |                                     i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)))) AS nrm
-         |      FROM e)
+         |      FROM e),
+         |n AS (SELECT vec_id, v, bucket, nrm FROM n_all
+         |  QUALIFY count(*) OVER (PARTITION BY bucket) <= ${FuzzyDedup.MaxBandOccupancy})
          |SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
          |  round($dotSql / (a.nrm * b.nrm), 6) AS cos
          |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

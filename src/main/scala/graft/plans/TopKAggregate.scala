@@ -63,12 +63,17 @@ case class TopKStructs(
             val dt = fields(i).dataType
             val va = a.get(i, dt)
             val vb = b.get(i, dt)
-            val c =
+            // null handling stays OUTSIDE the reversal so nulls rank worst
+            // on reversed fields too (reversal flips value order, not
+            // null placement)
+            val adj =
               if (va == null && vb == null) 0
               else if (va == null) -1
               else if (vb == null) 1
-              else fieldOrds(i).compare(va, vb)
-            val adj = if (i < rev.length && rev(i)) -c else c
+              else {
+                val c = fieldOrds(i).compare(va, vb)
+                if (i < rev.length && rev(i)) -c else c
+              }
             if (adj != 0) return adj
             i += 1
           }

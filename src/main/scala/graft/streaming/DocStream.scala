@@ -74,8 +74,26 @@ object DocStream {
     * colliding in several bands (or a doc replayed across micro-batches) can
     * emit more than once — consumers dedupe downstream, exactly like the
     * batch path's `distinct()`. Verification (exact Jaccard on the pair's
-    * shingles) joins by id downstream, unchanged from batch. */
-  def lshCandidates(docs: DataFrame, maxPerBand: Int = MaxPerBand): Dataset[CandPair] = {
+    * shingles) joins by id downstream, unchanged from batch.
+    *
+    * CAPPED-BAND SEMANTICS (the deliberate loss): once a band holds
+    * `maxPerBand` resident ids, later arrivals still pair against every
+    * resident but are NOT retained — so two post-saturation arrivals in the
+    * same band never pair with each other, and WHICH docs are residents
+    * depends on arrival order. That is the same compromise the batch path
+    * makes ([[graft.operators.FuzzyDedup.boundedBands]] drops mega-buckets
+    * entirely — members are near-identical, exact dedup's territory), traded
+    * differently for streaming: bounded state AND bounded per-event emission
+    * instead of zero emission. The loss is observable: pass `saturated` (a
+    * driver-registered LongAccumulator) and every post-saturation arrival
+    * increments it once per saturated band, so a monitoring loop can alarm
+    * when a corpus starts losing candidate coverage. Pinned by
+    * StreamingSpec's capped-band test. */
+  def lshCandidates(
+      docs: DataFrame,
+      maxPerBand: Int = MaxPerBand,
+      saturated: Option[org.apache.spark.util.LongAccumulator] = None
+  ): Dataset[CandPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bands = docs
@@ -98,6 +116,7 @@ object DocStream {
                 out += (if (prev < r.doc_id) CandPair(prev, r.doc_id) else CandPair(r.doc_id, prev))
               }
               if (ids.length < maxPerBand) ids = r.doc_id :: ids
+              else saturated.foreach(_.add(1L)) // arrival at a full band: not retained
             }
           }
           state.update(BandState(ids))

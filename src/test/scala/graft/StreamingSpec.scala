@@ -131,6 +131,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("capped band: arrivals past maxPerBand pair with residents only, loss is counted") {
+    import spark.implicits._
+    // 6 docs with IDENTICAL text: every doc lands in the same bucket for all
+    // NumBands bands. With maxPerBand = 3, some 3 docs become residents;
+    // later arrivals each pair against those 3 but never against each other.
+    // Order-independent invariants: distinct pairs = C(6,2) − C(3,2) (the 3
+    // non-residents never pair among themselves), and the saturation counter
+    // ticks once per band per post-saturation arrival.
+    val n    = 6
+    val cap  = 3
+    val text = "the same boilerplate text shared by every document in the band"
+    val d    = java.nio.file.Files.createTempDirectory("graft_stream_capped")
+    (0 until n)
+      .map(i => (i.toLong, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/docs.parquet")
+    val acc = spark.sparkContext.longAccumulator("graft.docstream.saturated")
+    val q = DocStream
+      .lshCandidates(DocStream.fromParquet(spark, s"$d/docs.parquet"), maxPerBand = cap, saturated = Some(acc))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_lsh_capped")
+      .start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.table("stream_lsh_capped").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val all      = n * (n - 1) / 2
+      val expected = all - cap * (cap - 1) / 2
+      assert(pairs.size == expected, s"expected $expected distinct pairs (of $all), got ${pairs.size}")
+      // the loss is observable: one tick per band per unretained arrival
+      val bandsPerDoc = graft.operators.FuzzyDedup.NumBands
+      assert(acc.value == bandsPerDoc.toLong * (n - cap), s"saturation counter = ${acc.value}")
+    } finally q.stop()
+  }
+
   test("watermark-bounded dedup suppresses duplicates within the horizon") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
