@@ -35,7 +35,14 @@ object Bench {
     sc.addSparkListener(cpu)
     // warm the JVM/session so the first measured query doesn't pay init costs
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset for iteration: comma-separated name prefixes, e.g.
+    // SPARK_GRAFT_BENCH_ONLY=q31,q32 (full runs leave it unset).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None     => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       org.apache.spark.GraftSparkBridge.drainListenerBus(sc) // attribute straggler events to the right query
       val cpu0 = cpu.cpuNs.sum()
       val t0   = System.nanoTime()
@@ -53,6 +60,12 @@ object Bench {
     // millisecond precision; the full-name wall+cpu per-query detail goes to
     // a sidecar file instead.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val shortKeys = results.map(r => shortKey(r._1))
+    require(
+      shortKeys.distinct.size == shortKeys.size,
+      s"duplicate short bench keys would silently collide in the JSON line: " +
+        shortKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.mkString(", ")
+    )
     val qs     = json(results.map(r => shortKey(r._1) -> r._2))
     val total  = results.map(_._2).sum
     val cpuTot = results.map(_._3).sum

@@ -241,7 +241,11 @@ object FuzzyDedup extends QueryModule {
     * candidate rate is ≤ bands·0.5^bits of all C(n,2) pairs. At 12 bits ×
     * 64 bands that is 64/4096 ≈ 1.6% — a ~64× prune — where the original
     * 4 bits × 16 bands admitted 1−(15/16)^16 ≈ 64% of ALL pairs (all-pairs
-    * with extra steps). RECALL at cosine c: per-plane agreement is
+    * with extra steps). That 0.5-agreement floor assumes uncorrelated
+    * vectors; a CLUSTERED corpus (same-topic vectors agree on plane signs
+    * more than half the time) admits somewhat more — ~2.2% ⇒ ~45× measured
+    * on the clustered gate corpus (FuzzyDedupSpec pins ≥ 40×) — and the
+    * cosine verify step filters those. RECALL at cosine c: per-plane agreement is
     * 1−acos(c)/π (0.856 at c = 0.9), per-band 0.856^12 ≈ 0.156, overall
     * 1−(1−0.156)^64 ≈ 0.99998 AT the 0.9 boundary itself — bands are sized
     * so that even a pair sitting exactly on the threshold is all but

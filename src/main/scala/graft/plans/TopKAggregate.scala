@@ -46,7 +46,15 @@ case class TopKStructs(
   private def structType: StructType = child.dataType.asInstanceOf[StructType]
 
   /** Ranking order: compare(a, b) > 0 ⇔ a ranks better. Natural struct
-    * ordering unless a field is flagged in [[reversed]]; nulls rank worst. */
+    * ordering unless a field is flagged in [[reversed]]; nulls rank worst.
+    *
+    * NULL PLACEMENT: null handling sits OUTSIDE the reversal, so nulls rank
+    * worst on every field — reversal flips value order, never null
+    * placement. On a reversed field that is NULLS LAST, which matches the
+    * DuckDB oracle's ASC default but is the OPPOSITE of Spark's ASC sort
+    * (NULLS FIRST). No current caller ranks on a nullable field; a future
+    * caller with nullable keys must not assume Spark window-sort null
+    * semantics. */
   @transient private lazy val ordering: Ordering[InternalRow] =
     if (reversed.forall(r => !r))
       TypeUtils.getInterpretedOrdering(structType).asInstanceOf[Ordering[InternalRow]]

@@ -85,10 +85,13 @@ object DocStream {
     * entirely — members are near-identical, exact dedup's territory), traded
     * differently for streaming: bounded state AND bounded per-event emission
     * instead of zero emission. The loss is observable: pass `saturated` (a
-    * driver-registered LongAccumulator) and every post-saturation arrival
-    * increments it once per saturated band, so a monitoring loop can alarm
-    * when a corpus starts losing candidate coverage. Pinned by
-    * StreamingSpec's capped-band test. */
+    * driver-registered LongAccumulator) and it counts post-saturation
+    * arrivals per saturated band as an AT-LEAST-ONCE monitoring signal —
+    * Spark replays transformation-side accumulator updates on task retries
+    * and micro-batch replays, so the counter can overcount; use it to alarm
+    * when a corpus starts losing candidate coverage, not as an exact ledger
+    * (exact loss accounting would have to be derived from the emitted pairs
+    * themselves). Pinned by StreamingSpec's capped-band test. */
   def lshCandidates(
       docs: DataFrame,
       maxPerBand: Int = MaxPerBand,
