@@ -101,10 +101,95 @@ object Dedup extends QueryModule {
       .select("id_a", "id_b", "inter", "union_n", "jaccard")
   }
 
+  /** Span width (tokens) for [[spanDedup]] — big enough that a duplicated
+    * span means real shared phrasing, small enough that the gate corpus
+    * (docs of ~30–100 tokens) yields several spans per doc. */
+  val SpanTokens = 8
+
+  /** md5 fingerprints of a document's non-overlapping [[SpanTokens]]-token
+    * spans (trailing ragged span dropped — sub-width spans are too short to
+    * mean anything). Narrow per-row; no shuffle. */
+  def spanFingerprints(text: Column): Column = {
+    val t      = split(text, " +")
+    val nSpans = call_function("div", size(t).cast("long"), lit(SpanTokens.toLong))
+    when(nSpans < 1, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0L), nSpans - 1),
+        j => md5(concat_ws(" ", slice(t, (j * SpanTokens + 1).cast("int"), lit(SpanTokens))))
+      )
+    )
+  }
+
+  /** Span-level exact dedup (q71): the sub-document complement of q30 —
+    * boilerplate paragraphs (headers, footers, license blocks) duplicate
+    * across documents that are NOT whole-document duplicates, and span-level
+    * removal is how production pipelines (e.g. suffix-array dedup in
+    * deduplicating-training-data setups) catch them. Here: fingerprint every
+    * non-overlapping 8-token span, count corpus-wide occurrences, and report
+    * the duplicated-span mass per language.
+    *
+    * Scale shape: span fingerprints are computed in one narrow pass and the
+    * TEXT never shuffles — the exchanges carry (lang, fp) and (fp, count)
+    * rows only. The fingerprint count aggregate partial-combines map-side,
+    * so a boilerplate span occurring 10⁶ times arrives at its reducer as
+    * one row per map partition, not 10⁶ rows. */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), col("lang"), explode(spanFingerprints(col("text"))).as("fp"))
+    val counts = e.groupBy("fp").agg(count(lit(1)).as("n"))
+    e.join(counts, Seq("fp"))
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_spans"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_spans")
+      )
+      .withColumn("dup_frac", round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+  }
+
+  /** URL canonical form: lowercase, strip scheme and leading www., drop the
+    * query string and fragment entirely, strip trailing slashes. Dropping
+    * the WHOLE query is the aggressive-dedup variant (tracking params like
+    * utm_* dominate crawl URL noise); a caller that needs significant query
+    * params keeps them upstream and passes a pre-stripped column. */
+  def canonicalizeUrl(u: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(lower(u), "^https?://", ""), "^www\\.", ""), "[?#].*$", ""),
+      "/+$",
+      ""
+    )
+
+  /** URL-canonicalization dedup (q74): crawl pipelines dedupe by canonical
+    * URL before touching content. The gate corpus has no URL column, so the
+    * query derives a deterministic synthetic URL per doc (scheme/case/www/
+    * query/trailing-slash variants, doc_id%40 page collisions) and dedupes
+    * on [[canonicalizeUrl]] — the canonicalizer itself is the operator;
+    * production callers apply it to their real URL column. One skinny
+    * exchange on the canonical string. */
+  def urlCanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("https://WWW."),
+      col("source"),
+      lit(".Example.com/Page"),
+      (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 3 === 0, concat(lit("?utm_source=feed&id="), col("doc_id").cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit(""))
+    )
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), url.as("url"))
+      .groupBy(canonicalizeUrl(col("url")).as("canon"))
+      .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("keep_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (exact _),
     "q31_dedup_canonical" -> (canonical _),
-    "q32_dedup_jaccard"   -> (ngramJaccard _)
+    "q32_dedup_jaccard"   -> (ngramJaccard _),
+    "q71_span_dedup"      -> (spanDedup _),
+    "q74_url_canonical"   -> (urlCanonicalDedup _)
   )
 
   /** DuckDB rendering of [[shingles]] — shared by the Jaccard and MinHash
@@ -127,6 +212,32 @@ object Dedup extends QueryModule {
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "q71_span_dedup" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, lang,
+         |    list_transform(generate_series(0, CAST(len(t) // $SpanTokens AS BIGINT) - 1),
+         |                   j -> md5(array_to_string(t[j*$SpanTokens+1 : j*$SpanTokens+$SpanTokens], ' '))) AS fps
+         |  FROM (SELECT doc_id, lang, regexp_split_to_array(text, ' +') AS t FROM documents)
+         |),
+         |e AS (SELECT doc_id, lang, unnest(fps) AS fp FROM sp WHERE len(fps) > 0),
+         |c AS (SELECT fp, count(*) AS n FROM e GROUP BY 1)
+         |SELECT e.lang AS lang, count(DISTINCT e.doc_id) AS n_docs,
+         |  count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |  round(CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+         |FROM e JOIN c ON e.fp = c.fp GROUP BY 1""".stripMargin,
+    "q74_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://WWW.' || source || '.Example.com/Page' || CAST(doc_id % 40 AS VARCHAR)
+        |      || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END AS url
+        |  FROM documents
+        |)
+        |SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(url), '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/+$', '') AS canon,
+        |  count(*) AS n_urls, min(doc_id) AS keep_id
+        |FROM u GROUP BY 1""".stripMargin,
     "q32_dedup_jaccard" ->
       s"""WITH $shinglesSql,
          |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),

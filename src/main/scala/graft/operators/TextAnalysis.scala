@@ -301,7 +301,115 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** Gopher-style repetition thresholds (q72). The published Gopher rules
+    * gate on signals like these at web-crawl levels (e.g. dup-line frac ≤
+    * 0.30); the gate corpus is clean synthetic text, so the thresholds sit
+    * at its p50s to exercise both outcomes — production callers pass their
+    * own. */
+  val GopherTopTokMax = 0.10
+  val GopherDupBgMax  = 0.05
+
+  /** Gopher-style repetition rules (q72): per-document repetition signals —
+    * fraction of tokens that are the single most frequent token, and
+    * fraction of word-bigrams that are repeats — with a pass/fail flag,
+    * aggregated per language. These are the "remove machine-generated /
+    * boilerplate text" filters from the Gopher/MassiveText curation recipe.
+    *
+    * Scale shape: the dup-bigram signal is pure narrow (per-row
+    * distinct/total on the bigram array). The top-token signal needs a
+    * per-(doc, token) count — that exchange carries (doc_id, token-HASH)
+    * LONG pairs, never token strings (only the max count matters, not which
+    * token; 60-bit hash collisions within one doc's vocabulary are
+    * negligible and the oracle hashes identically). */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val tokHash =
+      conv(substring(md5(col("token")), 1, 15), 16, 10).cast(LongType)
+    val perDoc = Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"), tokHash.as("h"))
+      .groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("max_c"), sum(col("c")).as("n_toks"))
+      .withColumn("top_tok_frac", col("max_c").cast(DoubleType) / col("n_toks"))
+    val bg = bigramsOf(col("text"))
+    val narrow = Tables
+      .documentsDistributed(s, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(bg).as("n_bg"),
+        size(array_distinct(bg)).as("n_dbg")
+      )
+      .withColumn(
+        "dup_bg_frac",
+        when(col("n_bg") > 0, lit(1.0) - col("n_dbg").cast(DoubleType) / col("n_bg")).otherwise(lit(0.0))
+      )
+    narrow
+      .join(perDoc, Seq("doc_id"))
+      .withColumn(
+        "pass",
+        col("top_tok_frac") <= GopherTopTokMax && col("dup_bg_frac") <= GopherDupBgMax
+      )
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        (sum(floor(col("top_tok_frac") * lit(1e6)).cast(LongType)).cast(DoubleType) / lit(1e6))
+          .as("sum_top_tok"),
+        (sum(floor(col("dup_bg_frac") * lit(1e6)).cast(LongType)).cast(DoubleType) / lit(1e6))
+          .as("sum_dup_bg")
+      )
+  }
+
+  /** PII patterns (q73): ASCII-conservative regexes valid in both Java
+    * (Spark) and RE2 (DuckDB) — no lookarounds, no unicode classes. */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePat = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** PII scrub (q73): count and redact emails / IPv4 addresses / phone
+    * numbers per document; per-language totals plus redacted character
+    * mass. Pure narrow per-row regex pass (the text never shuffles; the
+    * only exchange is the |langs|-row aggregate). The gate corpus is
+    * synthetic word-salad so every count is 0 there — the operator's
+    * behavior on real PII is pinned by TextOpsSpec's planted fixtures,
+    * and the oracle still pins engine parity of the patterns on 500 rows.
+    *
+    * Redaction replaces each match with the empty string sequentially
+    * (email → ipv4 → phone), so `chars_removed` = original length −
+    * redacted length counts every scrubbed character once. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(regexp_replace(col("text"), EmailPat, ""), Ipv4Pat, ""),
+      PhonePat,
+      ""
+    )
+    Tables
+      .documents(s, dir)
+      .select(
+        col("lang"),
+        regexp_count(col("text"), lit(EmailPat)).cast(LongType).as("n_email"),
+        regexp_count(col("text"), lit(Ipv4Pat)).cast(LongType).as("n_ip"),
+        regexp_count(col("text"), lit(PhonePat)).cast(LongType).as("n_phone"),
+        (length(col("text")) - length(redacted)).cast(LongType).as("removed")
+      )
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") + col("n_ip") + col("n_phone") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("n_email")).as("total_emails"),
+        sum(col("n_ip")).as("total_ips"),
+        sum(col("n_phone")).as("total_phones"),
+        sum(col("removed")).as("chars_removed")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_gopher_rules"    -> (gopherRules _),
+    "q73_pii_scrub"       -> (piiScrub _),
     "q48_bigram_topk"     -> (bigramTopK _),
     "q67_heavy_hitters"   -> (heavyHitters _),
     "q44_tfidf_top_terms" -> (tfidfTopTerms _),
@@ -318,6 +426,52 @@ object TextAnalysis extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q72_gopher_rules" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(unnest(regexp_split_to_array(text, ' +'))), 1, 15) AS BIGINT) AS h
+         |  FROM documents
+         |),
+         |tc AS (SELECT doc_id, h, count(*) AS c FROM tok GROUP BY 1, 2),
+         |tt AS (
+         |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_tok_frac
+         |  FROM tc GROUP BY 1
+         |),
+         |bg AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN len(t) > 1
+         |      THEN 1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+         |                        i -> t[i] || ' ' || t[i + 1]))) AS DOUBLE) / (len(t) - 1)
+         |      ELSE 0.0 END AS dup_bg_frac
+         |  FROM (SELECT doc_id, lang, regexp_split_to_array(text, ' +') AS t FROM documents)
+         |)
+         |SELECT bg.lang AS lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN top_tok_frac <= $GopherTopTokMax AND dup_bg_frac <= $GopherDupBgMax
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CAST(floor(top_tok_frac * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+         |    AS sum_top_tok,
+         |  CAST(sum(CAST(floor(dup_bg_frac * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+         |    AS sum_dup_bg
+         |FROM bg JOIN tt USING (doc_id) GROUP BY 1""".stripMargin,
+    "q73_pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT lang,
+         |    CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT) AS n_email,
+         |    CAST(len(regexp_extract_all(text, '$Ipv4Pat')) AS BIGINT) AS n_ip,
+         |    CAST(len(regexp_extract_all(text, '$PhonePat')) AS BIGINT) AS n_phone,
+         |    CAST(length(text) - length(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$EmailPat', '', 'g'), '$Ipv4Pat', '', 'g'), '$PhonePat', '', 'g')) AS BIGINT)
+         |      AS removed
+         |  FROM documents
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_with_pii,
+         |  CAST(sum(n_email) AS BIGINT) AS total_emails,
+         |  CAST(sum(n_ip) AS BIGINT) AS total_ips,
+         |  CAST(sum(n_phone) AS BIGINT) AS total_phones,
+         |  CAST(sum(removed) AS BIGINT) AS chars_removed
+         |FROM p GROUP BY 1""".stripMargin,
     "q48_bigram_topk" ->
       s"""WITH t AS (SELECT regexp_split_to_array(text, ' +') AS toks FROM documents),
          |bg AS (

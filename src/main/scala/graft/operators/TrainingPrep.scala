@@ -276,6 +276,32 @@ object TrainingPrep extends QueryModule {
       )
   }
 
+  /** Weighted source mixing (q69): every corpus blend ("2 parts web, 1 part
+    * code, 0.5 parts forums…") is a per-source Bernoulli keep with
+    * deterministic probability. Weight here derives from the source id
+    * (quarters 0.25–1.0) so the gate corpus exercises four distinct rates;
+    * production callers pass their own source→weight map.
+    *
+    * Determinism at scale: keep ⟺ md5-derived 32-bit uint < weight·2³² — a
+    * pure INTEGER threshold compare (weights are quarters, so the threshold
+    * w4·2³⁰ is exact), no RNG state, no float boundary. Reruns, retries and
+    * other engines all draw the same subset. Pure narrow per-row transform;
+    * the only exchange is the tiny per-source count aggregate. */
+  def sourceMixing(s: SparkSession, dir: String): DataFrame = {
+    val w4 = regexp_extract(col("source"), "(\\d+)$", 1).cast(LongType) % 4 + 1
+    val h = conv(substring(md5(concat(lit("mix:42:"), col("doc_id").cast(StringType))), 1, 8), 16, 10)
+      .cast(LongType)
+    Tables
+      .documents(s, dir)
+      .select(col("source"), h.as("h"), w4.as("w4"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("h") < col("w4") * (1L << 30), 1L).otherwise(0L)).as("n_kept"),
+        (min(col("w4")).cast(DoubleType) / 4).as("weight")
+      )
+  }
+
   /** End-to-end clean-corpus funnel (q68): the composition a production
     * pipeline actually runs — canonical dedup → quality filter → per-lang
     * length band — reported as per-language survivor counts at each stage.
@@ -319,6 +345,7 @@ object TrainingPrep extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_clean_funnel"      -> (cleanFunnel _),
+    "q69_source_mixing"     -> (sourceMixing _),
     "q49_length_quantile"   -> (lengthQuantileFilter _),
     "q56_shard_assign"      -> (shardAssign _),
     "q45_stratified_sample" -> (stratifiedSample _),
@@ -330,6 +357,17 @@ object TrainingPrep extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_source_mixing" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    CAST('0x' || substr(md5('mix:42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h,
+        |    (CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 4 + 1) AS w4
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN h < w4 * 1073741824 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(min(w4) AS DOUBLE) / 4 AS weight
+        |FROM h GROUP BY 1""".stripMargin,
     "q68_clean_funnel" ->
       s"""WITH s AS (
          |  SELECT doc_id, lang, n_chars,
