@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryModule, Tables}
+
+/** Distributed k-means over the embedding corpus (q70) — the clustering
+  * stage a training pipeline runs for corpus curation (topic balancing,
+  * coverage analysis, IVF index training for q62, cluster-based dedup).
+  *
+  * CROSS-ENGINE DETERMINISM (the hard part of oracling an iterative float
+  * algorithm): every number in the loop is an exact integer.
+  *  - Vectors are quantized once: qx = floor(x·10⁶) — one IEEE multiply +
+  *    floor, bit-identical in Spark and DuckDB. Components stay < ~10⁷.
+  *  - Distances are integer squared-L2: Σ(qx−qc)² ≤ 64·(2·10⁷)² ≈ 2.6·10¹⁶
+  *    — every intermediate is an integer < 2⁵³, so Spark's double-space
+  *    expansion (Σqx² − 2·qx·qc + Σqc²) and DuckDB's direct bigint
+  *    Σ(diff²) produce the SAME integer. Argmin tie-breaks on cluster id.
+  *  - Centroid update: per-dimension LONG sums (exact at any cluster size),
+  *    then floor(sum/n) in double — identical one-op division both sides.
+  *  - Init: the K lowest-vec_id vectors (no RNG). Empty clusters drop.
+  *
+  * SCALE SHAPE: centroids are always driver-resident (K×dim longs — that's
+  * what k-means IS: a bounded model extracted from unbounded data), so
+  *  - assignment is a pure map-side argmin over K literal centroid arrays,
+  *    inside whole-stage codegen via the [[graft.plans.DotProduct]] native
+  *    expression — ZERO exchange, no K× row blow-up, no crossJoin;
+  *  - the update shuffles only (cid, dim, partial-sum) rows — map-side
+  *    partial aggregation reduces each partition to ≤ K·dim rows, so the
+  *    exchange is O(partitions · K · dim), independent of corpus size;
+  *  - per-iteration driver traffic is K·dim longs (the new centroids).
+  * The SSE output column is exact at test scale; at 100 TB its long sum
+  * could overflow — a production caller reads it as a convergence signal
+  * and would switch that one column to double.
+  */
+object Clustering extends QueryModule {
+
+  val K     = 10
+  val Iters = 2
+  val Scale = 1e6
+
+  /** floor(x·10⁶) per component, kept as DOUBLE (integer-valued) so the
+    * codegen dot product applies; exact for |x| < 2⁴⁶. */
+  def quantize(c: Column): Column =
+    transform(c, x => floor(x.cast(DoubleType) * lit(Scale)).cast(DoubleType))
+
+  private def dot(a: Column, b: Column): Column = graft.plans.VectorExpressions.dotProduct(a, b)
+
+  /** Integer squared-L2 distance to each literal centroid; argmin as
+    * array_min over struct(dist, cid) — smallest distance, then smallest
+    * cluster id. Returns struct(d, c). */
+  private def nearest(qv: Column, centroids: Seq[(Long, Array[Double])]): Column = {
+    val sqx = dot(qv, qv)
+    array_min(array(centroids.map { case (cid, qc) =>
+      val qcLit = array(qc.toIndexedSeq.map(lit): _*)
+      val qcSq  = qc.map(v => v * v).sum // exact: integer-valued doubles < 2^53
+      struct((sqx - lit(2.0) * dot(qv, qcLit) + lit(qcSq)).as("d"), lit(cid).as("c"))
+    }: _*))
+  }
+
+  /** One centroid update: per-dimension exact LONG sums per cluster
+    * (map-side partial agg; K·dim rows reach the driver), floor-mean. */
+  private def update(assigned: DataFrame): Seq[(Long, Array[Double])] = {
+    val dim  = assigned.select(size(col("qv"))).head().getInt(0)
+    val rows = assigned
+      .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy("cid", "dim")
+      .agg(sum(col("v").cast(LongType)).as("s"), count(lit(1)).as("n"))
+      .collect()
+    rows
+      .groupBy(_.getLong(0))
+      .map { case (cid, rs) =>
+        val qc = new Array[Double](dim)
+        rs.foreach(r => qc(r.getInt(1)) = math.floor(r.getLong(2).toDouble / r.getLong(3)))
+        cid -> qc
+      }
+      .toSeq
+      .sortBy(_._1)
+  }
+
+  /** q70: `iters` rounds of (assign, update), then final stats of the last
+    * assignment: size, modal ground-truth label (tie-break smallest label),
+    * modal-label mass, and exact integer SSE per cluster. */
+  def kmeans(s: SparkSession, dir: String, k: Int = K, iters: Int = Iters): DataFrame = {
+    val emb = Tables
+      .embeddingsDistributed(s, dir)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"), quantize(col("embedding")).as("qv"))
+    // deterministic init: the k lowest vec_ids, cid = rank in that order
+    var centroids: Seq[(Long, Array[Double])] = emb
+      .orderBy("vec_id")
+      .limit(k)
+      .select(col("qv"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i.toLong -> r.getSeq[Double](0).toArray }
+      .toSeq
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = emb
+        .withColumn("best", nearest(col("qv"), centroids))
+        .select(col("vec_id"), col("label"), col("qv"), col("best.c").as("cid"), col("best.d").as("d"))
+      centroids = update(assigned)
+    }
+    assigned = emb
+      .withColumn("best", nearest(col("qv"), centroids))
+      .select(col("vec_id"), col("label"), col("best.c").as("cid"), col("best.d").as("d"))
+    val byLabel = assigned
+      .groupBy("cid", "label")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("cid")
+      .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+      .select(col("cid"), (-col("m.neg")).as("majority_label"), col("m.cnt").as("n_majority"))
+    assigned
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_points"), sum(col("d").cast(LongType)).as("sse"))
+      .join(byLabel, Seq("cid"))
+      .select("cid", "n_points", "majority_label", "n_majority", "sse")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_kmeans" -> ((s, d) => kmeans(s, d))
+  )
+
+  /** The oracle replays the same quantized-integer iterations in pure SQL:
+    * c0 = init, then [[Iters]] (assign, update) rounds (a1/c1, a2/c2), then
+    * the final assignment a3 = assign(c2) whose stats are the result — the
+    * same op sequence as [[kmeans]]'s loop. Distances in BIGINT, centroid
+    * means as floor(double-div), so hashes match exactly. */
+  private val dims = 64
+
+  private def assignSql(src: String, cents: String): String =
+    s"""SELECT vec_id, label, qv, cid, dist FROM (
+       |  SELECT q.vec_id, q.label, q.qv, c.cid,
+       |    list_sum(list_transform(generate_series(1, $dims),
+       |      i -> CAST((q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]) AS BIGINT))) AS dist,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_sum(list_transform(generate_series(1, $dims),
+       |        i -> CAST((q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]) AS BIGINT))), c.cid) AS rk
+       |  FROM $src q CROSS JOIN $cents c
+       |) WHERE rk = 1""".stripMargin
+
+  private def updateSql(assign: String): String =
+    s"""SELECT cid, list(qc ORDER BY dim) AS cv FROM (
+       |  SELECT cid, dim, floor(CAST(sum(qvd) AS DOUBLE) / count(*)) AS qc FROM (
+       |    SELECT cid, i AS dim, CAST(qv[i] AS BIGINT) AS qvd
+       |    FROM $assign, unnest(generate_series(1, $dims)) AS g(i)
+       |  ) GROUP BY cid, dim
+       |) GROUP BY cid""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q70_kmeans" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0)) AS qv
+         |  FROM embeddings
+         |),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $K)
+         |),
+         |a1 AS (${assignSql("q", "c0")}),
+         |c1 AS (${updateSql("a1")}),
+         |a2 AS (${assignSql("q", "c1")}),
+         |c2 AS (${updateSql("a2")}),
+         |a3 AS (${assignSql("q", "c2")}),
+         |lbl AS (
+         |  SELECT cid, label AS majority_label, cnt AS n_majority FROM (
+         |    SELECT cid, label, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY cid ORDER BY count(*) DESC, label) AS rk
+         |    FROM a3 GROUP BY cid, label
+         |  ) WHERE rk = 1
+         |)
+         |SELECT a3.cid AS cid, count(*) AS n_points,
+         |  min(lbl.majority_label) AS majority_label,
+         |  CAST(min(lbl.n_majority) AS BIGINT) AS n_majority,
+         |  CAST(sum(a3.dist) AS BIGINT) AS sse
+         |FROM a3 JOIN lbl ON a3.cid = lbl.cid
+         |GROUP BY 1""".stripMargin
+  )
+}
