@@ -259,6 +259,30 @@ object TrainingPrep extends QueryModule {
       )
   }
 
+  /** Sketch accuracy for [[lengthDigest]]: rank error ≤ n/accuracy, memory
+    * O(accuracy·log n) per group, MERGEABLE map-side — the constant-memory
+    * scale path q49's scaladoc points at. At gate scale accuracy ≫ n so the
+    * sketch is exact and the oracle hash-matches DuckDB's quantile_disc
+    * (both implement percentile_disc semantics: smallest value whose
+    * cumulative count ≥ q·n); at 100 TB the same query runs with bounded
+    * error instead of a per-group counts-map blow-up. */
+  val DigestAccuracy = 100000
+
+  /** Distribution digest (q75): per-language length quantiles via the
+    * mergeable GK sketch (`percentile_approx`) — the sketch-family
+    * complement of q14's HLL: partial aggregates are bounded sketches, so
+    * the exchange carries O(accuracy) per group however big the corpus. */
+  def lengthDigest(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_chars"), lit(0.05), lit(DigestAccuracy)).as("p05"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(DigestAccuracy)).as("p50"),
+        percentile_approx(col("n_chars"), lit(0.95), lit(DigestAccuracy)).as("p95")
+      )
+
   /** Deterministic seeded shard assignment: shard = md5-derived uint32 of
     * (seed, doc_id) mod NumShards. Pure per-row narrow transform — the
     * writer path at scale is `repartition(shard).sortWithinPartitions(h)`,
@@ -346,6 +370,7 @@ object TrainingPrep extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_clean_funnel"      -> (cleanFunnel _),
     "q69_source_mixing"     -> (sourceMixing _),
+    "q75_length_digest"     -> (lengthDigest _),
     "q49_length_quantile"   -> (lengthQuantileFilter _),
     "q56_shard_assign"      -> (shardAssign _),
     "q45_stratified_sample" -> (stratifiedSample _),
@@ -357,6 +382,12 @@ object TrainingPrep extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q75_length_digest" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  quantile_disc(n_chars, 0.05) AS p05,
+        |  quantile_disc(n_chars, 0.5) AS p50,
+        |  quantile_disc(n_chars, 0.95) AS p95
+        |FROM documents GROUP BY 1""".stripMargin,
     "q69_source_mixing" ->
       """WITH h AS (
         |  SELECT source,

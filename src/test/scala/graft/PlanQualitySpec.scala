@@ -172,6 +172,42 @@ class PlanQualitySpec extends AnyFunSuite {
     )
   }
 
+  test("q71 span dedup: text never shuffles — exchanges carry fingerprints only") {
+    val plan      = finalPlan(graft.operators.Dedup.spanDedup(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty)
+    assert(
+      exchanges.forall(e => !e.contains("text")),
+      s"corpus text rides a shuffle:\n${exchanges.mkString("\n")}"
+    )
+  }
+
+  test("q72 gopher rules: token exchange carries hashed longs, never token strings or text") {
+    val plan      = finalPlan(graft.operators.TextAnalysis.gopherRules(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty)
+    assert(
+      exchanges.forall(e => !e.contains("text") && !e.contains("token")),
+      s"corpus text/tokens ride a shuffle:\n${exchanges.mkString("\n")}"
+    )
+  }
+
+  test("q73 PII scrub and q69 mixing are narrow passes: only the final tiny aggregate exchanges") {
+    for (
+      (name, df) <- Seq(
+        "q73" -> graft.operators.TextAnalysis.piiScrub(spark, dir),
+        "q69" -> graft.operators.TrainingPrep.sourceMixing(spark, dir)
+      )
+    ) {
+      val plan      = finalPlan(df)
+      val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+      assert(
+        exchanges.forall(e => !e.contains("text")),
+        s"$name: corpus text rides a shuffle:\n${exchanges.mkString("\n")}"
+      )
+    }
+  }
+
   test("q55 global order: per-shard sorts compose with broadcast offsets") {
     val plan    = finalPlan(graft.operators.TrainingPrep.trainingOrder(spark, dir))
     val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toList
