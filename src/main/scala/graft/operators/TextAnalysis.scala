@@ -380,14 +380,19 @@ object TextAnalysis extends QueryModule {
     * Redaction replaces each match with the empty string sequentially
     * (email → ipv4 → phone), so `chars_removed` = original length −
     * redacted length counts every scrubbed character once. */
-  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    piiScrubOf(Tables.documents(s, dir))
+
+  /** [[piiScrub]] over any `documents`-shaped frame — a pure narrow
+    * projection + one aggregate, so it composes unchanged into a streaming
+    * query (complete-mode aggregation; StreamingSpec pins batch parity). */
+  def piiScrubOf(docs: DataFrame): DataFrame = {
     val redacted = regexp_replace(
       regexp_replace(regexp_replace(col("text"), EmailPat, ""), Ipv4Pat, ""),
       PhonePat,
       ""
     )
-    Tables
-      .documents(s, dir)
+    docs
       .select(
         col("lang"),
         regexp_count(col("text"), lit(EmailPat)).cast(LongType).as("n_email"),

@@ -231,6 +231,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("PII scrub composes into a streaming aggregate with exact batch parity") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // plant PII (the gate corpus has none) and stage it as a stream source
+    val rows = Seq(
+      (1L, "write alice@example.com or visit 10.1.2.3", "en", "s"),
+      (2L, "call 555-123-4567 about bob@test.org", "en", "s"),
+      (3L, "nothing sensitive here", "de", "s"),
+      (4L, "from 192.168.0.1 dial 555-999-0000", "de", "s")
+    ).map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_pii")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    val staged = spark.read.parquet(d.resolve("documents.parquet").toString)
+
+    val q = graft.operators.TextAnalysis
+      .piiScrubOf(DocStream.fromParquet(spark, d.resolve("documents.parquet").toString))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_pii")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_pii").collect().map(_.toSeq).toSet
+      val batch    = graft.operators.TextAnalysis.piiScrubOf(staged).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      val en = spark.table("stream_pii").filter(col("lang") === "en").head()
+      assert(en.getAs[Long]("total_emails") == 2 && en.getAs[Long]("total_phones") == 1)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val stream = EventStream.fromParquet(spark, streamDir)
     val q = EventStream
