@@ -108,8 +108,17 @@ object Dedup extends QueryModule {
 
   /** md5 fingerprints of a document's non-overlapping [[SpanTokens]]-token
     * spans (trailing ragged span dropped — sub-width spans are too short to
-    * mean anything). Narrow per-row; no shuffle. */
-  def spanFingerprints(text: Column): Column = {
+    * mean anything). Narrow per-row, no shuffle; native codegen expression
+    * (one tokenize + one md5 per span — see
+    * [[graft.plans.SpanFingerprints]]); [[spanFingerprintsHof]] is the
+    * interpreted reference formulation, parity-pinned. */
+  def spanFingerprints(text: Column): Column =
+    graft.plans.TextHashExpressions.spanFingerprints(text, SpanTokens)
+
+  /** Reference HOF formulation of [[spanFingerprints]] — semantically
+    * identical; kept for the parity test. Each lambda invocation rebuilds a
+    * slice + concat_ws + md5 tree, interpreted. */
+  def spanFingerprintsHof(text: Column): Column = {
     val t      = split(text, " +")
     val nSpans = call_function("div", size(t).cast("long"), lit(SpanTokens.toLong))
     when(nSpans < 1, array().cast("array<string>")).otherwise(

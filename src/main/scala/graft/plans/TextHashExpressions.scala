@@ -116,6 +116,45 @@ object TextHash {
     new GenericArrayData(bands.asInstanceOf[Array[Any]])
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): String = {
+    val d  = md5Bytes(s)
+    val sb = new Array[Char](32)
+    var i  = 0
+    while (i < 16) {
+      sb(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      sb(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(sb)
+  }
+
+  /** SpanFingerprints eval body: md5 hex of each non-overlapping
+    * `width`-token span (trailing ragged span dropped) — one tokenize +
+    * one md5 per span, vs the HOF formulation's per-span slice/concat
+    * expression trees. */
+  def spanFingerprints(s: UTF8String, width: Int): ArrayData = {
+    val t      = tokens(s)
+    val nSpans = t.length / width
+    val out    = new Array[Any](nSpans)
+    val sb     = new java.lang.StringBuilder()
+    var j      = 0
+    while (j < nSpans) {
+      sb.setLength(0)
+      var i = j * width
+      val e = i + width
+      while (i < e) {
+        if (i > j * width) sb.append(' ')
+        sb.append(t(i))
+        i += 1
+      }
+      out(j) = UTF8String.fromString(md5Hex(sb.toString))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** SimHash60 eval body. */
   def simhash60(s: UTF8String): Long = {
     import FuzzyDedup.SimhashBits
@@ -165,6 +204,20 @@ case class MinHashBandKeys(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
 }
 
+/** text → ARRAY<STRING> of md5 fingerprints of non-overlapping `width`-token
+  * spans (q71). One pass per row inside whole-stage codegen; the HOF
+  * formulation rebuilds a slice + concat_ws + md5 expression tree per span,
+  * interpreted. */
+case class SpanFingerprints(child: Expression, width: Int) extends UnaryExpression {
+  require(width > 0, s"span width must be positive, got $width")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.spanFingerprints(input.asInstanceOf[UTF8String], width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.spanFingerprints($c, $width)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** text → 60-bit SimHash LONG over the whitespace token multiset. */
 case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -182,4 +235,6 @@ object TextHashExpressions {
     GraftBridge.column(MinHashBandKeys(GraftBridge.expression(shingles)))
   def simhash60(text: Column): Column =
     GraftBridge.column(SimHash60(GraftBridge.expression(text)))
+  def spanFingerprints(text: Column, width: Int): Column =
+    GraftBridge.column(SpanFingerprints(GraftBridge.expression(text), width))
 }

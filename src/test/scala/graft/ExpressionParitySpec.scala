@@ -46,6 +46,27 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("SpanFingerprints == HOF span fingerprints (corpus + edge cases)") {
+    import spark.implicits._
+    val corpusDiff = docs
+      .select(Dedup.spanFingerprints(col("text")).as("a"), Dedup.spanFingerprintsHof(col("text")).as("b"))
+      .filter(not(col("a") === col("b")))
+      .count()
+    assert(corpusDiff == 0)
+    val w = Dedup.SpanTokens
+    val edge = Seq(
+      "",                                      // 0 tokens
+      Seq.fill(w - 1)("t").mkString(" "),      // just under one span
+      Seq.fill(w)("t").mkString(" "),          // exactly one
+      Seq.fill(2 * w + 3)("t").mkString(" "),  // two spans + ragged tail
+      "a  b " + Seq.fill(w)("c").mkString(" ") // whitespace runs
+    ).toDF("text")
+    edge
+      .select(col("text"), Dedup.spanFingerprints(col("text")).as("a"), Dedup.spanFingerprintsHof(col("text")).as("b"))
+      .collect()
+      .foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2), s"input='${r.getString(0)}'"))
+  }
+
   test("SimHash60 == HOF simhash") {
     val hof = docs
       .withColumn("hs", transform(split(col("text"), " +"), t => FuzzyDedup.baseHash60(t)))
