@@ -454,8 +454,22 @@ object FuzzyDedup extends QueryModule {
       .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc_id"))
   }
 
+  /** Embedding near-dup clusters (q76) — q38's composition over the vector
+    * side: q39's banded-LSH pairs fed through the pointer-jumped connected
+    * components, so semantic-duplicate GROUPS (not just pairs) come out —
+    * the unit a curation pipeline actually deletes from. The gate corpora
+    * plant no cosine-0.9 pairs, so the oracle run is vacuous there (empty =
+    * empty); the semantics are pinned by FuzzyDedupSpec's planted corpus. */
+  def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    val (labels, _) = connectedComponents(embeddingPairsLsh(s, dir).select("id_a", "id_b"))
+    labels
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_dedup_clusters"      -> (dedupClusters _),
+    "q76_embedding_clusters"  -> (embeddingClusters _),
     "q33_dedup_minhash_lsh"   -> ((s, d) => minhashLsh(s, d)),
     "q34_simhash_fingerprint" -> (simhashFingerprints _),
     "q35_simhash_pairs"       -> (simhashPairs _),
@@ -626,6 +640,33 @@ object FuzzyDedup extends QueryModule {
     // set must recover every qualifying pair on the test corpus — the gate
     // verifies recall = 1.0 there, and the banding analysis bounds it at
     // ~0.99996 per pair in general.
+    "q76_embedding_clusters" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT vec_id, embedding AS v,
+        |    sqrt(list_sum(list_transform(generate_series(1, 64),
+        |                                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.9
+        |),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM pairs
+        |),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach(a, b) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        |),
+        |lab AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a)
+        |SELECT label AS cluster_id, count(*) AS cluster_size, max(node) AS max_vec_id
+        |FROM lab GROUP BY label""".stripMargin,
     "q39_dedup_embedding_lsh" ->
       """WITH n AS (
         |  SELECT vec_id, embedding AS v,

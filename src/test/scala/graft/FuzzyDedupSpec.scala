@@ -88,6 +88,19 @@ class FuzzyDedupSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH at the boundary returned $lsh, exact returned $exact")
   }
 
+  test("q76 embedding clusters: planted near-dup pairs become clusters labeled by their minimum") {
+    val clusters = FuzzyDedup.embeddingClusters(spark, plantedDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(clusters.length >= 10, s"expected >= 10 planted clusters, got ${clusters.length}")
+    // each planted pair is (base i, dup 80+i): cluster id = min = base id
+    clusters.foreach { case (cid, size, maxId) =>
+      assert(size == 2, s"planted dups are pairs, cluster $cid has size $size")
+      assert(maxId == cid + 80, s"cluster $cid should pair base $cid with dup ${cid + 80}, got max $maxId")
+    }
+  }
+
   test("q39 banding prunes candidates >= 40x below all-pairs") {
     // The random-pair floor is bands·0.5^bits = 64/4096 ≈ 1.56% (64×), but
     // the gate corpus is CLUSTERED (vectors carry a `label`), and same-
