@@ -56,8 +56,25 @@ object GraftExtensions {
       "graft_simhash60",
       "_FUNC_(text) - 60-bit SimHash fingerprint",
       (children: Seq[Expression]) => SimHash60(children.head)
+    ),
+    (
+      "graft_span_fingerprints",
+      "_FUNC_(text, width) - md5 fingerprints of non-overlapping width-token spans",
+      (children: Seq[Expression]) => SpanFingerprints(children(0), litInt(children(1), "width"))
+    ),
+    (
+      "graft_hyperplane_bands",
+      "_FUNC_(v, bits, bands) - banded random-hyperplane LSH keys for a double array",
+      (children: Seq[Expression]) =>
+        HyperplaneBandKeys(children(0), litInt(children(1), "bits"), litInt(children(2), "bands"))
     )
   )
+
+  /** Shape parameters must be literals — they pick the generated code. */
+  private def litInt(e: Expression, name: String): Int = {
+    require(e.foldable, s"graft function argument '$name' must be a literal integer")
+    e.eval().asInstanceOf[Number].intValue()
+  }
 
   /** Register all functions on an already-running session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =

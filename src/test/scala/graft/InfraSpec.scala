@@ -109,11 +109,20 @@ class InfraSpec extends AnyFunSuite {
     graft.plans.GraftExtensions.registerAll(spark)
     val r = spark
       .sql("SELECT graft_dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
-        "graft_simhash60('a b c') AS f, size(graft_word_shingles('a b c d')) AS n")
+        "graft_simhash60('a b c') AS f, size(graft_word_shingles('a b c d')) AS n, " +
+        "size(graft_span_fingerprints('a b c d e', 2)) AS sp, " +
+        "size(graft_hyperplane_bands(array(1.0d, -2.0d), 4, 8)) AS hb")
       .head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) != 0L)
     assert(r.getInt(2) == 2)
+    assert(r.getInt(3) == 2, "5 tokens at width 2 = 2 complete spans")
+    assert(r.getInt(4) == 8, "one key per band")
+    // shape params must be literals: the generated code bakes them in
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_span_fingerprints('a b', CAST(rand() * 2 AS INT) + 1)").head()
+    )
+    assert(e.getMessage.contains("literal"))
   }
 
   test("optimizer rule substitutes HOF dot product with the native expression") {

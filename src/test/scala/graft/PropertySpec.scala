@@ -174,6 +174,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("URL canonicalization is idempotent and strips every scheme/www/query/slash decoration") {
+    import spark.implicits._
+    val host = Gen.oneOf("example.com", "Sub.Domain.ORG", "a-b.io")
+    val url = for {
+      scheme <- Gen.oneOf("", "http://", "https://", "HTTPS://")
+      www    <- Gen.oneOf("", "www.", "WWW.")
+      h      <- host
+      path   <- Gen.oneOf("", "/x/Y", "/x")
+      query  <- Gen.oneOf("", "?utm=1&b=2", "#frag", "?a=1#f")
+      slash  <- Gen.oneOf("", "/", "///")
+    } yield s"$scheme$www$h$path$query$slash"
+    val rows = sample(url, 300).toDF("u")
+      .select(
+        col("u"),
+        graft.operators.Dedup.canonicalizeUrl(col("u")).as("c1"),
+        graft.operators.Dedup.canonicalizeUrl(graft.operators.Dedup.canonicalizeUrl(col("u"))).as("c2")
+      )
+      .collect()
+    rows.foreach { r =>
+      val (u, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(c1 == c2, s"not idempotent: '$u' -> '$c1' -> '$c2'")
+      assert(!c1.contains("://") && !c1.startsWith("www.") && !c1.contains("?") && !c1.contains("#"),
+        s"decoration survived: '$u' -> '$c1'")
+      assert(!c1.endsWith("/") || c1.isEmpty, s"trailing slash survived: '$u' -> '$c1'")
+      assert(c1 == c1.toLowerCase, s"case survived: '$u' -> '$c1'")
+    }
+  }
+
+  test("span fingerprints: count law (tokens/width), distinct spans distinct fingerprints") {
+    import spark.implicits._
+    val w = graft.operators.Dedup.SpanTokens
+    val text = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "cd")).map(_.mkString(" ")))
+    val rows = sample(text, 300).toDF("text")
+      .select(
+        col("text"),
+        size(split(col("text"), " +")).as("n"),
+        graft.operators.Dedup.spanFingerprints(col("text")).as("fps")
+      )
+      .collect()
+    rows.foreach { r =>
+      val toks = r.getInt(1)
+      val fps  = r.getSeq[String](2)
+      assert(fps.length == toks / w, s"'${r.getString(0)}': ${fps.length} spans for $toks tokens")
+      assert(fps.forall(_.length == 32), "md5 hex fingerprints")
+    }
+  }
+
   test("ISO validation: every rendered timestamp validates; offset forms reject") {
     import spark.implicits._
     val secs = sample(Gen.chooseNum(0L, 1700000000L), 200)
