@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{Analytics, FaunaParity}
-import graft.operators.{AsOfJoin, Clustering, Dedup, EventWindows, FuzzyDedup, Multimodal, Similarity, TextAnalysis, TrainingPrep, TypedAggs}
+import graft.operators.{AsOfJoin, Clustering, Dedup, EventWindows, FuzzyDedup, GraphOps, Multimodal, Similarity, TextAnalysis, TrainingPrep, TypedAggs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,6 +23,7 @@ object SparkEntry {
     TextAnalysis, // token stats, lang-id, quality scoring, tokenizers
     Similarity,   // brute-force cosine top-k + LSH-bucketed pair mining
     Clustering,   // distributed k-means (quantized-integer, oracle-exact)
+    GraphOps,     // iterative PageRank over the interaction graph
     Multimodal    // binary media columns + per-partition decode plumbing
   )
 
