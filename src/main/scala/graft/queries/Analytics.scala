@@ -299,6 +299,46 @@ object Analytics extends QueryModule {
       )
   }
 
+  /** Salt shard count for [[saltedJoin]] — like q17's 16-way agg salting:
+    * enough shards to split a hot key across every core, small enough that
+    * the replicated dim stays tiny (|dim|·16 rows). */
+  val JoinSalts = 16
+
+  /** Salted skew JOIN (q78) — the join-side counterpart of q17's salted
+    * aggregation. A real corpus join (doc → domain metadata, event → user
+    * profile) is routinely skewed: one hot key draws most of the fact rows,
+    * so hash-partitioning the join key funnels them into ONE reducer. Here
+    * ~70% of lineitem rows are redirected to supplier 1 to synthesize that
+    * skew, then the join is salted:
+    *  - fact side: salt = pmod(hash(row id), 16) — deterministic spread of
+    *    the hot key across 16 shards (engine-internal; the RESULT is
+    *    salt-invariant, which is exactly what the oracle checks);
+    *  - dim side: each row replicated 16× (explode over the salt range);
+    *  - join on (key, salt) — the hot key's rows now land on 16 reducers.
+    * The dim side carries a shuffle_hash hint: at test scale Spark would
+    * broadcast the 100-row dim (making salting moot — broadcast IS the
+    * first-choice skew fix); the hint stands in for the 100 TB case where
+    * the dim exceeds the broadcast threshold and the shuffle is real. AQE
+    * skew-join splits oversized partitions post-hoc the same way; this is
+    * the explicit, planner-independent form. */
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables
+      .lineitem(s, dir)
+      .withColumn(
+        "join_key",
+        when(col("l_orderkey") % 10 < 7, lit(1L)).otherwise(col("l_suppkey"))
+      )
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(JoinSalts)))
+    val dim = Tables
+      .supplier(s, dir)
+      .select(col("s_suppkey").as("join_key"), col("s_name"))
+      .withColumn("salt", explode(sequence(lit(0), lit(JoinSalts - 1))))
+    big
+      .join(dim.hint("shuffle_hash"), Seq("join_key", "salt"))
+      .groupBy("s_name")
+      .agg(dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q2-style correlated aggregate: each nation's top-balance
     * customer, matched by joining back on the correlated max. */
   def argmaxCustomer(s: SparkSession, dir: String): DataFrame = {
@@ -377,6 +417,7 @@ object Analytics extends QueryModule {
     "q15_window_funcs"      -> (windowFuncs _),
     "q16_unpivot"           -> (unpivotMeasures _),
     "q17_salted_agg"        -> (saltedAgg _),
+    "q78_salted_join"       -> (saltedJoin _),
     "q13_cube"              -> (cubeOrders _),
     "q14_approx_distinct"   -> (approxDistinct _),
     "q01_pricing_summary"   -> (pricingSummary _),
@@ -453,6 +494,15 @@ object Analytics extends QueryModule {
     "q17_salted_agg" ->
       s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n_rows
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q78_salted_join" ->
+      s"""SELECT s.s_name AS s_name, ${sqlDsum("l.l_extendedprice")} AS revenue,
+         |  count(*) AS n_items
+         |FROM (
+         |  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1 ELSE l_suppkey END AS join_key,
+         |         l_extendedprice
+         |  FROM lineitem
+         |) l JOIN supplier s ON l.join_key = s.s_suppkey
+         |GROUP BY 1""".stripMargin,
     "q13_cube" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
          |  ${sqlDsum("o_totalprice")} AS sum_price
