@@ -201,10 +201,72 @@ object Similarity extends QueryModule {
       )
   }
 
+  /** q79: int8 scalar quantization of the embedding corpus — the
+    * compression step before an ANN index ships to serving (4× smaller
+    * than f32, SIMD-friendly distance kernels). Per-dimension min/max
+    * scaling; the report is per-label code/error stats so the oracle can
+    * hash-check the whole codebook application.
+    *
+    * CROSS-ENGINE DETERMINISM (q70's discipline): vectors are quantized to
+    * integers (floor(x·10⁶)) FIRST, so min/max are exact picks and every
+    * downstream value — code = floor((qv−mn)·255/rng), dequantized
+    * qv' = mn + floor(code·rng/255), err = |qv−qv'| — is one IEEE
+    * multiply/divide + floor on integer-valued doubles, bit-identical in
+    * Spark and DuckDB. rng has a max(·,1) guard so constant dimensions
+    * quantize to code 0 instead of dividing by zero.
+    *
+    * SCALE SHAPE: the model (per-dim min/max) is 64 rows — a tiny
+    * partially-aggregated exchange, collected and re-embedded as literal
+    * arrays, exactly like q62's centroids and q70's k-means model. The
+    * quantize+error pass is then pure map-side zip_with arithmetic inside
+    * codegen — ZERO exchange for the corpus; only (label, row-stat) rows
+    * reach the final aggregation. */
+  def int8Quantize(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables
+      .embeddingsDistributed(s, dir)
+      .select(
+        col("vec_id"),
+        col("label").cast(LongType).as("label"),
+        transform(col("embedding"), x => floor(x.cast(DoubleType) * lit(1e6))).as("qv")
+      )
+    val stats = emb
+      .select(posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect()
+      .sortBy(_.getInt(0))
+    // Spark's floor() yields LONG (DuckDB's yields integer-valued DOUBLE);
+    // the values are identical small integers, so mixed long/double IEEE
+    // arithmetic below is exact on both sides.
+    val minLit = array(stats.map(r => lit(r.getLong(1))).toIndexedSeq: _*)
+    val rngLit = array(stats.map(r => lit(math.max(r.getLong(2) - r.getLong(1), 1L))).toIndexedSeq: _*)
+    val codes  = zip_with(zip_with(col("qv"), minLit, (x, m) => x - m), rngLit, (d, r) => floor(d * lit(255.0) / r))
+    val deq    = zip_with(zip_with(col("codes"), rngLit, (c, r) => floor(c * r / lit(255.0))), minLit, (e, m) => e + m)
+    val errs   = zip_with(col("qv"), col("deq"), (a, b) => abs(a - b))
+    emb
+      .withColumn("codes", codes)
+      .withColumn("deq", deq)
+      .withColumn("errs", errs)
+      .select(
+        col("label"),
+        aggregate(col("codes"), lit(0.0), _ + _).cast(LongType).as("row_codes"),
+        aggregate(col("errs"), lit(0.0), _ + _).cast(LongType).as("row_err"),
+        array_max(col("errs")).cast(LongType).as("row_max_err")
+      )
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("row_codes")).as("sum_codes"),
+        sum(col("row_err")).as("total_abs_err"),
+        max(col("row_max_err")).as("max_abs_err")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_knn_brute" -> (knnBrute _),
     "q61_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
-    "q62_ivf_knn"   -> (ivfKnn _)
+    "q62_ivf_knn"   -> (ivfKnn _),
+    "q79_int8_quant" -> (int8Quantize _)
   )
 
   private val dotSql =
@@ -261,6 +323,40 @@ object Similarity extends QueryModule {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM cand
          |) WHERE rnk <= 10""".stripMargin
     },
+    "q79_int8_quant" ->
+      // mirrors int8Quantize's op order exactly: quantize → per-dim
+      // min/max+range-guard → code/dequant/error, every step a single
+      // IEEE op + floor on integer-valued doubles
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0)) AS qv
+        |  FROM embeddings
+        |),
+        |m AS (
+        |  SELECT i, min(qv[i]) AS mn, greatest(max(qv[i]) - min(qv[i]), 1.0) AS rng
+        |  FROM q, unnest(generate_series(1, 64)) AS g(i)
+        |  GROUP BY i
+        |),
+        |ml AS (SELECT list(mn ORDER BY i) AS mns, list(rng ORDER BY i) AS rngs FROM m),
+        |coded AS (
+        |  SELECT label, qv,
+        |    list_transform(generate_series(1, 64),
+        |                   i -> floor((qv[i] - ml.mns[i]) * 255.0 / ml.rngs[i])) AS codes,
+        |    ml.mns AS mns, ml.rngs AS rngs
+        |  FROM q CROSS JOIN ml
+        |),
+        |rowstats AS (
+        |  SELECT label,
+        |    CAST(list_sum(codes) AS BIGINT) AS row_codes,
+        |    list_transform(generate_series(1, 64),
+        |                   i -> abs(qv[i] - (mns[i] + floor(codes[i] * rngs[i] / 255.0)))) AS errs
+        |  FROM coded
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        |  sum(row_codes) AS sum_codes,
+        |  CAST(sum(CAST(list_sum(errs) AS BIGINT)) AS BIGINT) AS total_abs_err,
+        |  CAST(max(CAST(list_max(errs) AS BIGINT)) AS BIGINT) AS max_abs_err
+        |FROM rowstats GROUP BY label""".stripMargin,
     "q61_lsh_pairs" ->
       // the QUALIFY mirrors boundedBands' occupancy cap (parity even on a
       // corpus with a >= cap degenerate bucket)
