@@ -326,6 +326,54 @@ object TrainingPrep extends QueryModule {
       )
   }
 
+  /** Corpus snapshot diff (q80): reconcile two corpus versions — the
+    * bookkeeping step between crawl refreshes (what entered, what left,
+    * what changed in place) that decides how much downstream work
+    * (re-dedup, re-scoring, re-tokenization) the new snapshot actually
+    * requires. The two versions are derived deterministically from the one
+    * gate table (v1 lacks the docs "added later", a slice of v2's docs was
+    * "edited", v2 dropped a slice of v1's): production callers pass two
+    * real snapshot paths — everything from the projections down is the
+    * operator.
+    *
+    * Scale shape: each side is ONE narrow pass computing (doc_id, source,
+    * md5(text)) — the text never shuffles; the full-outer join and the
+    * per-source status rollup run on skinny 3-column rows. This is the
+    * same fingerprint discipline as q30/q58, applied to version
+    * reconciliation. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsDistributed(s, dir)
+    val v1 = docs
+      .filter(col("doc_id") % 13 =!= 0)
+      .select(
+        col("doc_id"),
+        col("source").as("source1"),
+        md5(when(col("doc_id") % 7 === 0, concat(lit("draft "), col("text"))).otherwise(col("text")))
+          .as("fp1")
+      )
+    val v2 = docs
+      .filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), col("source").as("source2"), md5(col("text")).as("fp2"))
+    v1
+      .join(v2, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("source1"), col("source2")).as("source"),
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged")
+          .as("status")
+      )
+      .groupBy("source")
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        count(lit(1)).as("n_total")
+      )
+  }
+
   /** End-to-end clean-corpus funnel (q68): the composition a production
     * pipeline actually runs — canonical dedup → quality filter → per-lang
     * length band — reported as per-language survivor counts at each stage.
@@ -370,6 +418,7 @@ object TrainingPrep extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_clean_funnel"      -> (cleanFunnel _),
     "q69_source_mixing"     -> (sourceMixing _),
+    "q80_snapshot_diff"     -> (snapshotDiff _),
     "q75_length_digest"     -> (lengthDigest _),
     "q49_length_quantile"   -> (lengthQuantileFilter _),
     "q56_shard_assign"      -> (shardAssign _),
@@ -388,6 +437,31 @@ object TrainingPrep extends QueryModule {
         |  quantile_disc(n_chars, 0.5) AS p50,
         |  quantile_disc(n_chars, 0.95) AS p95
         |FROM documents GROUP BY 1""".stripMargin,
+    "q80_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN 'draft ' || text ELSE text END) AS fp1
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |),
+        |v2 AS (
+        |  SELECT doc_id, source, md5(text) AS fp2
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |),
+        |j AS (
+        |  SELECT COALESCE(v1.source, v2.source) AS source,
+        |    CASE WHEN fp1 IS NULL THEN 'added'
+        |         WHEN fp2 IS NULL THEN 'removed'
+        |         WHEN fp1 <> fp2 THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |)
+        |SELECT source,
+        |  sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS n_added,
+        |  sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS n_removed,
+        |  sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
+        |  sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged,
+        |  count(*) AS n_total
+        |FROM j GROUP BY source""".stripMargin,
     "q69_source_mixing" ->
       """WITH h AS (
         |  SELECT source,
