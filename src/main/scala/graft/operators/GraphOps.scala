@@ -57,10 +57,15 @@ object GraphOps extends QueryModule {
 
   /** q77: [[Iters]] PageRank power iterations over [[edges]], returning
     * (node, rank, out_degree, in_degree) for every node. */
-  def pageRank(s: SparkSession, dir: String, iters: Int = Iters): DataFrame = {
+  def pageRank(s: SparkSession, dir: String, iters: Int = Iters): DataFrame =
+    pageRankOver(edges(s, dir), iters)
+
+  /** The operator proper, over any (src, dst) edge set — fixture-testable
+    * and the entry point for callers with a real edge table. */
+  def pageRankOver(edgeDf: DataFrame, iters: Int = Iters): DataFrame = {
     // One pass builds the reusable graph artifacts; cache both — every
     // iteration re-reads them (cluster analog: a bucketed edge table).
-    val e = edges(s, dir).cache()
+    val e = edgeDf.cache()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
     val indeg  = e.groupBy("dst").agg(count(lit(1)).as("indeg"))
     val nodes = e

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GraphOps, Similarity, TrainingPrep}
+import graft.queries.Analytics
+
+/** Round-5 operators: PageRank (q77), salted skew-join (q78), int8
+  * quantization (q79), snapshot diff (q80). Semantic fixtures + the plan
+  * properties that make each scale. */
+class Round5OpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("local[4]", 4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q77: hand-computed ranks on a 3-node chain (1→2→3)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphOps
+      .pageRankOver(edges)
+      .orderBy("node")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // r0 = 1e6 each; teleport = 150000, damp 0.85, outdeg 1:
+    // iter1: (150000, 1000000, 1000000)
+    // iter2: (150000, 150000+floor(.85·150000)=277500, 1000000)
+    // iter3: (150000, 277500, 150000+floor(.85·277500)=385875)
+    assert(
+      got.toSeq == Seq(
+        (1L, 150000L, 1L, 0L),
+        (2L, 277500L, 1L, 1L),
+        (3L, 385875L, 0L, 1L)
+      ),
+      s"got: ${got.toSeq}"
+    )
+  }
+
+  test("q77: every rank ≥ teleport floor and dangling mass only leaks (sum ≤ n·scale)") {
+    val rows = GraphOps.pageRank(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) >= GraphOps.Teleport), "rank below teleport floor")
+    val total = rows.map(_.getLong(1)).sum
+    assert(
+      total <= rows.length * GraphOps.RankScale,
+      "rank mass grew: dangling leak should only shrink the total"
+    )
+  }
+
+  test("q78: salted join result equals the direct (unsalted) join") {
+    val got = Analytics
+      .saltedJoin(spark, dir)
+      .orderBy("s_name")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val li = Tables
+      .lineitem(spark, dir)
+      .withColumn(
+        "join_key",
+        when(col("l_orderkey") % 10 < 7, lit(1L)).otherwise(col("l_suppkey"))
+      )
+    val expect = li
+      .join(Tables.supplier(spark, dir), col("join_key") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(Num.dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("s_name")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("q78: the salted join is a shuffled (non-broadcast) join over the exploded dim") {
+    val plan = finalPlan(Analytics.saltedJoin(spark, dir))
+    assert(plan.contains("ShuffledHashJoin"), s"expected the hinted shuffled join in:\n$plan")
+    assert(plan.contains("Generate explode"), "dim side not replicated via explode")
+    // the hot key must be spread: the join keys include the salt column
+    assert(plan.contains("salt"), "salt column missing from the physical join")
+  }
+
+  test("q79: reconstruction error bounded by the quantization step (rng/255 + 1)") {
+    val emb = Tables
+      .embeddings(spark, dir)
+      .select(transform(col("embedding"), x => floor(x.cast("double") * lit(1e6))).as("qv"))
+    val stats = emb
+      .select(posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect()
+    val worstStep = stats.map(r => math.max(r.getLong(2) - r.getLong(1), 1L) / 255.0 + 1.0).max
+    val rows = Similarity.int8Quantize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val maxErr = rows.map(_.getLong(4)).max
+    assert(maxErr <= worstStep.ceil.toLong, s"max_abs_err $maxErr exceeds step bound $worstStep")
+  }
+
+  test("q80: category counts match the direct modular predicates") {
+    val byCat = TrainingPrep
+      .snapshotDiff(spark, dir)
+      .agg(
+        sum("n_added").as("a"),
+        sum("n_removed").as("r"),
+        sum("n_changed").as("c"),
+        sum("n_unchanged").as("u"),
+        sum("n_total").as("t")
+      )
+      .head()
+    val docs = Tables.documents(spark, dir)
+    def cnt(c: org.apache.spark.sql.Column): Long = docs.filter(c).count()
+    val added   = cnt(col("doc_id") % 13 === 0 && col("doc_id") % 17 =!= 0)
+    val removed = cnt(col("doc_id") % 17 === 0 && col("doc_id") % 13 =!= 0)
+    val changed = cnt(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0 && col("doc_id") % 17 =!= 0)
+    assert(byCat.getLong(0) == added, "added")
+    assert(byCat.getLong(1) == removed, "removed")
+    assert(byCat.getLong(2) == changed, "changed")
+    assert(byCat.getLong(4) == byCat.getLong(0) + byCat.getLong(1) + byCat.getLong(2) + byCat.getLong(3))
+  }
+
+  test("q80: exchanges carry fingerprints, never text") {
+    val plan = finalPlan(TrainingPrep.snapshotDiff(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchanges.contains("text"), s"raw text shuffles in snapshot diff: $exchanges")
+  }
+}
