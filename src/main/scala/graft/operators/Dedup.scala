@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.{QueryModule, Tables}
 
@@ -193,12 +194,61 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("keep_id"))
   }
 
+  /** HLL-sketch distinct-content rollup (q81) — the pre-aggregation
+    * pattern a 100 TB corpus dashboard runs on: build a mergeable
+    * DataSketches HLL per source over canonical fingerprints, then UNION
+    * the per-source sketches into the global estimate WITHOUT rescanning
+    * the corpus. That merge step is the point: per-shard sketches are
+    * bytes, so cross-source (or cross-day) distinct counts come from
+    * sketch algebra, not a second full pass — the same reason q14's HLL
+    * exists, lifted to the rollup/cube shape.
+    *
+    * Oracle discipline (q14's pairing): sketch estimates are not
+    * DuckDB-reproducible, so the hash-checked columns are the EXACT
+    * distinct counts plus an in-row `est_ok` flag asserting the estimate
+    * landed within 6% (HLL lgK=12 rsd ≈ 1.6%; 6% ≈ 3.7σ) — DuckDB emits
+    * literal 1s, Spark must earn them. */
+  def sketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .documentsDistributed(s, dir)
+      .select(col("source"), md5(canonicalText(col("text"))).as("fp"))
+    val perSource = base
+      .groupBy("source")
+      .agg(
+        hll_sketch_agg(col("fp")).as("sk"),
+        countDistinct(col("fp")).as("n_exact")
+      )
+    val sourceRows = perSource.select(
+      col("source").as("scope"),
+      col("n_exact"),
+      (abs(hll_sketch_estimate(col("sk")) - col("n_exact")).cast(DoubleType) / col("n_exact") <= 0.06)
+        .cast(LongType)
+        .as("est_ok")
+    )
+    // global = sketch UNION of the per-source sketches (no corpus rescan);
+    // the exact global distinct (for the flag) comes from the skinny fp
+    // projection, not the text
+    val globalExact = base.agg(countDistinct(col("fp")).as("n_exact"))
+    val globalRow = perSource
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .crossJoin(globalExact)
+      .select(
+        lit("__all__").as("scope"),
+        col("n_exact"),
+        (abs(hll_sketch_estimate(col("sk")) - col("n_exact")).cast(DoubleType) / col("n_exact") <= 0.06)
+          .cast(LongType)
+          .as("est_ok")
+      )
+    sourceRows.unionByName(globalRow)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (exact _),
     "q31_dedup_canonical" -> (canonical _),
     "q32_dedup_jaccard"   -> (ngramJaccard _),
     "q71_span_dedup"      -> (spanDedup _),
-    "q74_url_canonical"   -> (urlCanonicalDedup _)
+    "q74_url_canonical"   -> (urlCanonicalDedup _),
+    "q81_sketch_rollup"   -> (sketchRollup _)
   )
 
   /** DuckDB rendering of [[shingles]] — shared by the Jaccard and MinHash
@@ -247,6 +297,16 @@ object Dedup extends QueryModule {
         |    lower(url), '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/+$', '') AS canon,
         |  count(*) AS n_urls, min(doc_id) AS keep_id
         |FROM u GROUP BY 1""".stripMargin,
+    "q81_sketch_rollup" ->
+      """WITH fp AS (
+        |  SELECT source, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |)
+        |SELECT source AS scope, count(DISTINCT fp) AS n_exact, CAST(1 AS BIGINT) AS est_ok
+        |FROM fp GROUP BY source
+        |UNION ALL
+        |SELECT '__all__' AS scope, count(DISTINCT fp) AS n_exact, CAST(1 AS BIGINT) AS est_ok
+        |FROM fp""".stripMargin,
     "q32_dedup_jaccard" ->
       s"""WITH $shinglesSql,
          |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),

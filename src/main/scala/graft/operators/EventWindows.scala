@@ -137,15 +137,69 @@ object EventWindows extends QueryModule {
       )
   }
 
+  /** Per-user event-type transition matrix (q82) — the Markov bigram
+    * counts sequence-modeling prep runs over behavioral logs (next-event
+    * prediction features, funnel anomaly screens). Each user's events are
+    * ordered by (event time, event_id) — the id tiebreak makes the lag
+    * deterministic when two events share a timestamp — and every adjacent
+    * (prev_type → next_type) pair is counted; `p` is the row-conditional
+    * probability (one double division on exact longs, identical in both
+    * engines).
+    *
+    * Scale shape: the lag window partitions by user_id — millions of
+    * groups, so no few-task funnel (q46's fix does not apply: the key
+    * space scales with users) — and only (prev, next) pairs reach the tiny
+    * count aggregate. */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val pairs = Tables
+      .events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs
+      .groupBy("prev_type")
+      .agg(sum(col("n")).as("n_prev"))
+    pairs
+      .join(totals, Seq("prev_type"))
+      .select(
+        col("prev_type"),
+        col("next_type"),
+        col("n"),
+        round(col("n").cast("double") / col("n_prev"), 6).as("p")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_range_join"      -> (rangeJoinClicks _),
     "q25_window_tumbling" -> (tumbling _),
     "q26_window_session"  -> (sessions _),
     "q27_window_sliding"  -> (sliding _),
+    "q82_transitions"     -> (transitions _),
     "q66_moving_avg"      -> (movingAvg _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q82_transitions" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events
+        |),
+        |pairs AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n FROM (
+        |    SELECT event_type,
+        |      lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |    FROM e
+        |  ) WHERE prev_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |),
+        |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_prev FROM pairs GROUP BY 1)
+        |SELECT p.prev_type AS prev_type, p.next_type AS next_type, p.n AS n,
+        |  round(CAST(p.n AS DOUBLE) / t.n_prev, 6) AS p
+        |FROM pairs p JOIN tot t ON p.prev_type = t.prev_type""".stripMargin,
     "q66_moving_avg" ->
       s"""WITH e AS (
          |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events

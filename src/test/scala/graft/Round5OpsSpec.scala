@@ -120,6 +120,30 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(byCat.getLong(4) == byCat.getLong(0) + byCat.getLong(1) + byCat.getLong(2) + byCat.getLong(3))
   }
 
+  test("q81: union-merged sketch estimate ≈ exact global distinct (flags earned, not assumed)") {
+    val rows = graft.operators.Dedup.sketchRollup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every per-source and the merged __all__ estimate must be inside 6%
+    assert(rows.forall(_.getLong(2) == 1L), s"sketch estimate outside bound: ${rows.mkString(",")}")
+    val all = rows.filter(_.getString(0) == "__all__")
+    assert(all.length == 1)
+    // __all__ covers at least as many distincts as the largest source
+    val maxSrc = rows.filter(_.getString(0) != "__all__").map(_.getLong(1)).max
+    assert(all.head.getLong(1) >= maxSrc)
+  }
+
+  test("q82: transition counts sum to n_events − n_users-with-events, probabilities sum to 1 per prev") {
+    val t = graft.operators.EventWindows.transitions(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val nEvents = ev.count()
+    val nUsers  = ev.select("user_id").distinct().count()
+    val total   = t.agg(sum("n")).head().getLong(0)
+    assert(total == nEvents - nUsers, s"pairs $total != events $nEvents - users $nUsers")
+    val probSums = t.groupBy("prev_type").agg(sum("p").as("ps")).collect()
+    // per-row rounding to 6 decimals: the sum can drift by ≤ #rows·5e-7
+    assert(probSums.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-4))
+  }
+
   test("q80: exchanges carry fingerprints, never text") {
     val plan = finalPlan(TrainingPrep.snapshotDiff(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString
