@@ -91,6 +91,10 @@ object EventStream {
   final case class UserState(nEvents: Long, totalValue: Double)
   final case class UserSummary(user_id: Long, n_events: Long, total_value: Double)
 
+  final case class SeqEvent(user_id: Long, us: Long, event_id: Long, event_type: String)
+  final case class LastEvent(us: Long, event_id: Long, event_type: String)
+  final case class Transition(user_id: Long, prev_type: String, next_type: String)
+
   /** Custom keyed state: running per-user totals via flatMapGroupsWithState.
     * Emits the updated summary on every micro-batch trigger. */
   def runningUserTotals(events: DataFrame): Dataset[UserSummary] = {
@@ -107,6 +111,42 @@ object EventStream {
           rows.foreach { e => n += 1; total += e.value }
           state.update(UserState(n, total))
           Iterator(UserSummary(userId, n, total))
+        }
+      )
+  }
+
+  /** Streaming counterpart of batch q82's transition mining: one
+    * [[LastEvent]] of state per user; each arrival emits the
+    * (prev → next) pair and advances the state. Within a micro-batch rows
+    * are ordered by (event time, event_id) — the batch lag's exact order;
+    * ACROSS micro-batches the source must deliver each user's events in
+    * order (the Kafka-per-key-ordering assumption every stateful sequence
+    * consumer makes — a late straggler would emit its pair out of order
+    * rather than re-sort history, state being O(1) per user by design). */
+  def transitionPairs(events: DataFrame): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        col("event_type")
+      )
+      .as[SeqEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[SeqEvent], state: GroupState[LastEvent]) => {
+          val ordered = rows.toSeq.sortBy(e => (e.us, e.event_id))
+          var prev    = state.getOption
+          val out     = Seq.newBuilder[Transition]
+          ordered.foreach { e =>
+            prev.foreach(p => out += Transition(userId, p.event_type, e.event_type))
+            prev = Some(LastEvent(e.us, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
         }
       )
   }

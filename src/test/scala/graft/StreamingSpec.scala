@@ -263,6 +263,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transition mining equals batch q82 pair counts") {
+    val stream = EventStream.fromParquet(spark, streamDir)
+    val q = EventStream
+      .transitionPairs(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_transitions")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark
+        .table("stream_transitions")
+        .groupBy("prev_type", "next_type")
+        .count()
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val batch = graft.operators.EventWindows
+        .transitions(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val stream = EventStream.fromParquet(spark, streamDir)
     val q = EventStream
