@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -374,6 +374,73 @@ object TrainingPrep extends QueryModule {
       )
   }
 
+  /** Upsert/tombstone merge (q83) — MERGE INTO for a corpus snapshot: apply
+    * a delta batch (U = content rewrite, D = tombstone, I = new doc) to the
+    * base corpus and report, per source, how the merge resolved plus an
+    * order-independent content checksum of the merged corpus (sum of
+    * 32-bit md5 prefixes — exact in LONG, so the oracle hash-checks that
+    * the merged CONTENT is right, not just the row counts). The delta here
+    * derives deterministically from the base (mod-9 rewrites, mod-23
+    * tombstones, mod-9≡4 inserts under shifted ids); production callers
+    * pass a real delta table.
+    *
+    * Scale shape: both sides reduce to (doc_id, source, fp8) in one narrow
+    * pass — the text never shuffles — and the merge is ONE full-outer join
+    * on doc_id followed by a per-source rollup of skinny rows. Tombstones
+    * drop inside the join projection (no second pass), and the checksum
+    * rides the same rollup. This is q80's reconciliation discipline turned
+    * into the write-side operator. */
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    def fp8(text: Column): Column =
+      conv(substring(md5(text), 1, 8), 16, 10).cast(LongType)
+    val docs = Tables.documentsDistributed(s, dir)
+    val base = docs.select(col("doc_id"), col("source").as("src_b"), fp8(col("text")).as("fp_b"))
+    val delta = docs
+      .filter(col("doc_id") % 9 === 0 && col("doc_id") % 23 =!= 0)
+      .select(
+        col("doc_id"),
+        col("source").as("src_d"),
+        lit("U").as("op"),
+        fp8(concat(lit("rev2 "), col("text"))).as("fp_d")
+      )
+      .unionByName(
+        docs
+          .filter(col("doc_id") % 23 === 0)
+          .select(col("doc_id"), col("source").as("src_d"), lit("D").as("op"), lit(null).cast(LongType).as("fp_d"))
+      )
+      .unionByName(
+        docs
+          .filter(col("doc_id") % 9 === 4)
+          .select(
+            (col("doc_id") + 1000000L).as("doc_id"),
+            col("source").as("src_d"),
+            lit("I").as("op"),
+            fp8(concat(lit("new "), col("text"))).as("fp_d")
+          )
+      )
+    base
+      .join(delta, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("src_b"), col("src_d")).as("source"),
+        when(col("op").isNull, "kept")
+          .when(col("op") === "U", "updated")
+          .when(col("op") === "D", "deleted")
+          .otherwise("inserted")
+          .as("status"),
+        // merged content fingerprint: delta wins on U/I, base on kept, none on D
+        when(col("op").isNull, col("fp_b")).otherwise(col("fp_d")).as("fp")
+      )
+      .groupBy("source")
+      .agg(
+        sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("status") === "updated", 1L).otherwise(0L)).as("n_updated"),
+        sum(when(col("status") === "inserted", 1L).otherwise(0L)).as("n_inserted"),
+        sum(when(col("status") === "deleted", 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(col("status") =!= "deleted", 1L).otherwise(0L)).as("n_final"),
+        sum(when(col("status") =!= "deleted", col("fp")).otherwise(lit(0L))).as("content_checksum")
+      )
+  }
+
   /** End-to-end clean-corpus funnel (q68): the composition a production
     * pipeline actually runs — canonical dedup → quality filter → per-lang
     * length band — reported as per-language survivor counts at each stage.
@@ -419,6 +486,7 @@ object TrainingPrep extends QueryModule {
     "q68_clean_funnel"      -> (cleanFunnel _),
     "q69_source_mixing"     -> (sourceMixing _),
     "q80_snapshot_diff"     -> (snapshotDiff _),
+    "q83_upsert_merge"      -> (upsertMerge _),
     "q75_length_digest"     -> (lengthDigest _),
     "q49_length_quantile"   -> (lengthQuantileFilter _),
     "q56_shard_assign"      -> (shardAssign _),
@@ -437,6 +505,40 @@ object TrainingPrep extends QueryModule {
         |  quantile_disc(n_chars, 0.5) AS p50,
         |  quantile_disc(n_chars, 0.95) AS p95
         |FROM documents GROUP BY 1""".stripMargin,
+    "q83_upsert_merge" ->
+      """WITH base AS (
+        |  SELECT doc_id, source AS src_b,
+        |    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS fp_b
+        |  FROM documents
+        |),
+        |delta AS (
+        |  SELECT doc_id, source AS src_d, 'U' AS op,
+        |    CAST('0x' || substr(md5('rev2 ' || text), 1, 8) AS BIGINT) AS fp_d
+        |  FROM documents WHERE doc_id % 9 = 0 AND doc_id % 23 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, source, 'D', NULL FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, 'I',
+        |    CAST('0x' || substr(md5('new ' || text), 1, 8) AS BIGINT)
+        |  FROM documents WHERE doc_id % 9 = 4
+        |),
+        |m AS (
+        |  SELECT COALESCE(src_b, src_d) AS source,
+        |    CASE WHEN op IS NULL THEN 'kept'
+        |         WHEN op = 'U' THEN 'updated'
+        |         WHEN op = 'D' THEN 'deleted'
+        |         ELSE 'inserted' END AS status,
+        |    CASE WHEN op IS NULL THEN fp_b ELSE fp_d END AS fp
+        |  FROM base FULL OUTER JOIN delta USING (doc_id)
+        |)
+        |SELECT source,
+        |  sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS n_kept,
+        |  sum(CASE WHEN status = 'updated' THEN 1 ELSE 0 END) AS n_updated,
+        |  sum(CASE WHEN status = 'inserted' THEN 1 ELSE 0 END) AS n_inserted,
+        |  sum(CASE WHEN status = 'deleted' THEN 1 ELSE 0 END) AS n_deleted,
+        |  sum(CASE WHEN status <> 'deleted' THEN 1 ELSE 0 END) AS n_final,
+        |  CAST(sum(CASE WHEN status <> 'deleted' THEN fp ELSE 0 END) AS BIGINT) AS content_checksum
+        |FROM m GROUP BY source""".stripMargin,
     "q80_snapshot_diff" ->
       """WITH v1 AS (
         |  SELECT doc_id, source,

@@ -144,6 +144,29 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(probSums.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-4))
   }
 
+  test("q83: merge accounting closes (base and delta fully explained) and text never shuffles") {
+    val df   = TrainingPrep.upsertMerge(spark, dir)
+    val agg  = df
+      .agg(
+        sum("n_kept").as("k"),
+        sum("n_updated").as("u"),
+        sum("n_inserted").as("i"),
+        sum("n_deleted").as("d"),
+        sum("n_final").as("f")
+      )
+      .head()
+    val docs  = Tables.documents(spark, dir)
+    val nBase = docs.count()
+    assert(agg.getLong(0) + agg.getLong(1) + agg.getLong(2) == agg.getLong(4), "final = kept+updated+inserted")
+    assert(agg.getLong(0) + agg.getLong(1) + agg.getLong(3) == nBase, "base rows = kept+updated+deleted")
+    assert(agg.getLong(1) == docs.filter(col("doc_id") % 9 === 0 && col("doc_id") % 23 =!= 0).count())
+    assert(agg.getLong(3) == docs.filter(col("doc_id") % 23 === 0).count())
+    assert(agg.getLong(2) == docs.filter(col("doc_id") % 9 === 4).count())
+    val plan = finalPlan(df)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchanges.contains("text"), s"raw text shuffles in upsert merge: $exchanges")
+  }
+
   test("q80: exchanges carry fingerprints, never text") {
     val plan = finalPlan(TrainingPrep.snapshotDiff(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString
