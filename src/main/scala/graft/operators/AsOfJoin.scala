@@ -82,11 +82,64 @@ object AsOfJoin extends QueryModule {
     )
   }
 
+  /** q84: q28's exact semantics through the NATIVE as-of operator
+    * ([[graft.plans.AsOfJoinNative]] — custom LogicalPlan + strategy +
+    * co-partitioned merge exec) instead of the union+window composition.
+    * Same oracle SQL as q28: two independent implementations, one answer. */
+  def purchaseAsofClickNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), unix_micros(col("ts")).as("p_us"))
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      // fresh aliases break the self-join attribute-id collision AND the
+      // name collision (both sides derive from `events`)
+      .select(
+        col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"),
+        col("click_id"),
+        col("ts").as("c_ts")
+      )
+      .toDF("c_user", "c_us", "click_id", "c_ts")
+    graft.plans.AsOfJoinNative
+      .asof(purchases, clicks, key = "user_id", rightKey = "c_user", leftTime = "p_us", rightTime = "c_us")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        col("click_id"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        (col("p_us") - col("c_us")).as("gap_us")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q28_asof_join" -> (purchaseAsofClick _)
+    "q28_asof_join" -> (purchaseAsofClick _),
+    "q84_asof_native" -> (purchaseAsofClickNative _)
   )
 
+  /** Shared oracle body: q84 must produce byte-identical results. */
+  private val asofOracleSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'purchase'
+      |),
+      |c AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, CAST(max(event_id) AS BIGINT) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |)
+      |SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+      |  c.click_id,
+      |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      |  epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q84_asof_native" -> asofOracleSql,
     "q28_asof_join" ->
       """WITH p AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

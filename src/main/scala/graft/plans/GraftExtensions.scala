@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // declarative HOF dot products → native codegen'd expression
     ext.injectOptimizerRule(_ => NativeDotProductRule)
+    // native as-of join physical operator (AsOfJoinNative.asof also
+    // self-registers on live sessions via experimental.extraStrategies)
+    ext.injectPlannerStrategy(_ => AsOfJoinNative.AsOfJoinStrategy)
   }
 }
 

@@ -13,6 +13,15 @@ object GraftBridge {
   def column(e: Expression): Column     = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame over a custom LogicalPlan (Dataset.ofRows is
+    * `private[sql]`) — the construction path for this library's native
+    * operators (e.g. the as-of join plan). */
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan
+    )
+
   /** Register a function on a LIVE session (the builder-time path is
     * `graft.plans.GraftExtensions` via `withExtensions` /
     * `spark.sql.extensions`; this covers sessions created elsewhere, e.g.

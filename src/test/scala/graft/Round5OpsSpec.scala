@@ -167,6 +167,53 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(!exchanges.contains("text"), s"raw text shuffles in upsert merge: $exchanges")
   }
 
+  test("q84: native as-of exec — fixture semantics (inclusive ties, no-match nulls, interleaved keys)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "l-a"), // before any right row for key 1 → null
+      (1L, 20L, "l-b"), // matches rt=20 (inclusive tie)
+      (1L, 35L, "l-c"), // matches rt=30 (greatest ≤ 35)
+      (2L, 5L, "l-d"),  // key 2: matches rt=1
+      (3L, 50L, "l-e")  // key 3 has no right rows at all → null
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 20L, "r-20"),
+      (1L, 30L, "r-30"),
+      (1L, 40L, "r-40"), // never reached (future of every left row)
+      (2L, 1L, "r-1")
+    ).toDF("rk", "rt", "rv")
+    val got = graft.plans.AsOfJoinNative
+      .asof(left, right, key = "k", rightKey = "rk", leftTime = "t", rightTime = "rt")
+      .select("k", "t", "lv", "rt", "rv")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getString(4)))
+      .sortBy(x => (x._1, x._2))
+    assert(
+      got.toSeq == Seq(
+        (1L, 10L, "l-a", -1L, null),
+        (1L, 20L, "l-b", 20L, "r-20"),
+        (1L, 35L, "l-c", 30L, "r-30"),
+        (2L, 5L, "l-d", 1L, "r-1"),
+        (3L, 50L, "l-e", -1L, null)
+      ),
+      s"got: ${got.toSeq}"
+    )
+  }
+
+  test("q84: native as-of equals the q28 window composition row-for-row") {
+    val native = graft.operators.AsOfJoin.purchaseAsofClickNative(spark, dir).collect()
+    val window = graft.operators.AsOfJoin.purchaseAsofClick(spark, dir).collect()
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf).mkString("|")
+    assert(native.map(key).sorted.toSeq == window.map(key).sorted.toSeq)
+  }
+
+  test("q84: the plan is the dedicated exec — no union, no window state machine") {
+    val plan = finalPlan(graft.operators.AsOfJoin.purchaseAsofClickNative(spark, dir))
+    assert(plan.contains("AsOfJoin"), s"native exec missing in:\n$plan") // renders without the Exec suffix
+    assert(!plan.contains("Window"), "window operator leaked into the native as-of plan")
+    assert(!plan.contains("Union"), "union leaked into the native as-of plan")
+  }
+
   test("q80: exchanges carry fingerprints, never text") {
     val plan = finalPlan(TrainingPrep.snapshotDiff(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString
