@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection
+  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder
 }
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
@@ -22,19 +22,25 @@ import org.apache.spark.sql.types.LongType
   * right row precedes. Right side must be unique per (key, rt) for
   * determinism — same contract as the compositional q28.
   *
-  * Physical shape — WHY a dedicated operator beats the window composition:
+  * Physical shape:
   *  - requiredChildDistribution co-partitions both sides on the key
   *    (EnsureRequirements inserts compatible hash exchanges exactly as it
   *    does for sort-merge join);
   *  - requiredChildOrdering sorts each side by (key, time);
   *  - execute() is then a single forward-only per-partition merge: O(|L|+|R|)
   *    with O(1) state (ONE candidate row), versus the window plan's
-  *    union → sort over |L|+|R| rows → running `last` with a frame.
-  *    No union blow-up, no null-padded wide rows, left columns stream
-  *    through untouched.
-  * At 100 TB both plans shuffle the same bytes; the merge halves the sort
-  * volume (each side sorts alone — the union sorts the concatenation) and
-  * drops the window-function state machine.
+  *    union → sort over |L|+|R| null-padded wide rows → running `last`.
+  *
+  * Measured honestly (1M events, local[32], warm): native ≈ 0.4 s vs
+  * window ≈ 0.25 s — Spark's whole-stage-codegen'd window wins on constant
+  * factors at skinny-row scale (this exec is iterator-based, no codegen).
+  * The native operator's advantage is STRUCTURAL, not constant-factor:
+  * each side sorts alone at its own width (the union sorts |L|+|R| rows
+  * padded to the combined width — with wide payloads that is the
+  * difference between spilling and not), state is one row instead of a
+  * window frame, and left columns stream through untouched. It is also
+  * the extension-point demonstration: the same skeleton hosts any
+  * ordered-merge operator (range join, interval align, next-event join).
   *
   * v1 contract: key and time expressions must be LongType on both sides
   * (the API derives epoch-micros upstream — `unix_micros` — which is also
@@ -98,15 +104,26 @@ object AsOfJoinNative {
     /** Left rows stream through in place: their partitioning survives. */
     override def outputPartitioning: Partitioning = left.outputPartitioning
 
+    /** Ordinal of a (resolved, attribute-only) key/time column — the merge
+      * then reads primitive longs straight off the rows instead of paying
+      * an interpreted projection per row (measured 5× cpu at 1M rows). */
+    private def ordinal(attrs: Seq[Attribute], e: Expression, side: String): Int = {
+      val a = e match {
+        case a: Attribute => a
+        case other        => sys.error(s"as-of $side key/time must be a resolved column, got: $other")
+      }
+      val i = attrs.indexWhere(_.exprId == a.exprId)
+      require(i >= 0, s"as-of $side column ${a.name} not found in child output")
+      i
+    }
+
     override protected def doExecute(): RDD[InternalRow] = {
-      val lKeyExprs  = Seq(leftKey, leftTime)
-      val rKeyExprs  = Seq(rightKey, rightTime)
-      val lSchema    = left.output
-      val rSchema    = right.output
-      val rWidth     = right.output.size
+      val lkOrd  = ordinal(left.output, leftKey, "left")
+      val ltOrd  = ordinal(left.output, leftTime, "left")
+      val rkOrd  = ordinal(right.output, rightKey, "right")
+      val rtOrd  = ordinal(right.output, rightTime, "right")
+      val rWidth = right.output.size
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-        val lProj   = UnsafeProjection.create(lKeyExprs, lSchema)
-        val rProj   = UnsafeProjection.create(rKeyExprs, rSchema)
         val nullRow = new GenericInternalRow(rWidth)
         val joined  = new JoinedRow
         // one-row lookahead on the right + the current best candidate
@@ -119,20 +136,18 @@ object AsOfJoinNative {
         new Iterator[InternalRow] {
           override def hasNext: Boolean = lIter.hasNext
           override def next(): InternalRow = {
-            val l     = lIter.next()
-            val lKeys = lProj(l)
-            if (lKeys.isNullAt(0) || lKeys.isNullAt(1)) {
+            val l = lIter.next()
+            if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) {
               joined(l, nullRow) // null key/time never matches
             } else {
-              val lk = lKeys.getLong(0)
-              val lt = lKeys.getLong(1)
+              val lk = l.getLong(lkOrd)
+              val lt = l.getLong(ltOrd)
               var advance = true
               while (advance && (rHead != null || rIter.hasNext)) {
                 if (rHead == null) {
                   rHead = rIter.next()
-                  val rk = rProj(rHead)
-                  rHeadNull = rk.isNullAt(0) || rk.isNullAt(1)
-                  if (!rHeadNull) { rHeadKey = rk.getLong(0); rHeadTime = rk.getLong(1) }
+                  rHeadNull = rHead.isNullAt(rkOrd) || rHead.isNullAt(rtOrd)
+                  if (!rHeadNull) { rHeadKey = rHead.getLong(rkOrd); rHeadTime = rHead.getLong(rtOrd) }
                 }
                 if (rHeadNull) {
                   rHead = null // skip unmatched-able right rows
