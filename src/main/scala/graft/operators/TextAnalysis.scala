@@ -260,6 +260,42 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** Top-k for [[bpePairs]] — one BPE induction step's merge candidates. */
+  val TopBpePairs = 25
+
+  /** BPE merge-candidate mining (q85): the first step of byte-pair-encoding
+    * vocabulary induction — count adjacent CHARACTER pairs across the
+    * corpus and rank the top merge candidates.
+    *
+    * The scale trick is the one real BPE trainers use: pair counting runs
+    * over the WORD-FREQUENCY TABLE, not the corpus. The corpus collapses to
+    * (distinct word, count) — vocabulary-sized, orders of magnitude smaller
+    * than the token stream at 100 TB — and every downstream iteration
+    * (pair count, merge, re-count) touches only that table, weighted by
+    * the counts. One skinny (word, n) exchange builds the table; the pair
+    * aggregate shuffles (2-char pair, partial sum) rows; the global top-k
+    * is the q48 bounded-heap. */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val wc = Tables
+      .documentsDistributed(s, dir)
+      .select(explode(split(lower(col("text")), " +")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w")
+      .agg(count(lit(1)).as("n"))
+    val pairCounts = wc
+      .select(explode(expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"), col("n"))
+      .groupBy("pair")
+      .agg(sum(col("n")).as("n_total"))
+    pairCounts
+      .agg(graft.plans.TopKAggregate.topK(struct(col("n_total"), col("pair")), TopBpePairs).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        (col("pos") + 1).cast(LongType).as("rnk"),
+        col("t.pair").as("pair"),
+        col("t.n_total").as("n_total")
+      )
+  }
+
   /** Sketch capacity for [[heavyHitters]] — deliberately SMALLER than the
     * test vocabulary so the eviction and merge paths actually run. */
   val HhCapacity = 256
@@ -418,6 +454,7 @@ object TextAnalysis extends QueryModule {
     "q72_gopher_rules"    -> (gopherRules _),
     "q73_pii_scrub"       -> (piiScrub _),
     "q48_bigram_topk"     -> (bigramTopK _),
+    "q85_bpe_pairs"       -> (bpePairs _),
     "q67_heavy_hitters"   -> (heavyHitters _),
     "q44_tfidf_top_terms" -> (tfidfTopTerms _),
     "q59_lm_score"        -> (lmScore _),
@@ -479,6 +516,18 @@ object TextAnalysis extends QueryModule {
          |  CAST(sum(n_phone) AS BIGINT) AS total_phones,
          |  CAST(sum(removed) AS BIGINT) AS chars_removed
          |FROM p GROUP BY 1""".stripMargin,
+    "q85_bpe_pairs" ->
+      s"""WITH words AS (
+         |  SELECT unnest(regexp_split_to_array(lower(text), ' +')) AS w FROM documents
+         |),
+         |wc AS (SELECT w, count(*) AS n FROM words WHERE len(w) >= 2 GROUP BY w),
+         |pairs AS (
+         |  SELECT substr(w, i, 2) AS pair, n
+         |  FROM wc, unnest(generate_series(1, len(w) - 1)) AS g(i)
+         |),
+         |agg AS (SELECT pair, CAST(sum(n) AS BIGINT) AS n_total FROM pairs GROUP BY pair)
+         |SELECT row_number() OVER (ORDER BY n_total DESC, pair DESC) AS rnk, pair, n_total
+         |FROM agg ORDER BY n_total DESC, pair DESC LIMIT $TopBpePairs""".stripMargin,
     "q48_bigram_topk" ->
       s"""WITH t AS (SELECT regexp_split_to_array(text, ' +') AS toks FROM documents),
          |bg AS (
