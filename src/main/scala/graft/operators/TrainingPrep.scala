@@ -374,6 +374,48 @@ object TrainingPrep extends QueryModule {
       )
   }
 
+  /** Per-domain cap for [[domainCap]]: max docs kept per source. */
+  val DomainCapK = 20
+
+  /** Per-domain quality cap (q86) — the anti-dominance curation rule: no
+    * source may contribute more than K documents, and the K kept are the
+    * BEST by quality score (contrast q45, which samples uniformly by
+    * hash). Crawl corpora are Zipfian in domain size; without a cap the
+    * top domains drown the mix regardless of downstream weighting.
+    *
+    * Scale shape: quality scores are computed in one narrow pass, then the
+    * bounded-heap top-k aggregate keeps ≤ K rows per source per map
+    * partition — the exchange carries K·|sources| skinny rows, no
+    * per-source sort, no window funnel. Scores are emitted as
+    * floor(score·10⁶) LONGs (the raw composite double must not go through
+    * a decimal cast — engines disagree at the final ulp; IEEE multiply +
+    * floor are bit-identical). */
+  def domainCap(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documentsDistributed(s, dir)
+      .select(
+        col("source"),
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text"), col("n_chars")).as("score")
+      )
+      .groupBy("source")
+      .agg(
+        graft.plans.TopKAggregate
+          .topK(
+            struct(col("score"), col("doc_id")),
+            DomainCapK,
+            reversed = Seq(false, true) // score DESC, doc_id ASC
+          )
+          .as("top")
+      )
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("source"),
+        col("t.doc_id").as("doc_id"),
+        floor(col("t.score") * lit(1e6)).cast(LongType).as("score_micros"),
+        (col("pos") + 1).cast(LongType).as("rk")
+      )
+
   /** Upsert/tombstone merge (q83) — MERGE INTO for a corpus snapshot: apply
     * a delta batch (U = content rewrite, D = tombstone, I = new doc) to the
     * base corpus and report, per source, how the merge resolved plus an
@@ -487,6 +529,7 @@ object TrainingPrep extends QueryModule {
     "q69_source_mixing"     -> (sourceMixing _),
     "q80_snapshot_diff"     -> (snapshotDiff _),
     "q83_upsert_merge"      -> (upsertMerge _),
+    "q86_domain_cap"        -> (domainCap _),
     "q75_length_digest"     -> (lengthDigest _),
     "q49_length_quantile"   -> (lengthQuantileFilter _),
     "q56_shard_assign"      -> (shardAssign _),
@@ -505,6 +548,17 @@ object TrainingPrep extends QueryModule {
         |  quantile_disc(n_chars, 0.5) AS p50,
         |  quantile_disc(n_chars, 0.95) AS p95
         |FROM documents GROUP BY 1""".stripMargin,
+    "q86_domain_cap" ->
+      s"""WITH sc AS (
+         |  SELECT source, doc_id, (${TextAnalysis.qualityScoreSql}) AS score FROM documents
+         |)
+         |SELECT source, doc_id,
+         |  CAST(floor(score * 1000000.0) AS BIGINT) AS score_micros, rk
+         |FROM (
+         |  SELECT source, doc_id, score,
+         |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+         |  FROM sc
+         |) WHERE rk <= $DomainCapK""".stripMargin,
     "q83_upsert_merge" ->
       """WITH base AS (
         |  SELECT doc_id, source AS src_b,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -339,6 +339,51 @@ object Analytics extends QueryModule {
       .agg(dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n_items"))
   }
 
+  /** Bits per dimension for [[zorderLayout]] (two 16-bit dims → 32-bit z). */
+  val ZBits = 16
+
+  /** Bucket shift for [[zorderLayout]]: zval >> 20 → ≤ 4096 file buckets. */
+  val ZBucketShift = 20
+
+  /** Z-order layout clustering (q87) — the write-side data-layout operator
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY` analog): interleave the bits of
+    * two scan dimensions (user, event-hour) into one z-value, bucket rows
+    * by its prefix, and report per-bucket extent stats. Rows that are close
+    * in EITHER dimension land in the same bucket, so per-file min/max
+    * column stats prune scans filtered on user AND/OR time — the
+    * multi-dimensional locality a single-column sort cannot give.
+    *
+    * At 100 TB the operator's output is the repartitionByRange(zval) sort
+    * key in front of the parquet write; here the registered query reports
+    * the per-bucket (count, d1/d2 extents) that a layout optimizer
+    * inspects. Everything is integer bit arithmetic — identical in both
+    * engines; the narrow z computation stays in one codegen pass and the
+    * only exchange is the per-bucket rollup. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    def interleave(d1: Column, d2: Column): Column =
+      (0 until ZBits)
+        .map { i =>
+          shiftright(d1, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+            shiftright(d2, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+        }
+        .reduce(_ + _)
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        pmod(col("user_id"), lit(1L << ZBits)).as("d1"),
+        pmod(call_function("div", unix_micros(col("ts")), lit(3600000000L)), lit(1L << ZBits)).as("d2")
+      )
+    ev.select(col("d1"), col("d2"), shiftright(interleave(col("d1"), col("d2")), ZBucketShift).as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("d1")).as("d1_min"),
+        max(col("d1")).as("d1_max"),
+        min(col("d2")).as("d2_min"),
+        max(col("d2")).as("d2_max")
+      )
+  }
+
   /** TPC-H Q2-style correlated aggregate: each nation's top-balance
     * customer, matched by joining back on the correlated max. */
   def argmaxCustomer(s: SparkSession, dir: String): DataFrame = {
@@ -418,6 +463,7 @@ object Analytics extends QueryModule {
     "q16_unpivot"           -> (unpivotMeasures _),
     "q17_salted_agg"        -> (saltedAgg _),
     "q78_salted_join"       -> (saltedJoin _),
+    "q87_zorder_layout"     -> (zorderLayout _),
     "q13_cube"              -> (cubeOrders _),
     "q14_approx_distinct"   -> (approxDistinct _),
     "q01_pricing_summary"   -> (pricingSummary _),
@@ -494,6 +540,21 @@ object Analytics extends QueryModule {
     "q17_salted_agg" ->
       s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS sum_qty, count(*) AS n_rows
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q87_zorder_layout" -> {
+      val zExpr = (0 until ZBits)
+        .flatMap(i => Seq(s"(((d1 >> $i) & 1) << ${2 * i + 1})", s"(((d2 >> $i) & 1) << ${2 * i})"))
+        .mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT user_id % ${1L << ZBits} AS d1,
+         |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % ${1L << ZBits} AS d2
+         |  FROM events
+         |)
+         |SELECT ($zExpr) >> $ZBucketShift AS bucket,
+         |  count(*) AS n_rows,
+         |  min(d1) AS d1_min, max(d1) AS d1_max,
+         |  min(d2) AS d2_min, max(d2) AS d2_max
+         |FROM d GROUP BY 1""".stripMargin
+    },
     "q78_salted_join" ->
       s"""SELECT s.s_name AS s_name, ${sqlDsum("l.l_extendedprice")} AS revenue,
          |  count(*) AS n_items
