@@ -200,6 +200,32 @@ class Round5OpsSpec extends AnyFunSuite {
     )
   }
 
+  test("q84: property — native as-of agrees with a plain-Scala model on seeded random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // small key/time domains force heavy collisions: ties, runs of equal
+    // times, keys present on only one side
+    val row   = Gen.zip(Gen.chooseNum(0L, 6L), Gen.chooseNum(0L, 30L))
+    val cases = Gen.zip(Gen.listOfN(120, row), Gen.listOfN(80, row)).pureApply(Gen.Parameters.default, Seed(7L))
+    val (lRows, rRowsRaw) = cases
+    // right must be unique per (key, time) — the operator's contract
+    val rRows = rRowsRaw.distinct
+    val left  = lRows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "t", "lid")
+    val right = rRows.map { case (k, t) => (k, t, k * 1000 + t) }.toDF("rk", "rt", "rv")
+    val got = graft.plans.AsOfJoinNative
+      .asof(left, right, "k", "rk", "t", "rt")
+      .select("lid", "rt", "rv")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else (r.getLong(1), r.getLong(2))))
+      .toMap
+    val model = lRows.zipWithIndex.map { case ((k, t), i) =>
+      val m = rRows.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption
+      i.toLong -> m.map(r => (r._2, r._1 * 1000 + r._2)).orNull
+    }.toMap
+    assert(got == model)
+  }
+
   test("q84: native as-of equals the q28 window composition row-for-row") {
     val native = graft.operators.AsOfJoin.purchaseAsofClickNative(spark, dir).collect()
     val window = graft.operators.AsOfJoin.purchaseAsofClick(spark, dir).collect()
