@@ -16,8 +16,15 @@ object Verify {
     // comma-separated name prefixes, e.g. SPARK_GRAFT_VERIFY_ONLY=q77,q78.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
     val selected = only match {
-      case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
-      case None     => SparkEntry.queries
+      case Some(ps) =>
+        val sel = SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+        require(
+          sel.nonEmpty,
+          s"SPARK_GRAFT_VERIFY_ONLY=${ps.mkString(",")} matched no queries — " +
+            "a typo here would otherwise produce an empty-but-green verify run"
+        )
+        sel
+      case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -140,20 +140,6 @@ object AsOfJoin extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "q84_asof_native" -> asofOracleSql,
-    "q28_asof_join" ->
-      """WITH p AS (
-        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-        |  FROM events WHERE event_type = 'purchase'
-        |),
-        |c AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, CAST(max(event_id) AS BIGINT) AS click_id
-        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
-        |)
-        |SELECT p.event_id, p.user_id,
-        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
-        |  c.click_id,
-        |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
-        |  epoch_us(p.ts) - epoch_us(c.click_ts) AS gap_us
-        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin
+    "q28_asof_join" -> asofOracleSql
   )
 }

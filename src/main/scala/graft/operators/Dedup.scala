@@ -209,14 +209,20 @@ object Dedup extends QueryModule {
     * landed within 8% (HLL lgK=12 rsd ≈ 1.6%; 8% ≈ 4.9σ — the gate data regenerates per round, so the bound must survive fresh draws) — DuckDB emits
     * literal 1s, Spark must earn them. */
   def sketchRollup(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables
+    // ONE corpus pass: narrow md5 → distinct (source, fp). Everything
+    // downstream (per-source exact counts + sketches, the global exact
+    // count) reads this vocabulary-sized table — the second consumer hits
+    // the reused exchange, not the text scan (HLL is duplicate-insensitive,
+    // so sketching the distinct rows is identical to sketching the corpus).
+    val sf = Tables
       .documentsDistributed(s, dir)
       .select(col("source"), md5(canonicalText(col("text"))).as("fp"))
-    val perSource = base
+      .distinct()
+    val perSource = sf
       .groupBy("source")
       .agg(
         hll_sketch_agg(col("fp")).as("sk"),
-        countDistinct(col("fp")).as("n_exact")
+        count(lit(1)).as("n_exact")
       )
     val sourceRows = perSource.select(
       col("source").as("scope"),
@@ -226,9 +232,9 @@ object Dedup extends QueryModule {
         .as("est_ok")
     )
     // global = sketch UNION of the per-source sketches (no corpus rescan);
-    // the exact global distinct (for the flag) comes from the skinny fp
-    // projection, not the text
-    val globalExact = base.agg(countDistinct(col("fp")).as("n_exact"))
+    // the exact global distinct (for the flag) comes from the skinny
+    // distinct table, not the text
+    val globalExact = sf.agg(countDistinct(col("fp")).as("n_exact"))
     val globalRow = perSource
       .agg(hll_union_agg(col("sk")).as("sk"))
       .crossJoin(globalExact)

@@ -92,7 +92,7 @@ object GraphOps extends QueryModule {
         )
         .localCheckpoint() // truncate the per-round lineage (q38's pattern)
     }
-    ranks
+    val out = ranks
       .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .join(indeg.withColumnRenamed("dst", "node"), Seq("node"), "left")
       .select(
@@ -101,6 +101,14 @@ object GraphOps extends QueryModule {
         coalesce(col("outdeg"), lit(0L)).as("out_degree"),
         coalesce(col("indeg"), lit(0L)).as("in_degree")
       )
+      // materialize the (nodes-sized) result, then release the loop's
+      // caches — otherwise every invocation leaks three cached DataFrames
+      // for the session lifetime
+      .localCheckpoint()
+    e.unpersist()
+    outdeg.unpersist()
+    nodes.unpersist()
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

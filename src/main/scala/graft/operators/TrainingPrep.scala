@@ -423,7 +423,8 @@ object TrainingPrep extends QueryModule {
     * 32-bit md5 prefixes — exact in LONG, so the oracle hash-checks that
     * the merged CONTENT is right, not just the row counts). The delta here
     * derives deterministically from the base (mod-9 rewrites, mod-23
-    * tombstones, mod-9≡4 inserts under shifted ids); production callers
+    * tombstones, mod-9≡4 inserts in the negated-id space — disjoint from any
+    * non-negative base id at ANY corpus size); production callers
     * pass a real delta table.
     *
     * Scale shape: both sides reduce to (doc_id, source, fp8) in one narrow
@@ -454,7 +455,7 @@ object TrainingPrep extends QueryModule {
         docs
           .filter(col("doc_id") % 9 === 4)
           .select(
-            (col("doc_id") + 1000000L).as("doc_id"),
+            (-(col("doc_id") + 1L)).as("doc_id"),
             col("source").as("src_d"),
             lit("I").as("op"),
             fp8(concat(lit("new "), col("text"))).as("fp_d")
@@ -572,7 +573,7 @@ object TrainingPrep extends QueryModule {
         |  UNION ALL
         |  SELECT doc_id, source, 'D', NULL FROM documents WHERE doc_id % 23 = 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, source, 'I',
+        |  SELECT -(doc_id + 1), source, 'I',
         |    CAST('0x' || substr(md5('new ' || text), 1, 8) AS BIGINT)
         |  FROM documents WHERE doc_id % 9 = 4
         |),

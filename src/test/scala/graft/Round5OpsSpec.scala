@@ -123,7 +123,8 @@ class Round5OpsSpec extends AnyFunSuite {
   test("q81: union-merged sketch estimate ≈ exact global distinct (flags earned, not assumed)") {
     val rows = graft.operators.Dedup.sketchRollup(spark, dir).collect()
     assert(rows.nonEmpty)
-    // every per-source and the merged __all__ estimate must be inside 6%
+    // every per-source and the merged __all__ estimate must be inside the
+    // operator's 8% flag bound (4.9σ — regeneration-robust)
     assert(rows.forall(_.getLong(2) == 1L), s"sketch estimate outside bound: ${rows.mkString(",")}")
     val all = rows.filter(_.getString(0) == "__all__")
     assert(all.length == 1)
