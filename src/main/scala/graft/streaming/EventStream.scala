@@ -68,6 +68,33 @@ object EventStream {
         col("n_events")
       )
 
+  /** Stream–stream event-time interval join: each purchase joins the same
+    * user's clicks from the strictly-preceding 10 minutes — the streaming
+    * counterpart of batch q65's binned range join. Both sides carry
+    * watermarks, and the time-interval predicate bounds the join state:
+    * Spark evicts buffered clicks once the purchase-side watermark passes
+    * `click_ts + 10 min`, so state is O(arrival rate × window), not
+    * unbounded. Inner join (stream–stream outer needs both watermarks too;
+    * the batch q65 LEFT semantics are recovered downstream by re-attaching
+    * zero-click purchases from the purchase stream itself if needed). */
+  def purchaseClickIntervalJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(
+      clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("p_ts"),
+      "inner"
+    )
+  }
+
   /** Stream → batched HTTP sink via foreachBatch: each micro-batch posts
     * through the reference's K1 sink semantics (clamped batches, retry,
     * key-omission JSON). Returns the started query; at-least-once —

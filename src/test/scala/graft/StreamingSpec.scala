@@ -290,6 +290,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals batch q65's positive click counts") {
+    val stream = EventStream.fromParquet(spark, streamDir)
+    val q = EventStream
+      .purchaseClickIntervalJoin(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_interval_join")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark
+        .table("stream_interval_join")
+        .groupBy("p_id")
+        .count()
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      val batch = graft.operators.EventWindows
+        .rangeJoinClicks(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("n_clicks_10m") > 0)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(3))
+        .toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     val stream = EventStream.fromParquet(spark, streamDir)
     val q = EventStream
