@@ -374,6 +374,29 @@ object TrainingPrep extends QueryModule {
       )
   }
 
+  /** Tile count for [[globalNtile]]. */
+  val NtileK = 10
+
+  /** Scale-safe global NTILE (q88): equal-count decile assignment over the
+    * whole corpus in deterministic (md5(doc_id), doc_id) order. A naive
+    * `ntile(10) OVER (ORDER BY …)` is a single-task global sort — the same
+    * funnel q55 eliminates — so this reuses q55's two-phase global rank
+    * (md5-prefix shards ranked in parallel + broadcast per-shard offsets)
+    * and derives the tile arithmetically: with n rows and k tiles, SQL
+    * NTILE is exactly `floor(rank₀ · k / n) + 1` on the 0-based rank —
+    * remainder rows land in the leading tiles, matching the window
+    * function's definition, with zero additional shuffle (n is one scalar
+    * broadcast). */
+  def globalNtile(s: SparkSession, dir: String, k: Int = NtileK): DataFrame = {
+    val ranked = trainingOrder(s, dir)
+    val n      = ranked.count()
+    ranked.select(
+      col("doc_id"),
+      col("global_idx"),
+      (call_function("div", col("global_idx") * lit(k.toLong), lit(n)) + 1L).as("tile")
+    )
+  }
+
   /** Per-domain cap for [[domainCap]]: max docs kept per source. */
   val DomainCapK = 20
 
@@ -531,6 +554,7 @@ object TrainingPrep extends QueryModule {
     "q80_snapshot_diff"     -> (snapshotDiff _),
     "q83_upsert_merge"      -> (upsertMerge _),
     "q86_domain_cap"        -> (domainCap _),
+    "q88_global_ntile"      -> ((s, d) => globalNtile(s, d)),
     "q75_length_digest"     -> (lengthDigest _),
     "q49_length_quantile"   -> (lengthQuantileFilter _),
     "q56_shard_assign"      -> (shardAssign _),
@@ -549,6 +573,11 @@ object TrainingPrep extends QueryModule {
         |  quantile_disc(n_chars, 0.5) AS p50,
         |  quantile_disc(n_chars, 0.95) AS p95
         |FROM documents GROUP BY 1""".stripMargin,
+    "q88_global_ntile" ->
+      s"""SELECT doc_id,
+         |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS global_idx,
+         |  CAST(ntile($NtileK) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS tile
+         |FROM documents""".stripMargin,
     "q86_domain_cap" ->
       s"""WITH sc AS (
          |  SELECT source, doc_id, (${TextAnalysis.qualityScoreSql}) AS score FROM documents
