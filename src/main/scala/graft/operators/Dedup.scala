@@ -209,15 +209,19 @@ object Dedup extends QueryModule {
     * landed within 8% (HLL lgK=12 rsd ≈ 1.6%; 8% ≈ 4.9σ — the gate data regenerates per round, so the bound must survive fresh draws) — DuckDB emits
     * literal 1s, Spark must earn them. */
   def sketchRollup(s: SparkSession, dir: String): DataFrame = {
-    // ONE corpus pass: narrow md5 → distinct (source, fp). Everything
-    // downstream (per-source exact counts + sketches, the global exact
-    // count) reads this vocabulary-sized table — the second consumer hits
-    // the reused exchange, not the text scan (HLL is duplicate-insensitive,
-    // so sketching the distinct rows is identical to sketching the corpus).
+    // ONE corpus pass: narrow md5 → distinct (source, fp), materialized
+    // (localCheckpoint) so BOTH consumers — per-source exact counts +
+    // sketches, and the global exact count — read the vocabulary-sized
+    // table instead of re-scanning text (without the checkpoint the
+    // optimizer prunes each consumer into its own corpus scan; HLL is
+    // duplicate-insensitive, so sketching distinct rows is identical to
+    // sketching the corpus). Checkpoint blocks free with the DF reference,
+    // unlike a session-lifetime cache.
     val sf = Tables
       .documentsDistributed(s, dir)
       .select(col("source"), md5(canonicalText(col("text"))).as("fp"))
       .distinct()
+      .localCheckpoint()
     val perSource = sf
       .groupBy("source")
       .agg(

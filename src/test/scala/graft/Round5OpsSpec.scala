@@ -241,6 +241,26 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), "union leaked into the native as-of plan")
   }
 
+  test("q79: the quantize pass is map-side — no corpus exchange (model rides as literals)") {
+    val plan = finalPlan(Similarity.int8Quantize(spark, dir))
+    // the only exchange feeds the final per-label aggregate: skinny row
+    // stats, never the vector column
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchanges.contains("qv") && !exchanges.contains("embedding"),
+      s"vector column rides an exchange in q79: $exchanges")
+  }
+
+  test("q81: one corpus scan feeds per-source sketches AND the global exact count") {
+    val plan = finalPlan(graft.operators.Dedup.sketchRollup(spark, dir))
+    // the corpus is scanned ONCE, inside the localCheckpoint of the distinct
+    // (source, fp) table; the registered plan itself must read only the
+    // materialized distinct — any FileScan here means the single-pass claim
+    // regressed (the optimizer otherwise prunes each consumer into its own
+    // corpus scan)
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 0, s"expected zero corpus scans above the checkpointed distinct, got $scans:\n$plan")
+  }
+
   test("q80: exchanges carry fingerprints, never text") {
     val plan = finalPlan(TrainingPrep.snapshotDiff(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString
