@@ -339,6 +339,58 @@ object Analytics extends QueryModule {
       .agg(dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n_items"))
   }
 
+  /** False-positive rate for [[bloomJoin]]'s runtime filter: 1% keeps the
+    * filter at ~9.6 bits/key (1M keys ≈ 1.2 MB shipped with the task
+    * binary) while letting at most 1% of non-matching fact rows through to
+    * the exact join. */
+  val BloomFpp = 0.01
+
+  /** Bloom-pruned join (q89) — the explicit runtime-filter pattern. A
+    * selective dim predicate (urgent finished orders) means most fact rows
+    * (lineitem) will NOT survive the join, yet a shuffled join still pays
+    * to exchange every fact row first. The fix that matters at 100 TB:
+    * build a Bloom filter over the ~selective~ dim keys (driver-side, a
+    * mergeable tree-aggregate over the small side), ship it to every fact
+    * task, and drop non-candidate rows MAP-SIDE, before the exchange — the
+    * fact shuffle shrinks by ≈ the join selectivity.
+    *
+    * Exactness: a Bloom "no" is never wrong, so no true match is lost; the
+    * ≤1% false "yes" rows are dropped by the exact join that follows — the
+    * composed result is identical to the plain join (the oracle).
+    *
+    * Spark's own `InjectRuntimeFilter` applies this rewrite when stats
+    * warrant; this is the explicit, planner-independent form (and the
+    * [[graft.plans.BloomMightContain]] probe is codegen'd, so the fact
+    * scan→filter stage stays in WholeStageCodegen). The dim side carries a
+    * shuffle_hash hint for the same reason q78's does: at test scale Spark
+    * would broadcast the dim — broadcast join IS the degenerate runtime
+    * filter — and the hint stands in for the 100 TB case where the dim
+    * exceeds the broadcast threshold. Sizing: bits scale linearly with dim
+    * keys (1.2 MB per 10⁶ at 1%); beyond ~10⁸ filtered dim keys the bloom
+    * itself stops being shippable and the right tool is a shuffled
+    * semi-join on the skinny key column instead. */
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    // filtered dim keys, materialized once (localCheckpoint) — consumed
+    // three times: count (bloom sizing), bloom build, and the exact join
+    val dimKeys = Tables
+      .orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+      .localCheckpoint()
+    val bf = dimKeys.stat.bloomFilter("o_orderkey", math.max(1L, dimKeys.count()), BloomFpp)
+    val fact = Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+      .filter(graft.plans.BloomExpressions.mightContain(bf, col("l_orderkey")))
+    fact
+      .join(dimKeys.hint("shuffle_hash"), fact("l_orderkey") === dimKeys("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), dec6).as("revenue")
+      )
+  }
+
   /** Bits per dimension for [[zorderLayout]] (two 16-bit dims → 32-bit z). */
   val ZBits = 16
 
@@ -464,6 +516,7 @@ object Analytics extends QueryModule {
     "q17_salted_agg"        -> (saltedAgg _),
     "q78_salted_join"       -> (saltedJoin _),
     "q87_zorder_layout"     -> (zorderLayout _),
+    "q89_bloom_join"        -> (bloomJoin _),
     "q13_cube"              -> (cubeOrders _),
     "q14_approx_distinct"   -> (approxDistinct _),
     "q01_pricing_summary"   -> (pricingSummary _),
@@ -564,6 +617,12 @@ object Analytics extends QueryModule {
          |  FROM lineitem
          |) l JOIN supplier s ON l.join_key = s.s_suppkey
          |GROUP BY 1""".stripMargin,
+    "q89_bloom_join" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+         |GROUP BY l_returnflag""".stripMargin,
     "q13_cube" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
          |  ${sqlDsum("o_totalprice")} AS sum_price

@@ -237,6 +237,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"shard assignment shuffles:\n$plan")
   }
 
+  test("q89 bloom probe prunes the fact side map-side: below the exchange, codegen'd") {
+    val plan  = finalPlan(Analytics.bloomJoin(spark, dir))
+    val lines = plan.linesIterator.toList
+    val probe = lines.indexWhere(l => l.contains("Filter") && l.contains("bloommightcontain(l_orderkey"))
+    assert(probe >= 0, s"no bloom probe on the fact side in:\n$plan")
+    assert(lines(probe).contains("*("), "bloom probe stage fell out of whole-stage codegen")
+    val scan = lines.indexWhere(_.contains("FileScan parquet"), probe)
+    assert(scan > probe, "no fact scan below the bloom probe")
+    assert(
+      !lines.slice(probe, scan).exists(_.contains("Exchange")),
+      "bloom probe sits above an exchange — the prune is not map-side"
+    )
+    assert(lines.exists(_.contains("ShuffledHashJoin")), "join did not stay shuffled (hint lost)")
+  }
+
   test("q65 range join is a binned equi-join, not a nested-loop theta join") {
     val plan = finalPlan(graft.operators.EventWindows.rangeJoinClicks(spark, dir))
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"range join fell back to BNLJ:\n$plan")

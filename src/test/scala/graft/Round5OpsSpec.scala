@@ -266,4 +266,43 @@ class Round5OpsSpec extends AnyFunSuite {
     val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString
     assert(!exchanges.contains("text"), s"raw text shuffles in snapshot diff: $exchanges")
   }
+
+  test("q89: bloom probe has no false negatives and the pruned join equals the direct join") {
+    import spark.implicits._
+    import org.apache.spark.util.sketch.BloomFilter
+    // no-false-negative contract (the exactness argument rests on it):
+    // every inserted key MUST probe true, through the codegen'd Column path
+    val bf = BloomFilter.create(500, Analytics.BloomFpp)
+    (0L until 1000L by 2L).foreach(bf.putLong)
+    val probed = spark
+      .range(0, 1000)
+      .filter(graft.plans.BloomExpressions.mightContain(bf, col("id")))
+      .select(col("id"))
+      .as[Long]
+      .collect()
+      .toSet
+    assert((0L until 1000L by 2L).forall(probed.contains), "bloom dropped an inserted key")
+    val fpRate = probed.count(_ % 2 == 1) / 500.0
+    assert(fpRate <= 0.05, s"false-positive rate $fpRate implausibly high for fpp=1%")
+
+    // end-to-end: bloom-pruned join ≡ plain join (false positives dropped)
+    val direct = Tables
+      .lineitem(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    val pruned = Analytics
+      .bloomJoin(spark, dir)
+      .select(col("l_returnflag"), col("n_items"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(pruned == direct, s"bloom-pruned join diverged: $pruned vs $direct")
+  }
 }
