@@ -252,13 +252,78 @@ object Dedup extends QueryModule {
     sourceRows.unionByName(globalRow)
   }
 
+  /** est_ok tolerance for [[sourceOverlap]]: the intersection estimate
+    * composes THREE lgK=12 sketches (|A∩B| = |A|+|B|−|A∪B|), each rsd
+    * ≈1.6%, so its std vs the union size is ≤ 1.6%·√3 ≈ 2.8% — 12% ≈ 4.3σ,
+    * safe against the per-round data regen even across ~200² pairs. */
+  val OverlapTol = 0.12
+
+  /** Cross-source overlap matrix via sketch intersection (q90) — the
+    * second half of q81's sketch algebra. "How much of src_a is also in
+    * src_b?" drives crawl-source triage (drop a source that is 90%
+    * contained in another) and contamination budgeting. Exact answer needs
+    * a fp self-join per pair; the sketch answer needs NO corpus access at
+    * all: per-source HLLs (bytes, built in q81's single pass) compose via
+    * inclusion–exclusion, |A∩B| = |A|+|B| − |A∪B|, where |A∪B| comes from
+    * a scalar `hll_union` of the two sketches. The |sources|² pair matrix
+    * is sketch-sized work — independent of corpus size — which is why
+    * every 100 TB dashboard computes overlap this way.
+    *
+    * Oracle discipline (q14/q81): estimates are not DuckDB-reproducible,
+    * so the hash-checked columns are the EXACT per-pair counts (from the
+    * skinny distinct (source, fp) table — vocabulary-sized, text never
+    * shuffles) plus an in-row `est_ok` flag the Spark side must earn:
+    * |est_inter − n_inter| ≤ [[OverlapTol]] · n_union. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    // one corpus pass → skinny distinct (source, fp), two consumers
+    // (per-source sketches+counts, exact pair intersections)
+    val sf = Tables
+      .documentsDistributed(s, dir)
+      .select(col("source"), md5(canonicalText(col("text"))).as("fp"))
+      .distinct()
+      .localCheckpoint()
+    val per = sf
+      .groupBy("source")
+      .agg(hll_sketch_agg(col("fp")).as("sk"), count(lit(1)).as("n"))
+    val exactInter = sf
+      .as("a")
+      .join(sf.as("b"), col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val estUnion = hll_sketch_estimate(hll_union(col("x.sk"), col("y.sk")))
+    val pairs = per
+      .as("x")
+      .join(per.as("y"), col("x.source") < col("y.source"))
+      .select(
+        col("x.source").as("src_a"),
+        col("y.source").as("src_b"),
+        col("x.n").as("n_a"),
+        col("y.n").as("n_b"),
+        (hll_sketch_estimate(col("x.sk")) + hll_sketch_estimate(col("y.sk")) - estUnion).as("est_inter")
+      )
+    pairs
+      .join(exactInter, Seq("src_a", "src_b"), "left")
+      .select(
+        col("src_a"),
+        col("src_b"),
+        col("n_a"),
+        col("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (abs(col("est_inter") - coalesce(col("n_inter"), lit(0L))) <=
+          lit(OverlapTol) * (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))).cast(DoubleType))
+          .cast(LongType)
+          .as("est_ok")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (exact _),
     "q31_dedup_canonical" -> (canonical _),
     "q32_dedup_jaccard"   -> (ngramJaccard _),
     "q71_span_dedup"      -> (spanDedup _),
     "q74_url_canonical"   -> (urlCanonicalDedup _),
-    "q81_sketch_rollup"   -> (sketchRollup _)
+    "q81_sketch_rollup"   -> (sketchRollup _),
+    "q90_source_overlap"  -> (sourceOverlap _)
   )
 
   /** DuckDB rendering of [[shingles]] — shared by the Jaccard and MinHash
@@ -307,6 +372,23 @@ object Dedup extends QueryModule {
         |    lower(url), '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/+$', '') AS canon,
         |  count(*) AS n_urls, min(doc_id) AS keep_id
         |FROM u GROUP BY 1""".stripMargin,
+    "q90_source_overlap" ->
+      """WITH fp AS (
+        |  SELECT DISTINCT source, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |),
+        |c AS (SELECT source, count(*) AS n FROM fp GROUP BY 1),
+        |i AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT ca.source AS src_a, cb.source AS src_b,
+        |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        |  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+        |  CAST(1 AS BIGINT) AS est_ok
+        |FROM c ca JOIN c cb ON ca.source < cb.source
+        |LEFT JOIN i ON i.src_a = ca.source AND i.src_b = cb.source""".stripMargin,
     "q81_sketch_rollup" ->
       """WITH fp AS (
         |  SELECT source, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp

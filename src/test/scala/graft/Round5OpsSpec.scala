@@ -267,6 +267,29 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(!exchanges.contains("text"), s"raw text shuffles in snapshot diff: $exchanges")
   }
 
+  test("q90: planted cross-source overlap — exact pair counts, flags earned") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-overlap").toFile.getAbsolutePath
+    // srcA has 20 docs; srcB shares exactly 5 canonical texts with srcA;
+    // srcC is disjoint — so the pair matrix is fully known in advance
+    val docs =
+      (0 until 20).map(i => (i.toLong, s"alpha doc $i", "en", "srcA", 10L)) ++
+        (0 until 10).map(i => (100L + i, if (i < 5) s"alpha doc $i" else s"beta doc $i", "en", "srcB", 10L)) ++
+        (0 until 8).map(i => (200L + i, s"gamma doc $i", "en", "srcC", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").write.parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.Dedup
+      .sourceOverlap(spark, tmp)
+      .select(col("src_a"), col("src_b"), col("n_inter"), col("est_ok"))
+      .as[(String, String, Long, Long)]
+      .collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4)))
+      .toMap
+    assert(out.keySet == Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    assert(out(("srcA", "srcB")) == ((5L, 1L)), s"planted 5-doc overlap missed: $out")
+    assert(out(("srcA", "srcC")) == ((0L, 1L)))
+    assert(out(("srcB", "srcC")) == ((0L, 1L)))
+  }
+
   test("q89: bloom probe has no false negatives and the pruned join equals the direct join") {
     import spark.implicits._
     import org.apache.spark.util.sketch.BloomFilter
