@@ -174,16 +174,142 @@ object EventWindows extends QueryModule {
       )
   }
 
+  /** SCD2 interval build (q91) — gaps-and-islands change detection, the
+    * warehouse dimension-build operator (and the state-reconstruction op
+    * behavioral ML runs before feature extraction): collapse each user's
+    * consecutive runs of the same event_type into validity intervals
+    * [valid_from, valid_to), where valid_to is the NEXT run's start (NULL
+    * on the open/current run — the SCD2 "current row" flag).
+    *
+    * Shape: ONE per-user window pass computes the change flag (lag) and
+    * the running island id (rows-frame sum) in the same (us, event_id)
+    * sort — the event_id tiebreak makes runs deterministic under equal
+    * timestamps; the island groupBy and the lead() that closes each
+    * interval then run on the RUNS table, which is |islands|-sized, not
+    * |events|-sized. Everything partitions by user_id — millions of
+    * groups at scale, no few-task funnel. */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w     = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wRows = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val runs = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .withColumn("chg", when(col("prev").isNull || col("prev") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("chg")).over(wRows))
+      .groupBy(col("user_id"), col("island"))
+      .agg(
+        min(col("event_type")).as("state"), // constant within an island
+        min(col("us")).as("valid_from_us"),
+        count(lit(1)).as("n_events")
+      )
+    val wIsl = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy(col("island"))
+    runs
+      .select(
+        col("user_id"),
+        col("state"),
+        col("valid_from_us"),
+        lead(col("valid_from_us"), 1).over(wIsl).as("valid_to_us"),
+        col("n_events"),
+        lead(col("valid_from_us"), 1).over(wIsl).isNull.cast("long").as("is_current")
+      )
+  }
+
+  /** Ordered event funnel (q92) — view → click → purchase conversion, the
+    * canonical product-analytics operator. "Click AFTER the first view,
+    * purchase AFTER that click" is an ORDER constraint, so a naive plan
+    * sorts every event per user; this one never shuffles the event table
+    * at all. Min-filter composition instead: step k is a conditional MIN
+    * per user, gated on the step-(k−1) timestamp — three partial
+    * aggregates whose shuffles carry only (user_id, ts) pairs, with the
+    * |users|-sized gate table joined back onto the filtered event stream
+    * (broadcast at test scale, hash at 100 TB — skinny either way). The
+    * funnel report is then one tiny rollup: users entering each step plus
+    * the exact mean view→purchase latency of full conversions (integer
+    * micro sums / count — one deterministic double division per row). */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view").groupBy("user_id").agg(min(col("us")).as("t1"))
+    val c = ev
+      .filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("us") > col("t1"))
+      .groupBy("user_id")
+      .agg(min(col("us")).as("t2"), min(col("t1")).as("t1k"))
+    val p = ev
+      .filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("us") > col("t2"))
+      .groupBy("user_id")
+      .agg(min(col("us")).as("t3"), min(col("t1k")).as("t1p"))
+    val nv = v.agg(count(lit(1)).as("n_view")).select(col("n_view"))
+    val nc = c.agg(count(lit(1)).as("n_click_after")).select(col("n_click_after"))
+    val np = p.agg(
+      count(lit(1)).as("n_purchase_after"),
+      sum(col("t3") - col("t1p")).as("lat_sum_us")
+    )
+    nv.crossJoin(nc)
+      .crossJoin(np)
+      .select(
+        col("n_view"),
+        col("n_click_after"),
+        col("n_purchase_after"),
+        round(col("lat_sum_us").cast("double") / col("n_purchase_after"), 6).as("avg_view_to_purchase_us"),
+        round(col("n_purchase_after").cast("double") / col("n_view"), 6).as("conversion")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_range_join"      -> (rangeJoinClicks _),
     "q25_window_tumbling" -> (tumbling _),
     "q26_window_session"  -> (sessions _),
     "q27_window_sliding"  -> (sliding _),
     "q82_transitions"     -> (transitions _),
+    "q91_scd2_intervals"  -> (scd2Intervals _),
+    "q92_event_funnel"    -> (eventFunnel _),
     "q66_moving_avg"      -> (movingAvg _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q91_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events
+        |),
+        |r AS (
+        |  SELECT user_id, event_id, us, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |),
+        |i AS (
+        |  SELECT user_id, event_type, us,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM r
+        |),
+        |runs AS (
+        |  SELECT user_id, island, min(event_type) AS state, min(us) AS valid_from_us,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM i GROUP BY 1, 2
+        |)
+        |SELECT user_id, state, valid_from_us,
+        |  lead(valid_from_us) OVER w2 AS valid_to_us, n_events,
+        |  CAST(lead(valid_from_us) OVER w2 IS NULL AS BIGINT) AS is_current
+        |FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY island)""".stripMargin,
+    "q92_event_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |v AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS t2, min(t1) AS t1k FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS t3, min(t1k) AS t1p FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click_after,
+        |  (SELECT count(*) FROM p) AS n_purchase_after,
+        |  round(CAST((SELECT sum(t3 - t1p) FROM p) AS DOUBLE) / (SELECT count(*) FROM p), 6)
+        |    AS avg_view_to_purchase_us,
+        |  round(CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM v), 6) AS conversion""".stripMargin,
     "q82_transitions" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events

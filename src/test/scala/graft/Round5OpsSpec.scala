@@ -267,6 +267,72 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(!exchanges.contains("text"), s"raw text shuffles in snapshot diff: $exchanges")
   }
 
+  /** Write an events.parquet fixture in the driver's shape (ts = raw ns
+    * epoch long, as the nanos-parquet contract reads it). */
+  private def eventsFixture(rows: Seq[(Long, Long, Long, String)]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-events").toFile.getAbsolutePath
+    rows
+      .map { case (id, tsSec, user, typ) => (id, tsSec * 1000000000L, user, typ, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write
+      .parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("q91: SCD2 islands on a hand-built run sequence (runs, closes, current flag, id tiebreak)") {
+    import spark.implicits._
+    val dir = eventsFixture(
+      Seq(
+        // user 1: view,view | click,click | view  → 3 islands
+        (10L, 1L, 1L, "view"), (11L, 2L, 1L, "view"), (12L, 3L, 1L, "click"),
+        (13L, 4L, 1L, "click"), (14L, 5L, 1L, "view"),
+        // user 2: a single open-ended run
+        (20L, 7L, 2L, "error"),
+        // user 3: two events at the SAME ts — event_id must break the tie
+        (30L, 10L, 3L, "view"), (31L, 10L, 3L, "click")
+      )
+    )
+    val out = graft.operators.EventWindows
+      .scd2Intervals(spark, dir)
+      .select(col("user_id"), col("state"), col("valid_from_us"), col("valid_to_us"), col("n_events"), col("is_current"))
+      .as[(Long, String, Long, Option[Long], Long, Long)]
+      .collect()
+      .toSet
+    val M = 1000000L // seconds → micros
+    assert(
+      out == Set(
+        (1L, "view", 1 * M, Some(3 * M), 2L, 0L),
+        (1L, "click", 3 * M, Some(5 * M), 2L, 0L),
+        (1L, "view", 5 * M, None, 1L, 1L),
+        (2L, "error", 7 * M, None, 1L, 1L),
+        (3L, "view", 10 * M, Some(10 * M), 1L, 0L),
+        (3L, "click", 10 * M, None, 1L, 1L)
+      ),
+      s"SCD2 intervals diverged: $out"
+    )
+  }
+
+  test("q92: funnel order constraints — pre-view clicks and pre-click purchases don't count") {
+    import spark.implicits._
+    val dir = eventsFixture(
+      Seq(
+        // user 1: click BEFORE view, then view → click → purchase (converts, 2 s latency)
+        (1L, 1L, 1L, "click"), (2L, 2L, 1L, "view"), (3L, 3L, 1L, "click"), (4L, 4L, 1L, "purchase"),
+        // user 2: view then purchase with NO intervening click — stops at step 1
+        (5L, 1L, 2L, "view"), (6L, 2L, 2L, "purchase"),
+        // user 3: everything in reverse order — enters the funnel, converts nothing
+        (7L, 1L, 3L, "purchase"), (8L, 2L, 3L, "click"), (9L, 3L, 3L, "view")
+      )
+    )
+    val r = graft.operators.EventWindows.eventFunnel(spark, dir).collect().head
+    assert(r.getAs[Long]("n_view") == 3L)
+    assert(r.getAs[Long]("n_click_after") == 1L)
+    assert(r.getAs[Long]("n_purchase_after") == 1L)
+    assert(r.getAs[Double]("avg_view_to_purchase_us") == 2000000.0)
+    assert(r.getAs[Double]("conversion") == 0.333333)
+  }
+
   test("q90: planted cross-source overlap — exact pair counts, flags earned") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-overlap").toFile.getAbsolutePath
