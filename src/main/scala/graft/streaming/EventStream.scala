@@ -122,6 +122,12 @@ object EventStream {
   final case class LastEvent(us: Long, event_id: Long, event_type: String)
   final case class Transition(user_id: Long, prev_type: String, next_type: String)
 
+  /** Funnel progress per user: the first-view / first-qualifying-click
+    * timestamps, and whether the conversion already fired (each user
+    * converts at most once — same as batch q92's per-user min semantics). */
+  final case class FunnelState(t1: Option[Long], t2: Option[Long], converted: Boolean)
+  final case class Conversion(user_id: Long, t1_us: Long, t3_us: Long)
+
   /** Custom keyed state: running per-user totals via flatMapGroupsWithState.
     * Emits the updated summary on every micro-batch trigger. */
   def runningUserTotals(events: DataFrame): Dataset[UserSummary] = {
@@ -173,6 +179,46 @@ object EventStream {
             prev = Some(LastEvent(e.us, e.event_id, e.event_type))
           }
           prev.foreach(state.update)
+          out.result().iterator
+        }
+      )
+  }
+
+  /** Streaming counterpart of batch q92's ordered funnel: O(1)
+    * [[FunnelState]] per user, advanced as a state machine — first view
+    * sets t1, first click strictly after t1 sets t2, first purchase
+    * strictly after t2 emits the [[Conversion]] (once per user). Under
+    * [[transitionPairs]]'s ordering discipline (micro-batch rows sorted by
+    * (event time, id), per-user in-order delivery across batches) each
+    * "first qualifying" arrival IS the minimum, so emitted conversions
+    * match the batch min-filter composition exactly — StreamingSpec pins
+    * the parity. State never grows with history: three longs per user,
+    * evictable on timeout in a production config. */
+  def funnelConversions(events: DataFrame): Dataset[Conversion] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      .as[SeqEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[SeqEvent], state: GroupState[FunnelState]) => {
+          val ordered = rows.toSeq.sortBy(e => (e.us, e.event_id))
+          var st      = state.getOption.getOrElse(FunnelState(None, None, converted = false))
+          val out     = Seq.newBuilder[Conversion]
+          ordered.foreach { e =>
+            e.event_type match {
+              case "view" if st.t1.isEmpty => st = st.copy(t1 = Some(e.us))
+              case "click" if st.t2.isEmpty && st.t1.exists(e.us > _) =>
+                st = st.copy(t2 = Some(e.us))
+              case "purchase" if !st.converted && st.t2.exists(e.us > _) =>
+                st = st.copy(converted = true)
+                out += Conversion(userId, st.t1.get, e.us)
+              case _ => ()
+            }
+          }
+          state.update(st)
           out.result().iterator
         }
       )

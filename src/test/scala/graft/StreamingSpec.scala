@@ -290,6 +290,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel state machine equals batch q92 conversions") {
+    val stream = EventStream.fromParquet(spark, streamDir)
+    val q = EventStream
+      .funnelConversions(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_funnel")
+      .start()
+    try {
+      q.processAllAvailable()
+      val conv = spark.table("stream_funnel").collect()
+      val batch = EventWindows.eventFunnel(spark, dir).head()
+      assert(conv.length.toLong == batch.getAs[Long]("n_purchase_after"), "conversion count diverged")
+      // at most one conversion per user
+      assert(conv.map(_.getAs[Long]("user_id")).distinct.length == conv.length)
+      if (conv.nonEmpty) {
+        val latSum = conv.map(r => r.getAs[Long]("t3_us") - r.getAs[Long]("t1_us")).sum
+        val avg    = BigDecimal(latSum.toDouble / conv.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+        assert(avg == batch.getAs[Double]("avg_view_to_purchase_us"), "mean view→purchase latency diverged")
+      }
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals batch q65's positive click counts") {
     val stream = EventStream.fromParquet(spark, streamDir)
     val q = EventStream
