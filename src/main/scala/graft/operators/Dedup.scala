@@ -158,6 +158,49 @@ object Dedup extends QueryModule {
       .withColumn("dup_frac", round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
   }
 
+  /** A span is boilerplate when it appears in ≥ this fraction of its
+    * source's (span-bearing) documents — the CCNet/RefinedWeb-style
+    * repeated-content rule, relative to the source so a 10⁶-doc crawl
+    * domain and a 10³-doc one are judged by the same standard. */
+  val BoilerDfFrac = 0.2
+
+  /** Per-source boilerplate detection (q93) — headers, footers, cookie
+    * banners and nav text repeat across most pages OF THE SAME SOURCE,
+    * which global span dedup (q71) under-weights: corpus-wide a banner in
+    * 0.01% of all docs looks rare even when it is on 100% of its own
+    * domain. This operator computes span document-frequency WITHIN each
+    * source and flags spans with df ≥ max(2, [[BoilerDfFrac]]·n_docs);
+    * the per-source report (distinct spans, boilerplate spans, doc-hits
+    * mass) is what a curation pass uses to strip them.
+    *
+    * Scale shape: text never shuffles — the corpus pass explodes to
+    * (doc_id, source, fp) fingerprints (span counted once per containing
+    * doc via distinct), the df aggregate is partial on skinny rows, and
+    * the per-source doc counts are a vocabulary-sized side table. The
+    * df-fraction compare is one IEEE multiply, identical in DuckDB. */
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), col("source"), explode(spanFingerprints(col("text"))).as("fp"))
+      .distinct()
+    val nd = e.groupBy("source").agg(countDistinct(col("doc_id")).as("n_docs"))
+    val df = e.groupBy("source", "fp").agg(count(lit(1)).as("df"))
+    val isBoiler =
+      col("df") >= 2L && col("df").cast("double") >= lit(BoilerDfFrac) * col("n_docs")
+    df.join(nd, Seq("source"))
+      .groupBy("source")
+      .agg(
+        min(col("n_docs")).as("n_docs"), // constant per source
+        count(lit(1)).as("n_distinct_spans"),
+        sum(when(isBoiler, 1L).otherwise(0L)).as("n_boiler_spans"),
+        sum(when(isBoiler, col("df")).otherwise(0L)).as("boiler_doc_hits")
+      )
+      .withColumn(
+        "boiler_frac",
+        round(col("n_boiler_spans").cast("double") / col("n_distinct_spans"), 6)
+      )
+  }
+
   /** URL canonical form: lowercase, strip scheme and leading www., drop the
     * query string and fragment entirely, strip trailing slashes. Dropping
     * the WHOLE query is the aggressive-dedup variant (tracking params like
@@ -323,7 +366,8 @@ object Dedup extends QueryModule {
     "q71_span_dedup"      -> (spanDedup _),
     "q74_url_canonical"   -> (urlCanonicalDedup _),
     "q81_sketch_rollup"   -> (sketchRollup _),
-    "q90_source_overlap"  -> (sourceOverlap _)
+    "q90_source_overlap"  -> (sourceOverlap _),
+    "q93_boilerplate"     -> (boilerplate _)
   )
 
   /** DuckDB rendering of [[shingles]] — shared by the Jaccard and MinHash
@@ -372,6 +416,28 @@ object Dedup extends QueryModule {
         |    lower(url), '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/+$', '') AS canon,
         |  count(*) AS n_urls, min(doc_id) AS keep_id
         |FROM u GROUP BY 1""".stripMargin,
+    "q93_boilerplate" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, source,
+         |    list_transform(generate_series(0, CAST(len(t) // $SpanTokens AS BIGINT) - 1),
+         |                   j -> md5(array_to_string(t[j*$SpanTokens+1 : j*$SpanTokens+$SpanTokens], ' '))) AS fps
+         |  FROM (SELECT doc_id, source, regexp_split_to_array(text, ' +') AS t FROM documents)
+         |),
+         |e AS (SELECT DISTINCT doc_id, source, fp FROM
+         |        (SELECT doc_id, source, unnest(fps) AS fp FROM sp WHERE len(fps) > 0)),
+         |nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM e GROUP BY 1),
+         |df AS (SELECT source, fp, count(*) AS df FROM e GROUP BY 1, 2)
+         |SELECT df.source AS source,
+         |  CAST(min(nd.n_docs) AS BIGINT) AS n_docs,
+         |  count(*) AS n_distinct_spans,
+         |  CAST(sum(CASE WHEN df.df >= 2 AND CAST(df.df AS DOUBLE) >= $BoilerDfFrac * nd.n_docs
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_spans,
+         |  CAST(sum(CASE WHEN df.df >= 2 AND CAST(df.df AS DOUBLE) >= $BoilerDfFrac * nd.n_docs
+         |           THEN df.df ELSE 0 END) AS BIGINT) AS boiler_doc_hits,
+         |  round(CAST(sum(CASE WHEN df.df >= 2 AND CAST(df.df AS DOUBLE) >= $BoilerDfFrac * nd.n_docs
+         |             THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS boiler_frac
+         |FROM df JOIN nd ON df.source = nd.source
+         |GROUP BY 1""".stripMargin,
     "q90_source_overlap" ->
       """WITH fp AS (
         |  SELECT DISTINCT source, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp

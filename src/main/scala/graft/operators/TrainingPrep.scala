@@ -548,7 +548,54 @@ object TrainingPrep extends QueryModule {
       )
   }
 
+  /** Fraction of the total corpus tokens the training run will consume —
+    * the mixture budget [[mixAllocation]] allocates across sources. */
+  val MixBudgetFrac = 0.5
+
+  /** Temperature-resampled mixture allocation (q94) — the data-mixing math
+    * that decides HOW MUCH of each source a training run reads. Sampling
+    * proportional to size lets one crawl domain dominate; uniform sampling
+    * starves the big sources; the standard compromise (multilingual LM
+    * training's τ-temperature trick) samples ∝ tokens^(1/τ) — here τ = 2,
+    * i.e. √tokens. The output per source is its weight, mixture share,
+    * token target out of the [[MixBudgetFrac]] budget, and `epochs` =
+    * target/tokens — the repeat factor a loader applies (> 1 means the
+    * small source is up-sampled / re-read).
+    *
+    * Determinism discipline: √T is ONE correctly-rounded IEEE op in both
+    * engines, but SUMS of doubles are order-dependent — so weights are
+    * floored to micro fixed-point LONGs (floor(√T·10⁶)) and every total is
+    * an exact integer sum; the shares/targets divide those exact longs
+    * with one double division each. Scale shape: one narrow token-count
+    * pass + a per-source partial agg; the allocation arithmetic runs on
+    * the |sources|-row table against a broadcast 1-row total. */
+  def mixAllocation(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables
+      .documentsDistributed(s, dir)
+      .select(col("source"), size(split(col("text"), " +")).cast(LongType).as("n_tok"))
+      .groupBy("source")
+      .agg(sum(col("n_tok")).as("tokens"))
+      .withColumn("w_micro", floor(sqrt(col("tokens").cast(DoubleType)) * lit(1000000.0)).cast(LongType))
+    val totals = perSource.agg(sum(col("tokens")).as("tot_tokens"), sum(col("w_micro")).as("tot_w"))
+    perSource
+      .crossJoin(totals)
+      .withColumn(
+        "target_tokens",
+        floor(col("tot_tokens").cast(DoubleType) * lit(MixBudgetFrac) * col("w_micro") / col("tot_w"))
+          .cast(LongType)
+      )
+      .select(
+        col("source"),
+        col("tokens"),
+        col("w_micro"),
+        round(col("w_micro").cast(DoubleType) / col("tot_w"), 6).as("share"),
+        col("target_tokens"),
+        round(col("target_tokens").cast(DoubleType) / col("tokens"), 6).as("epochs")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_mix_allocation"    -> (mixAllocation _),
     "q68_clean_funnel"      -> (cleanFunnel _),
     "q69_source_mixing"     -> (sourceMixing _),
     "q80_snapshot_diff"     -> (snapshotDiff _),
@@ -567,6 +614,23 @@ object TrainingPrep extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q94_mix_allocation" ->
+      s"""WITH t AS (
+         |  SELECT source, CAST(sum(len(regexp_split_to_array(text, ' +'))) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY 1
+         |),
+         |w AS (
+         |  SELECT source, tokens,
+         |    CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+         |  FROM t
+         |),
+         |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens, CAST(sum(w_micro) AS BIGINT) AS tot_w FROM w)
+         |SELECT source, tokens, w_micro,
+         |  round(CAST(w_micro AS DOUBLE) / tot_w, 6) AS share,
+         |  CAST(floor(CAST(tot_tokens AS DOUBLE) * $MixBudgetFrac * w_micro / tot_w) AS BIGINT) AS target_tokens,
+         |  round(CAST(floor(CAST(tot_tokens AS DOUBLE) * $MixBudgetFrac * w_micro / tot_w) AS DOUBLE) / tokens, 6)
+         |    AS epochs
+         |FROM w, tot""".stripMargin,
     "q75_length_digest" ->
       """SELECT lang, count(*) AS n_docs,
         |  quantile_disc(n_chars, 0.05) AS p05,

@@ -333,6 +333,53 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("conversion") == 0.333333)
   }
 
+  test("q93: planted per-source boilerplate header is flagged; clean source reports zero") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-boiler").toFile.getAbsolutePath
+    val header = (1 to 8).map(i => s"hdr$i").mkString(" ") // one exact 8-token span
+    val docs =
+      (0 until 10).map { i =>
+        val tail = (1 to 8).map(j => s"body${i}_$j").mkString(" ")
+        (i.toLong, s"$header $tail", "en", "srcBoiler", 10L)
+      } ++
+        (0 until 5).map { i =>
+          (100L + i, (1 to 8).map(j => s"clean${i}_$j").mkString(" "), "en", "srcClean", 10L)
+        }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").write.parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.Dedup
+      .boilerplate(spark, tmp)
+      .select(col("source"), col("n_docs"), col("n_distinct_spans"), col("n_boiler_spans"), col("boiler_doc_hits"))
+      .as[(String, Long, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5)))
+      .toMap
+    // header appears in all 10 docs (df=10 ≥ 0.2·10); the 10 unique tails don't
+    assert(out("srcBoiler") == ((10L, 11L, 1L, 10L)), s"boilerplate report diverged: $out")
+    assert(out("srcClean") == ((5L, 5L, 0L, 0L)))
+  }
+
+  test("q94: temperature allocation on skewed sources — exact √-weights, small source upsampled") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mix").toFile.getAbsolutePath
+    def doc(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    Seq(
+      (1L, doc(6400, "a"), "en", "srcBig", 10L),
+      (2L, doc(1600, "b"), "en", "srcMid", 10L),
+      (3L, doc(400, "c"), "en", "srcSmall", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars").write.parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.TrainingPrep
+      .mixAllocation(spark, tmp)
+      .select(col("source"), col("tokens"), col("w_micro"), col("share"), col("target_tokens"), col("epochs"))
+      .as[(String, Long, Long, Double, Long, Double)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    // √6400=80, √1600=40, √400=20 → weights 4:2:1 of the 8400·0.5=4200 budget
+    assert(out("srcBig") == (("srcBig", 6400L, 80000000L, 0.571429, 2400L, 0.375)))
+    assert(out("srcMid") == (("srcMid", 1600L, 40000000L, 0.285714, 1200L, 0.75)))
+    assert(out("srcSmall") == (("srcSmall", 400L, 20000000L, 0.142857, 600L, 1.5)))
+  }
+
   test("q90: planted cross-source overlap — exact pair counts, flags earned") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-overlap").toFile.getAbsolutePath
