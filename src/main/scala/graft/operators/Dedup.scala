@@ -179,10 +179,15 @@ object Dedup extends QueryModule {
     * the per-source doc counts are a vocabulary-sized side table. The
     * df-fraction compare is one IEEE multiply, identical in DuckDB. */
   def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    // ONE corpus pass (q81's discipline): the skinny distinct
+    // (doc_id, source, fp) table is materialized (localCheckpoint) so both
+    // consumers — per-source doc counts and span document frequencies —
+    // read it instead of re-exploding text
     val e = Tables
       .documentsDistributed(s, dir)
       .select(col("doc_id"), col("source"), explode(spanFingerprints(col("text"))).as("fp"))
       .distinct()
+      .localCheckpoint()
     val nd = e.groupBy("source").agg(countDistinct(col("doc_id")).as("n_docs"))
     val df = e.groupBy("source", "fp").agg(count(lit(1)).as("df"))
     val isBoiler =

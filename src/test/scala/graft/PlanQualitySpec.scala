@@ -237,6 +237,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"shard assignment shuffles:\n$plan")
   }
 
+  test("q93 boilerplate: text never shuffles — exchanges carry fingerprints only") {
+    val plan      = finalPlan(graft.operators.Dedup.boilerplate(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(exchanges.nonEmpty, "expected the skinny df aggregate exchange")
+    assert(!exchanges.contains("text"), s"raw text shuffles in boilerplate detection: $exchanges")
+  }
+
   test("q89 bloom probe prunes the fact side map-side: below the exchange, codegen'd") {
     val plan  = finalPlan(Analytics.bloomJoin(spark, dir))
     val lines = plan.linesIterator.toList
