@@ -128,6 +128,10 @@ object EventStream {
   final case class FunnelState(t1: Option[Long], t2: Option[Long], converted: Boolean)
   final case class Conversion(user_id: Long, t1_us: Long, t3_us: Long)
 
+  /** The open run per user: its state label, start time, and event count. */
+  final case class OpenRun(event_type: String, from_us: Long, n_events: Long)
+  final case class ClosedRun(user_id: Long, state: String, valid_from_us: Long, valid_to_us: Long, n_events: Long)
+
   /** Custom keyed state: running per-user totals via flatMapGroupsWithState.
     * Emits the updated summary on every micro-batch trigger. */
   def runningUserTotals(events: DataFrame): Dataset[UserSummary] = {
@@ -219,6 +223,46 @@ object EventStream {
             }
           }
           state.update(st)
+          out.result().iterator
+        }
+      )
+  }
+
+  /** Streaming counterpart of batch q91's SCD2 interval build: one
+    * [[OpenRun]] of state per user. Each arrival either extends the open
+    * run (same event_type) or CLOSES it — emitting the finished
+    * [[ClosedRun]] with valid_to = the new run's start, exactly the batch
+    * lead() semantics — and opens the next. The one still-open run per
+    * user stays in state (batch's is_current=1 / valid_to NULL rows), so
+    * emitted rows correspond 1:1 to the batch query's CLOSED intervals —
+    * StreamingSpec pins that parity. Ordering discipline and state bound
+    * are [[transitionPairs]]'s: micro-batch rows sorted by (time, id),
+    * per-user in-order delivery across batches, O(1) state per user. */
+  def scd2Runs(events: DataFrame): Dataset[ClosedRun] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      .as[SeqEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[SeqEvent], state: GroupState[OpenRun]) => {
+          val ordered = rows.toSeq.sortBy(e => (e.us, e.event_id))
+          var open    = state.getOption
+          val out     = Seq.newBuilder[ClosedRun]
+          ordered.foreach { e =>
+            open match {
+              case Some(r) if r.event_type == e.event_type =>
+                open = Some(r.copy(n_events = r.n_events + 1))
+              case Some(r) =>
+                out += ClosedRun(userId, r.event_type, r.from_us, e.us, r.n_events)
+                open = Some(OpenRun(e.event_type, e.us, 1L))
+              case None =>
+                open = Some(OpenRun(e.event_type, e.us, 1L))
+            }
+          }
+          open.foreach(state.update)
           out.result().iterator
         }
       )

@@ -316,6 +316,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 run-closing equals batch q91's closed intervals") {
+    val stream = EventStream.fromParquet(spark, streamDir)
+    val q = EventStream
+      .scd2Runs(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_scd2")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .table("stream_scd2")
+        .collect()
+        .map(r =>
+          (r.getAs[Long]("user_id"), r.getAs[String]("state"), r.getAs[Long]("valid_from_us"),
+            r.getAs[Long]("valid_to_us"), r.getAs[Long]("n_events"))
+        )
+        .toSet
+      val batchClosed = EventWindows
+        .scd2Intervals(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("is_current") === 0L)
+        .collect()
+        .map(r =>
+          (r.getAs[Long]("user_id"), r.getAs[String]("state"), r.getAs[Long]("valid_from_us"),
+            r.getAs[Long]("valid_to_us"), r.getAs[Long]("n_events"))
+        )
+        .toSet
+      assert(streamed == batchClosed, "streamed closed runs diverged from batch q91")
+      assert(streamed.nonEmpty, "fixture produced no closed runs — parity would be vacuous")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals batch q65's positive click counts") {
     val stream = EventStream.fromParquet(spark, streamDir)
     val q = EventStream
