@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Num, QueryModule, Tables}
@@ -261,7 +261,54 @@ object EventWindows extends QueryModule {
       )
   }
 
+  /** One week in event-time micros — the [[cohortRetention]] bucket. */
+  val WeekUs = 7L * 24 * 3600 * 1000000L
+
+  /** Cohort retention matrix (q95) — the classic product-analytics rollup:
+    * users are cohorted by their signup week, and each later week of
+    * activity increments that cohort's week-k retention cell; the output
+    * is (cohort_week, week_offset) → active users, cohort size, and the
+    * retention fraction.
+    *
+    * Scale shape: the cohort table is |users|-sized (one min per user over
+    * the signup events — partial agg), and re-joins the event stream on
+    * user_id as a SKINNY (user_id, signup-week) side — broadcast at test
+    * scale, hash at 100 TB. Activity is distinct-ed on (user, cohort,
+    * offset) BEFORE the matrix rollup so the exchange carries three longs
+    * per active-user-week, never per event. Week arithmetic is exact
+    * integer division on epoch micros (`div`), identical in DuckDB —
+    * double division would round at the week boundary for large epochs. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    def weekOf(us: Column): Column = call_function("div", us, lit(WeekUs))
+    val ev = Tables
+      .events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val cohort = ev
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(col("us")).as("signup_us"))
+      .select(col("user_id"), col("signup_us"), weekOf(col("signup_us")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    val active = ev
+      .join(cohort, Seq("user_id"))
+      .filter(col("us") >= col("signup_us"))
+      .select(col("user_id"), col("cohort_week"), (weekOf(col("us")) - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    active
+      .join(sizes, Seq("cohort_week"))
+      .select(
+        col("cohort_week"),
+        col("week_offset"),
+        col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_cohort_retention" -> (cohortRetention _),
     "q65_range_join"      -> (rangeJoinClicks _),
     "q25_window_tumbling" -> (tumbling _),
     "q26_window_session"  -> (sessions _),
@@ -273,6 +320,24 @@ object EventWindows extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q95_cohort_retention" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+         |cohort AS (
+         |  SELECT user_id, min(us) AS signup_us, min(us) // $WeekUs AS cohort_week
+         |  FROM e WHERE event_type = 'signup' GROUP BY user_id
+         |),
+         |sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY 1),
+         |active AS (
+         |  SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active FROM (
+         |    SELECT DISTINCT e.user_id, c.cohort_week, (e.us // $WeekUs) - c.cohort_week AS week_offset
+         |    FROM e JOIN cohort c ON e.user_id = c.user_id
+         |    WHERE e.us >= c.signup_us
+         |  ) GROUP BY 1, 2
+         |)
+         |SELECT a.cohort_week AS cohort_week, a.week_offset AS week_offset,
+         |  CAST(a.n_active AS BIGINT) AS n_active, CAST(s.cohort_size AS BIGINT) AS cohort_size,
+         |  round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+         |FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week""".stripMargin,
     "q91_scd2_intervals" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events

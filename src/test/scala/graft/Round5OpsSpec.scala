@@ -313,6 +313,35 @@ class Round5OpsSpec extends AnyFunSuite {
     )
   }
 
+  test("q95: cohort retention matrix — signup-week cohorts, pre-signup activity excluded") {
+    import spark.implicits._
+    val wk = 604800L // seconds per week; fixture ts are seconds
+    val dir = eventsFixture(
+      Seq(
+        // user 1: signs up week 0, active weeks 1 and 2
+        (1L, 100L, 1L, "signup"), (2L, wk + 100L, 1L, "click"), (3L, 2 * wk + 100L, 1L, "view"),
+        // user 2: signs up week 0, never returns
+        (4L, 200L, 2L, "signup"),
+        // user 3: pre-signup view must NOT count; signs up week 1, active that week
+        (5L, 100L, 3L, "view"), (6L, wk + 200L, 3L, "signup"), (7L, wk + 300L, 3L, "click")
+      )
+    )
+    val out = graft.operators.EventWindows
+      .cohortRetention(spark, dir)
+      .as[(Long, Long, Long, Long, Double)]
+      .collect()
+      .toSet
+    assert(
+      out == Set(
+        (0L, 0L, 2L, 2L, 1.0),  // both week-0 users active in their signup week
+        (0L, 1L, 1L, 2L, 0.5),  // only user 1 returns in week 1
+        (0L, 2L, 1L, 2L, 0.5),
+        (1L, 0L, 1L, 1L, 1.0)   // user 3's pre-signup view excluded
+      ),
+      s"retention matrix diverged: $out"
+    )
+  }
+
   test("q92: funnel order constraints — pre-view clicks and pre-click purchases don't count") {
     import spark.implicits._
     val dir = eventsFixture(
