@@ -307,7 +307,51 @@ object EventWindows extends QueryModule {
       )
   }
 
+  /** One hour in event-time micros — the [[rateAnomaly]] bucket. */
+  val HourUs = 3600000000L
+
+  /** Per-user event-rate anomaly screen (q96) — the monitoring rollup a
+    * pipeline runs over behavioral logs before trusting them (bot bursts,
+    * instrumentation loops, replayed traffic): bucket each user's events
+    * into hours, learn the user's own hourly mean/σ, and flag hours above
+    * mean + 3σ. Everything is exact-integer until the last step: hourly
+    * counts are longs, the per-user moment sums (Σc, Σc²) are exact long
+    * partial aggregates, and mean/σ/threshold are derived per row by ONE
+    * identical IEEE expression chain in both engines — so even the
+    * boundary compare is deterministic. Shape: two skinny partial aggs
+    * ((user, hour) counts, then per-user moments) + a |users|-sized
+    * rejoin; nothing wide ever shuffles and no per-user window sort. */
+  def rateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hours = Tables
+      .events(s, dir)
+      .select(col("user_id"), call_function("div", unix_micros(col("ts")), lit(HourUs)).as("hr"))
+      .groupBy("user_id", "hr")
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hours
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("cnt")).as("sum_c"),
+        sum(col("cnt") * col("cnt")).as("sum_c2"),
+        max(col("cnt")).as("max_cnt")
+      )
+    val mean = col("sum_c").cast("double") / col("n_hours")
+    val sigma =
+      sqrt(greatest(col("sum_c2").cast("double") / col("n_hours") - mean * mean, lit(0.0)))
+    val thr = mean + lit(3.0) * sigma
+    hours
+      .join(stats, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("n_hours")).as("n_hours"),
+        min(col("max_cnt")).as("max_cnt"),
+        sum(when(col("cnt").cast("double") > thr, 1L).otherwise(0L)).as("n_anomalous_hours"),
+        round(min(thr), 6).as("threshold")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_rate_anomaly"     -> (rateAnomaly _),
     "q95_cohort_retention" -> (cohortRetention _),
     "q65_range_join"      -> (rangeJoinClicks _),
     "q25_window_tumbling" -> (tumbling _),
@@ -320,6 +364,29 @@ object EventWindows extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q96_rate_anomaly" ->
+      s"""WITH h AS (
+         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // $HourUs AS hr, count(*) AS cnt
+         |  FROM events GROUP BY 1, 2
+         |),
+         |st AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
+         |    CAST(sum(cnt) AS BIGINT) AS sum_c, CAST(sum(cnt * cnt) AS BIGINT) AS sum_c2,
+         |    CAST(max(cnt) AS BIGINT) AS max_cnt
+         |  FROM h GROUP BY 1
+         |)
+         |SELECT h.user_id AS user_id, min(st.n_hours) AS n_hours, min(st.max_cnt) AS max_cnt,
+         |  CAST(sum(CASE WHEN CAST(h.cnt AS DOUBLE) >
+         |      CAST(st.sum_c AS DOUBLE) / st.n_hours
+         |        + 3.0 * sqrt(greatest(CAST(st.sum_c2 AS DOUBLE) / st.n_hours
+         |            - (CAST(st.sum_c AS DOUBLE) / st.n_hours) * (CAST(st.sum_c AS DOUBLE) / st.n_hours), 0.0))
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_hours,
+         |  round(min(CAST(st.sum_c AS DOUBLE) / st.n_hours
+         |        + 3.0 * sqrt(greatest(CAST(st.sum_c2 AS DOUBLE) / st.n_hours
+         |            - (CAST(st.sum_c AS DOUBLE) / st.n_hours) * (CAST(st.sum_c AS DOUBLE) / st.n_hours), 0.0))), 6)
+         |    AS threshold
+         |FROM h JOIN st ON h.user_id = st.user_id
+         |GROUP BY 1""".stripMargin,
     "q95_cohort_retention" ->
       s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
          |cohort AS (

@@ -342,6 +342,28 @@ class Round5OpsSpec extends AnyFunSuite {
     )
   }
 
+  test("q96: burst hour flagged against the user's own baseline; constant rate never flags") {
+    import spark.implicits._
+    var id = 0L
+    def burst(user: Long, hour: Long, n: Int): Seq[(Long, Long, Long, String)] =
+      (0 until n).map { i => id += 1; (id, hour * 3600L + i, user, "click") }
+    // user 1: 1 event/hour for 10 hours, then a 20-event burst hour
+    // user 2: constant 3 events/hour — σ = 0, nothing can exceed mean + 3σ
+    val dir = eventsFixture(
+      (0L until 10L).flatMap(h => burst(1L, h, 1)) ++ burst(1L, 10L, 20) ++
+        (0L until 5L).flatMap(h => burst(2L, h, 3))
+    )
+    val out = graft.operators.EventWindows
+      .rateAnomaly(spark, dir)
+      .select(col("user_id"), col("n_hours"), col("max_cnt"), col("n_anomalous_hours"))
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    assert(out(1L) == ((11L, 20L, 1L)), s"burst not flagged: $out")
+    assert(out(2L) == ((5L, 3L, 0L)), s"constant rate false-flagged: $out")
+  }
+
   test("q92: funnel order constraints — pre-view clicks and pre-click purchases don't count") {
     import spark.implicits._
     val dir = eventsFixture(
