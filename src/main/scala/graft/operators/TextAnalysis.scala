@@ -450,7 +450,74 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** Top-k for [[pmiPairs]] and its skip-gram window (pairs at distance
+    * 1..[[PmiWindow]]). */
+  val TopPmiPairs = 25
+  val PmiWindow   = 2
+
+  /** Windowed co-occurrence / PMI mining (q97) — the association-count job
+    * embedding prep runs over a corpus (word2vec/GloVe co-occurrence
+    * tables, collocation detection): count ordered token pairs within a
+    * ±[[PmiWindow]] window and score the top pairs by pointwise mutual
+    * information, ln((n_pair/P) / ((c1/N)·(c2/N))).
+    *
+    * Shape: the window pairs are built NARROWLY by shifting the token
+    * array against itself (no positional self-join — the naive plan
+    * shuffles (doc, pos) twice); the pair aggregate is partial on (w1,
+    * w2); the global top-k is the q48 bounded heap (≤ k rows per
+    * partition reach the final exchange, no sort); and the unigram
+    * marginals + totals join AFTER top-k, onto 25 rows. Exact-integer
+    * counts are the hash-checked evidence; the PMI double derives from
+    * them via one identical IEEE chain per row (q44/q59's log
+    * discipline). */
+  def pmiPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsDistributed(s, dir).select(split(col("text"), " +").as("t"))
+    val n    = size(col("t"))
+    def pairsAt(k: Int): Column =
+      when(n <= k, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(
+          transform(
+            sequence(lit(1), n - k),
+            i => struct(element_at(col("t"), i).as("w1"), element_at(col("t"), i + k).as("w2"))
+          )
+        )
+    val pc = docs
+      .select(explode(concat((1 to PmiWindow).map(pairsAt): _*)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_pair"))
+    val top = pc
+      .agg(
+        graft.plans.TopKAggregate
+          .topK(struct(col("n_pair"), col("w1"), col("w2")), TopPmiPairs, Seq(false, true, true))
+          .as("top")
+      )
+      .select(explode(col("top")).as("t"))
+      .select(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.n_pair").as("n_pair"))
+    val uc     = docs.select(explode(col("t")).as("w")).groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = pc.agg(sum(col("n_pair")).as("n_pairs")).crossJoin(uc.agg(sum(col("c")).as("n_tok")))
+    top
+      .join(uc.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uc.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(totals)
+      .select(
+        col("w1"),
+        col("w2"),
+        col("n_pair"),
+        col("c1"),
+        col("c2"),
+        round(
+          log(
+            (col("n_pair").cast(DoubleType) / col("n_pairs")) /
+              ((col("c1").cast(DoubleType) / col("n_tok")) * (col("c2").cast(DoubleType) / col("n_tok")))
+          ),
+          6
+        ).as("pmi")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_pmi_pairs"       -> (pmiPairs _),
     "q72_gopher_rules"    -> (gopherRules _),
     "q73_pii_scrub"       -> (piiScrub _),
     "q48_bigram_topk"     -> (bigramTopK _),
@@ -470,6 +537,24 @@ object TextAnalysis extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q97_pmi_pairs" ->
+      s"""WITH tk AS (SELECT regexp_split_to_array(text, ' +') AS t FROM documents),
+         |p AS (
+         |  SELECT t[i] AS w1, t[i+1] AS w2 FROM tk, UNNEST(generate_series(1, len(t)-1)) AS g(i)
+         |  UNION ALL
+         |  SELECT t[i] AS w1, t[i+2] AS w2 FROM tk, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+         |),
+         |pc AS (SELECT w1, w2, count(*) AS n_pair FROM p GROUP BY 1, 2),
+         |uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(n_pair) AS BIGINT) FROM pc) AS n_pairs,
+         |               (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS n_tok),
+         |top AS (SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair FROM pc
+         |        ORDER BY n_pair DESC, w1, w2 LIMIT $TopPmiPairs)
+         |SELECT top.w1 AS w1, top.w2 AS w2, top.n_pair AS n_pair,
+         |  CAST(a.c AS BIGINT) AS c1, CAST(b.c AS BIGINT) AS c2,
+         |  round(ln((CAST(top.n_pair AS DOUBLE) / tot.n_pairs)
+         |        / ((CAST(a.c AS DOUBLE) / tot.n_tok) * (CAST(b.c AS DOUBLE) / tot.n_tok))), 6) AS pmi
+         |FROM top JOIN uc a ON top.w1 = a.w JOIN uc b ON top.w2 = b.w, tot""".stripMargin,
     "q72_gopher_rules" ->
       s"""WITH tok AS (
          |  SELECT doc_id,

@@ -237,6 +237,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"shard assignment shuffles:\n$plan")
   }
 
+  test("q97 pmi pairs: narrow window-shift pairs, bounded-heap top-k, no positional self-join") {
+    val plan = finalPlan(graft.operators.TextAnalysis.pmiPairs(spark, dir))
+    val aggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(aggs >= 2, s"expected partial+final bounded-heap aggregate in:\n$plan")
+    assert(!plan.contains("Window"), "pair mining fell back to a window")
+    // marginals join onto the 25-row top table broadcasts; the pair build
+    // itself must not join (the naive positional self-join shape)
+    assert(!plan.contains("SortMergeJoin"), s"positional self-join crept in:\n$plan")
+  }
+
   test("q93 boilerplate: text never shuffles — exchanges carry fingerprints only") {
     val plan      = finalPlan(graft.operators.Dedup.boilerplate(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString

@@ -342,6 +342,26 @@ class Round5OpsSpec extends AnyFunSuite {
     )
   }
 
+  test("q97: window-2 pairs on a tiny doc — exact skip-gram counts and marginals") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pmi").toFile.getAbsolutePath
+    // "a b c" at window 2 → ordered pairs (a,b), (b,c), (a,c); marginals a=1 b=2 c=1 over both docs
+    Seq((1L, "a b c", "en", "s", 5L), (2L, "b", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write
+      .parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.TextAnalysis
+      .pmiPairs(spark, tmp)
+      .select(col("w1"), col("w2"), col("n_pair"), col("c1"), col("c2"))
+      .as[(String, String, Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(
+      out == Set(("a", "b", 1L, 1L, 2L), ("b", "c", 1L, 2L, 1L), ("a", "c", 1L, 1L, 1L)),
+      s"skip-gram pairs diverged: $out"
+    )
+  }
+
   test("q96: burst hour flagged against the user's own baseline; constant rate never flags") {
     import spark.implicits._
     var id = 0L
