@@ -350,7 +350,48 @@ object EventWindows extends QueryModule {
       )
   }
 
+  /** Columns [[dataProfile]] reports on (the engine-normalized events
+    * shape: raw ns epoch + derived µs timestamp collapse to `ts_ns`). */
+  val ProfileCols: Seq[String] = Seq("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+
+  /** Per-column data profile (q98) — the ingestion contract check (Deequ/
+    * dbt-test style) every pipeline runs before trusting a new drop: row
+    * count, null count/fraction, and EXACT distinct cardinality per
+    * column. Profiles drive schema-drift alerts (a column whose null rate
+    * jumps, an id whose cardinality stops matching row count) and are the
+    * cheap precursor to q80's row-level snapshot diff.
+    *
+    * Shape: ONE corpus pass. The multi-column exact distincts plan as one
+    * Expand (|cols|× row multiplication) feeding a partial aggregate —
+    * map-side, no per-column rescans; the wide one-row result is reshaped
+    * to per-column rows driver-free via a literal struct array. At 100 TB
+    * swap the exact distincts for q81's HLL sketches column-wise if 6×
+    * Expand is too hot — the report schema is unchanged. */
+  def dataProfile(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(ProfileCols.map(col): _*)
+    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd") // null-excluding, as in the oracle
+      )
+    }
+    val wide = ev.agg(aggs.head, aggs.tail: _*)
+    val rows = ProfileCols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        col(s"${c}__nn").as("n_null"),
+        col(s"${c}__nd").as("n_distinct")
+      )
+    }
+    wide
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+      .withColumn("null_frac", round(col("n_null").cast("double") / col("n_rows"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_data_profile"     -> (dataProfile _),
     "q96_rate_anomaly"     -> (rateAnomaly _),
     "q95_cohort_retention" -> (cohortRetention _),
     "q65_range_join"      -> (rangeJoinClicks _),
@@ -364,6 +405,16 @@ object EventWindows extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q98_data_profile" ->
+      ProfileCols
+        .map { c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  round(CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS null_frac
+             |FROM (SELECT event_id, ts AS ts_ns, user_id, event_type, value, props FROM events)""".stripMargin
+        }
+        .mkString("\nUNION ALL\n"),
     "q96_rate_anomaly" ->
       s"""WITH h AS (
          |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // $HourUs AS hr, count(*) AS cnt

@@ -362,6 +362,29 @@ class Round5OpsSpec extends AnyFunSuite {
     )
   }
 
+  test("q98: profile counts planted nulls and exact distincts per column") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-profile").toFile.getAbsolutePath
+    Seq(
+      (1L, 1000000000L, 1L, "view", Option(1.0), Option("{}")),
+      (2L, 2000000000L, 1L, "view", Option.empty[Double], Option("{}")),
+      (3L, 3000000000L, 2L, "click", Option(2.0), Option.empty[String])
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write
+      .parquet(s"$tmp/events.parquet")
+    val out = graft.operators.EventWindows
+      .dataProfile(spark, tmp)
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"))
+      .as[(String, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    assert(out("event_id") == ((3L, 0L, 3L)))
+    assert(out("value") == ((3L, 1L, 2L)), s"null double not profiled: $out")
+    assert(out("props") == ((3L, 1L, 1L)))
+    assert(out("event_type") == ((3L, 0L, 2L)))
+  }
+
   test("q96: burst hour flagged against the user's own baseline; constant rate never flags") {
     import spark.implicits._
     var id = 0L
