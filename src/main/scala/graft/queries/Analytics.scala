@@ -391,6 +391,40 @@ object Analytics extends QueryModule {
       )
   }
 
+  /** Referential-integrity audit (q99) — q98's contract-check sibling for
+    * the relational side (dbt `relationships` test): for each FK edge of
+    * the star schema, count child rows whose key has no parent. A non-zero
+    * orphan count after an ingest is the first signal a partial load or
+    * out-of-order snapshot corrupted the warehouse.
+    *
+    * Shape: each edge is a LEFT ANTI join on the bare key columns — both
+    * sides pruned to single-column scans, so at 100 TB the exchanges carry
+    * one long per row; bounded dims (nation) broadcast. The per-edge
+    * results are 1-row aggregates unioned driver-free. */
+  def fkIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String, parent: DataFrame, pkey: String): DataFrame = {
+      val c = child.select(col(key))
+      val orphans = c.join(parent.select(col(pkey)), c(key) === col(pkey), "left_anti")
+      c.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(
+          lit(name).as("fk"),
+          col("n_rows"),
+          col("n_orphans"),
+          round(col("n_orphans").cast("double") / col("n_rows"), 6).as("orphan_frac")
+        )
+    }
+    val li = Tables.lineitem(s, dir)
+    val or = Tables.orders(s, dir)
+    val cu = Tables.customer(s, dir)
+    Seq(
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey", or, "o_orderkey"),
+      edge("lineitem.l_suppkey->supplier", li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey"),
+      edge("orders.o_custkey->customer", or, "o_custkey", cu, "c_custkey"),
+      edge("customer.c_nationkey->nation", cu, "c_nationkey", Tables.nation(s, dir), "n_nationkey")
+    ).reduce(_.unionByName(_))
+  }
+
   /** Bits per dimension for [[zorderLayout]] (two 16-bit dims → 32-bit z). */
   val ZBits = 16
 
@@ -517,6 +551,7 @@ object Analytics extends QueryModule {
     "q78_salted_join"       -> (saltedJoin _),
     "q87_zorder_layout"     -> (zorderLayout _),
     "q89_bloom_join"        -> (bloomJoin _),
+    "q99_fk_integrity"      -> (fkIntegrity _),
     "q13_cube"              -> (cubeOrders _),
     "q14_approx_distinct"   -> (approxDistinct _),
     "q01_pricing_summary"   -> (pricingSummary _),
@@ -617,6 +652,20 @@ object Analytics extends QueryModule {
          |  FROM lineitem
          |) l JOIN supplier s ON l.join_key = s.s_suppkey
          |GROUP BY 1""".stripMargin,
+    "q99_fk_integrity" ->
+      Seq(
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey")
+      ).map { case (name, child, key, parent, pkey) =>
+        s"""SELECT '$name' AS fk, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key)
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           |  round(CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key)
+           |             THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS orphan_frac
+           |FROM $child c""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "q89_bloom_join" ->
       s"""SELECT l_returnflag, count(*) AS n_items,
          |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue

@@ -362,6 +362,29 @@ class Round5OpsSpec extends AnyFunSuite {
     )
   }
 
+  test("q99: planted orphan rows are counted per FK edge; intact edges report zero") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fk").toFile.getAbsolutePath
+    // row 3 is orphaned on BOTH lineitem edges (order 99, supplier 99)
+    Seq((1L, 10L), (2L, 10L), (3L, 99L)).toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    Seq((1L, 100L), (2L, 100L)).toDF("o_orderkey", "o_custkey").write.parquet(s"$tmp/orders.parquet")
+    Seq((100L, 0)).toDF("c_custkey", "c_nationkey").write.parquet(s"$tmp/customer.parquet")
+    Seq(Tuple1(10L)).toDF("s_suppkey").write.parquet(s"$tmp/supplier.parquet")
+    Seq(Tuple1(0)).toDF("n_nationkey").write.parquet(s"$tmp/nation.parquet")
+    val out = Analytics
+      .fkIntegrity(spark, tmp)
+      .select(col("fk"), col("n_rows"), col("n_orphans"))
+      .as[(String, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out("lineitem.l_orderkey->orders") == ((3L, 1L)), s"orphan order not counted: $out")
+    assert(out("lineitem.l_suppkey->supplier") == ((3L, 1L)))
+    assert(out("orders.o_custkey->customer") == ((2L, 0L)))
+    assert(out("customer.c_nationkey->nation") == ((1L, 0L)))
+  }
+
   test("q98: profile counts planted nulls and exact distincts per column") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-profile").toFile.getAbsolutePath
