@@ -262,11 +262,58 @@ object Similarity extends QueryModule {
       )
   }
 
+  /** Micro fixed-point scale for [[embeddingDrift]]. */
+  val DriftScale = 1000000.0
+
+  /** Per-class embedding drift table (q100) — the monitoring rollup an
+    * embedding pipeline runs when a new model version or corpus snapshot
+    * lands: per (class label, dimension), the exact count and
+    * quantized-micro coordinate sum, plus the same for the global corpus
+    * (`__all__`). A drift detector diffs two of these tables — mean shift
+    * per dimension, per class — without ever touching the vectors again.
+    *
+    * The q70/q79 exactness discipline: each float coordinate is floored
+    * to integer micros (one IEEE cast-multiply-floor chain, identical in
+    * DuckDB), so every aggregate is an exact LONG sum — order-independent
+    * across partitions and engines; the reported `mean_micro` derives
+    * from the exact integers via one IEEE division + floor. Shape: one narrow
+    * posexplode pass, a partial agg on (label, dim) longs, and the global
+    * rows fold the |labels|×|dims| table (checkpointed — never the
+    * corpus). */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val perDim = Tables
+      .embeddingsDistributed(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+      .select(
+        col("label"),
+        (col("dim0") + 1).cast(LongType).as("dim"),
+        floor(col("x").cast(DoubleType) * lit(DriftScale)).cast(LongType).as("qm")
+      )
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("qm")).as("sum_micro"))
+      .localCheckpoint()
+    val labelRows =
+      perDim.select(col("label").cast(StringType).as("scope"), col("dim"), col("n"), col("sum_micro"))
+    val globalRows = perDim
+      .groupBy("dim")
+      .agg(sum(col("n")).as("n"), sum(col("sum_micro")).as("sum_micro"))
+      .select(lit("__all__").as("scope"), col("dim"), col("n"), col("sum_micro"))
+    // mean in MICRO units via floor(exact-long-sum / n): one correctly-
+    // rounded IEEE division + floor — bit-identical in both engines. A
+    // round(…, 6) here hash-diverged at an exact half (…20.5 micros):
+    // Spark decimalizes the double's shortest string (HALF_UP sees the 5),
+    // DuckDB rounds the binary value (slightly below the half).
+    labelRows
+      .unionByName(globalRows)
+      .withColumn("mean_micro", floor(col("sum_micro").cast(DoubleType) / col("n")).cast(LongType))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_knn_brute" -> (knnBrute _),
     "q61_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
     "q62_ivf_knn"   -> (ivfKnn _),
-    "q79_int8_quant" -> (int8Quantize _)
+    "q79_int8_quant" -> (int8Quantize _),
+    "q100_embedding_drift" -> (embeddingDrift _)
   )
 
   private val dotSql =
@@ -282,6 +329,21 @@ object Similarity extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q100_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT label, i AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS qm
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |),
+        |p AS (SELECT label, dim, count(*) AS n, CAST(sum(qm) AS BIGINT) AS s FROM e GROUP BY 1, 2)
+        |SELECT CAST(label AS VARCHAR) AS scope, CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+        |  s AS sum_micro, CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS mean_micro
+        |FROM p
+        |UNION ALL
+        |SELECT '__all__' AS scope, CAST(dim AS BIGINT) AS dim, CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(s) AS BIGINT) AS sum_micro,
+        |  CAST(floor(CAST(sum(s) AS DOUBLE) / sum(n)) AS BIGINT) AS mean_micro
+        |FROM p GROUP BY dim""".stripMargin,
     "q60_knn_brute" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
          |n AS (SELECT vec_id, v,

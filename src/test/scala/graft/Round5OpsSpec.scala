@@ -362,6 +362,26 @@ class Round5OpsSpec extends AnyFunSuite {
     )
   }
 
+  test("q100: drift table closes — label rows sum to the global row, floor bound holds") {
+    import spark.implicits._
+    val rows = Similarity
+      .embeddingDrift(spark, dir)
+      .select(col("scope"), col("dim"), col("n"), col("sum_micro"), col("mean_micro"))
+      .as[(String, Long, Long, Long, Long)]
+      .collect()
+    val (global, labels) = rows.partition(_._1 == "__all__")
+    assert(global.nonEmpty && labels.nonEmpty)
+    // accounting closure: per dim, label sums reproduce the global row exactly
+    val byDim = labels.groupBy(_._2).view.mapValues(rs => (rs.map(_._3).sum, rs.map(_._4).sum)).toMap
+    global.foreach { case (_, dim, n, s, _) =>
+      assert(byDim(dim) == ((n, s)), s"dim $dim: label rows don't close to the global row")
+    }
+    // floor bound: mean_micro·n ≤ sum_micro < (mean_micro+1)·n
+    rows.foreach { case (scope, dim, n, s, m) =>
+      assert(m * n <= s && s < (m + 1) * n, s"floor bound violated at ($scope, $dim)")
+    }
+  }
+
   test("q99: planted orphan rows are counted per FK edge; intact edges report zero") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-fk").toFile.getAbsolutePath
