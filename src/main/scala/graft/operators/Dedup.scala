@@ -72,13 +72,17 @@ object Dedup extends QueryModule {
     * pair, the ground truth that q33's banded MinHash approximates. Like
     * q37, it fails fast above a row ceiling instead of silently running a
     * Σ df² join on a corpus; q33 is the production path. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Shared inverted-index candidate machinery for [[ngramJaccard]] and
+    * [[containment]]: per-pair shingle intersection counts with both set
+    * sizes attached. O(Σ df²) by design (both consumers are row-ceiling
+    * guarded test-scale baselines; q33 is the corpus-scale path). */
+  private def shinglePairStats(s: SparkSession, dir: String, opName: String): DataFrame = {
     val maxRows =
       s.conf.getOption("graft.invertedJaccard.maxRows").map(_.toLong).getOrElse(JaccardDefaultMaxRows)
     val n = Tables.documents(s, dir).count()
     require(
       n <= maxRows,
-      s"ngramJaccard is the O(sum df^2) test-scale baseline: corpus has $n docs > limit $maxRows. " +
+      s"$opName is the O(sum df^2) test-scale baseline: corpus has $n docs > limit $maxRows. " +
         "Use minhashLsh (q33) at corpus scale, or raise graft.invertedJaccard.maxRows explicitly."
     )
     val sh  = Tables.documentsDistributed(s, dir).select(col("doc_id"), shingles(col("text")).as("shingles"))
@@ -93,14 +97,36 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("inter"))
     val szA = sz.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"))
     val szB = sz.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"))
-    inter
-      .join(szA, Seq("id_a"))
-      .join(szB, Seq("id_b"))
+    inter.join(szA, Seq("id_a")).join(szB, Seq("id_b"))
+  }
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    shinglePairStats(s, dir, "ngramJaccard")
       .withColumn("union_n", col("n_a") + col("n_b") - col("inter"))
       .withColumn("jaccard", round(col("inter") / col("union_n"), 6))
       .filter(col("jaccard") >= 0.3)
       .select("id_a", "id_b", "inter", "union_n", "jaccard")
-  }
+
+  /** Containment flag threshold for [[containment]]. */
+  val ContainmentThreshold = 0.8
+
+  /** Asymmetric shingle containment (q101) — |A∩B| / min(|A|, |B|), the
+    * quote/subset detector. Jaccard resemblance (q32) is SYMMETRIC: a
+    * short doc fully embedded in a long one (a quoted article inside a
+    * wrapper page, boilerplate around syndicated content) scores
+    * inter/union ≈ |A|/|B| → near zero, and q32's 0.3 filter drops
+    * exactly the pairs a curation pass most wants to see. Containment
+    * normalizes by the SMALLER set, so full embedding scores 1.0
+    * regardless of the size skew. Same guarded inverted-index machinery
+    * as q32 (the jaccard column is kept so the skew is visible per
+    * pair); the scale path for this semantic is asymmetric MinHash — at
+    * corpus scale, q58's capped band probe plays that role. */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    shinglePairStats(s, dir, "containment")
+      .withColumn("containment", round(col("inter") / least(col("n_a"), col("n_b")), 6))
+      .withColumn("jaccard", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select("id_a", "id_b", "inter", "n_a", "n_b", "containment", "jaccard")
 
   /** Span width (tokens) for [[spanDedup]] — big enough that a duplicated
     * span means real shared phrasing, small enough that the gate corpus
@@ -372,7 +398,8 @@ object Dedup extends QueryModule {
     "q74_url_canonical"   -> (urlCanonicalDedup _),
     "q81_sketch_rollup"   -> (sketchRollup _),
     "q90_source_overlap"  -> (sourceOverlap _),
-    "q93_boilerplate"     -> (boilerplate _)
+    "q93_boilerplate"     -> (boilerplate _),
+    "q101_containment"    -> (containment _)
   )
 
   /** DuckDB rendering of [[shingles]] — shared by the Jaccard and MinHash
@@ -421,6 +448,22 @@ object Dedup extends QueryModule {
         |    lower(url), '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/+$', '') AS canon,
         |  count(*) AS n_urls, min(doc_id) AS keep_id
         |FROM u GROUP BY 1""".stripMargin,
+    "q101_containment" ->
+      s"""WITH $shinglesSql,
+         |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+         |inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+         |  CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+         |  round(inter / least(sa.n_sh, sb.n_sh), 6) AS containment,
+         |  round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+         |FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+         |           JOIN sz sb ON inter.id_b = sb.doc_id
+         |WHERE round(inter / least(sa.n_sh, sb.n_sh), 6) >= $ContainmentThreshold""".stripMargin,
     "q93_boilerplate" ->
       s"""WITH sp AS (
          |  SELECT doc_id, source,

@@ -470,6 +470,28 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("conversion") == 0.333333)
   }
 
+  test("q101: full embedding of a short doc scores containment 1.0 where jaccard fails the q32 bar") {
+    import spark.implicits._
+    val tmp   = java.nio.file.Files.createTempDirectory("graft-contain").toFile.getAbsolutePath
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")            // 10 trigram shingles
+    val wrapper = quote + " " + (1 to 40).map(i => s"w$i").mkString(" ") // quote + 40 unique tokens
+    Seq(
+      (1L, quote, "en", "s", 10L),
+      (2L, wrapper, "en", "s", 10L),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "), "en", "s", 10L) // unrelated
+    ).toDF("doc_id", "text", "lang", "source", "n_chars").write.parquet(s"$tmp/documents.parquet")
+    val rows = graft.operators.Dedup
+      .containment(spark, tmp)
+      .select(col("id_a"), col("id_b"), col("containment"), col("jaccard"))
+      .as[(Long, Long, Double, Double)]
+      .collect()
+    assert(rows.length == 1, s"expected exactly the planted pair: ${rows.toSeq}")
+    val (a, b, c, j) = rows.head
+    assert((a, b) == ((1L, 2L)))
+    assert(c == 1.0, s"full embedding must score containment 1.0, got $c")
+    assert(j < 0.3, s"the planted pair must sit below q32's jaccard bar (got $j) — otherwise the test is vacuous")
+  }
+
   test("q93: planted per-source boilerplate header is flagged; clean source reports zero") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-boiler").toFile.getAbsolutePath
