@@ -16,6 +16,33 @@ class ExpressionParitySpec extends AnyFunSuite {
 
   private def docs = Tables.documents(spark, dir)
 
+  test("BloomMightContain: interpreted eval == codegen Column path == the filter itself") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(200, 0.01)
+    (0L until 400L by 2L).foreach(bf.putLong)
+    val expr = graft.plans.BloomMightContain(
+      BoundReference(0, LongType, nullable = false),
+      graft.plans.BloomExpressions.serialize(bf)
+    )
+    // interpreted path (codegen fallback) must agree with the filter object
+    // AND with the codegen'd Column path exercised in Round5OpsSpec
+    val interpreted = (0L until 400L).map(v => expr.eval(InternalRow(v)).asInstanceOf[Boolean])
+    (0L until 400L).foreach { v =>
+      assert(interpreted(v.toInt) == bf.mightContainLong(v), s"interpreted eval diverged at $v")
+    }
+    import spark.implicits._
+    val viaColumn = spark
+      .range(0, 400)
+      .filter(graft.plans.BloomExpressions.mightContain(bf, col("id")))
+      .as[Long]
+      .collect()
+      .toSet
+    assert((0L until 400L).filter(v => interpreted(v.toInt)).toSet == viaColumn)
+  }
+
   test("WordShingles == HOF shingles") {
     val diff = docs
       .select(Dedup.shingles(col("text")).as("a"), Dedup.shinglesHof(col("text")).as("b"))
