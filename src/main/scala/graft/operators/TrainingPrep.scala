@@ -594,7 +594,40 @@ object TrainingPrep extends QueryModule {
       )
   }
 
+  /** Packed-shard content export (q102) — the step AFTER q46's bin
+    * assignment: materialize each (lang, bin) as its concatenated
+    * document content, in packing order, and prove the CONTENT is
+    * byte-identical across engines via an md5 per shard (q46's oracle
+    * checks which bin each doc lands in; this one checks what a trainer
+    * would actually read). The emitted row is the shard manifest — doc
+    * count, token count, content hash — not the text itself.
+    *
+    * This is the one operator family where text SHUFFLING is the point:
+    * an export moves the corpus once, to its shard, by definition. Each
+    * bin holds ≈ [[TokenBudget]] tokens, so the per-group collect_list
+    * is bounded by construction (a few docs), and the in-group packing
+    * order (doc_id) is restored by an array_sort on the collected
+    * (doc_id, text) structs — no pre-shuffle sort of the corpus. */
+  def packedShardExport(s: SparkSession, dir: String): DataFrame = {
+    val bins = sequencePacking(s, dir)
+    val txt  = Tables.documentsDistributed(s, dir).select(col("doc_id"), col("text"))
+    bins
+      .join(txt, Seq("doc_id"))
+      .groupBy("lang", "bin_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(
+          concat_ws(
+            " ",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))), x => x.getField("text"))
+          )
+        ).as("content_md5")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_packed_export"    -> (packedShardExport _),
     "q94_mix_allocation"    -> (mixAllocation _),
     "q68_clean_funnel"      -> (cleanFunnel _),
     "q69_source_mixing"     -> (sourceMixing _),
@@ -771,6 +804,20 @@ object TrainingPrep extends QueryModule {
          |    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
          |  FROM documents
          |) WHERE rk <= $SamplePerLang""".stripMargin,
+    "q102_packed_export" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, text, CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |),
+         |b AS (
+         |  SELECT doc_id, lang, text, n_tokens,
+         |    CAST(floor(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $TokenBudget) AS BIGINT) AS bin_id
+         |  FROM d
+         |)
+         |SELECT lang, bin_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS content_md5
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "q46_sequence_packing" ->
       s"""SELECT doc_id, lang, n_tokens,
          |  CAST(floor(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id

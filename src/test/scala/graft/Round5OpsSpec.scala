@@ -362,6 +362,25 @@ class Round5OpsSpec extends AnyFunSuite {
     )
   }
 
+  test("q102: every packed shard stays within budget + one boundary doc; manifest closes to the corpus") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val maxDoc = docs
+      .select(max(size(split(col("text"), " +")).cast("long")))
+      .as[Long]
+      .head()
+    val shards = TrainingPrep
+      .packedShardExport(spark, dir)
+      .select(col("lang"), col("bin_id"), col("n_docs"), col("n_tokens"))
+      .as[(String, Long, Long, Long)]
+      .collect()
+    // exclusive-prefix packing can overflow a bin only by the doc that crosses the boundary
+    shards.foreach { case (lang, bin, _, toks) =>
+      assert(toks < TrainingPrep.TokenBudget + maxDoc, s"shard ($lang, $bin) holds $toks tokens")
+    }
+    assert(shards.map(_._3).sum == docs.count(), "manifest doc counts don't close to the corpus")
+  }
+
   test("q100: drift table closes — label rows sum to the global row, floor bound holds") {
     import spark.implicits._
     val rows = Similarity
