@@ -32,11 +32,15 @@ object EventStream {
   ))
 
   /** File-based event stream from a directory of parquet (each new file is
-    * a micro-batch — the standard replayable file source). */
-  def fromParquet(spark: SparkSession, path: String): DataFrame = {
+    * a micro-batch — the standard replayable file source).
+    * `maxFilesPerTrigger = Some(1)` forces one file per micro-batch, which
+    * lets tests advance the watermark BETWEEN files and exercise the
+    * late-data drop path (a single-batch run never drops anything). */
+  def fromParquet(spark: SparkSession, path: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // nanosAsLong is part of the GraftSession contract (set in the builder)
-    spark.readStream
-      .schema(EventSchema)
+    val reader = spark.readStream.schema(EventSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    reader
       .parquet(path)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(call_function("div", col("ts_ns"), lit(1000L))))

@@ -290,6 +290,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark contract: beyond-lateness arrival is dropped, on-time window emits exactly once") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_late_events")
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_late_stage")
+      rows
+        .map { case (id, tsSec, user, typ) => (id, tsSec * 1000000000L, user, typ, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1)
+        .write
+        .parquet(tmp.resolve("out").toString)
+      val part = java.nio.file.Files
+        .list(tmp.resolve("out"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst()
+        .get()
+      val dst = java.nio.file.Files.copy(part, stage.resolve(name))
+      // the file source orders batches by modification time — same-millisecond
+      // copies would make the batch order (and the watermark progression)
+      // nondeterministic, so stamp strictly increasing times
+      val seq = name.takeWhile(_.isDigit).toLong
+      java.nio.file.Files.setLastModifiedTime(
+        dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + seq * 60000L)
+      )
+    }
+    val H = 3600L
+    // batch 0: two on-time hour-0 clicks + an hour-5 click; the watermark
+    // becomes 04:00 (1-hour bound) AFTER this batch commits
+    writeBatch("001.parquet", Seq((1L, 10L, 1L, "click"), (2L, 20L, 2L, "click"), (3L, 5 * H, 3L, "click")))
+    // batch 1: an hour-6 event — its eviction pass (watermark 04:00)
+    // finalizes and emits the [00:00, 01:00) window
+    writeBatch("002.parquet", Seq((4L, 6 * H, 3L, "click")))
+    // batch 2: a 00:30 arrival — hours beyond the late-event watermark
+    // (05:00, set by batch 1) — must be DROPPED, not merged or re-emitted.
+    // It arrives two batches late on purpose: Spark filters late events
+    // with the PREVIOUS batch's watermark (eviction uses the current one),
+    // so a row arriving in the very batch its window is evicted would
+    // still be merged — the one-batch grace the contract allows.
+    writeBatch("003.parquet", Seq((5L, 1800L, 4L, "click")))
+    val stream = EventStream.fromParquet(spark, stage.toString, maxFilesPerTrigger = Some(1))
+    val q = EventStream
+      .tumblingCounts(stream)
+      .writeStream
+      .outputMode("append") // append finalizes windows at the watermark — complete mode never drops
+      .format("memory")
+      .queryName("stream_late")
+      .start()
+    try {
+      q.processAllAvailable()
+      val hour0 = spark
+        .table("stream_late")
+        .filter(org.apache.spark.sql.functions.col("hour_start") === "1970-01-01 00:00:00")
+        .collect()
+      assert(hour0.length == 1, s"hour-0 window must emit exactly once, got ${hour0.toSeq}")
+      assert(
+        hour0.head.getAs[Long]("n_events") == 2L,
+        "the beyond-watermark arrival leaked into the finalized window"
+      )
+      val dropped = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped == 1L, s"expected exactly the one late row dropped by the watermark, got $dropped")
+    } finally q.stop()
+  }
+
   test("streaming funnel state machine equals batch q92 conversions") {
     val stream = EventStream.fromParquet(spark, streamDir)
     val q = EventStream
