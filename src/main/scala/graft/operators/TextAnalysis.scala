@@ -516,7 +516,78 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** BM25 parameters (the standard Robertson defaults) and the fixed
+    * retrieval query set for [[bm25Retrieval]] — terms drawn from the
+    * corpus vocabulary so every query matches documents. */
+  val Bm25K1         = 1.2
+  val Bm25B          = 0.75
+  val RetrievalTopK  = 10
+  val RetrievalQueries: Seq[(String, Seq[String])] = Seq(
+    "q1" -> Seq("spark", "hash", "join"),
+    "q2" -> Seq("window", "agg"),
+    "q3" -> Seq("scan", "filter", "sort")
+  )
+
+  /** BM25 retrieval (q103) — score every document against a fixed query
+    * set and return the top-k per query: the batch retrieval primitive
+    * behind eval-set lookup, hard-negative mining, and contamination
+    * screens that need RANKED matches (q54's is boolean). Classic
+    * Okapi BM25: idf(t)·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    *
+    * Scale shape: the token stream is filtered to the query-term
+    * vocabulary FIRST (a literal isin — broadcast by construction), so
+    * the tf table is |matching (doc, term)|-sized, not corpus-sized; df
+    * and the global (N, avgdl) stats are tiny aggregates; the per-query
+    * ranking is the bounded-heap top-k — no window sort. Determinism:
+    * each (query, doc, term) contribution is ONE IEEE chain floored to
+    * integer micros (q59's log discipline), so the score SUM over a
+    * query's terms is an exact long sum — float summation order never
+    * matters. */
+  def bm25Retrieval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val termSet = RetrievalQueries.flatMap(_._2).distinct
+    val docs = Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), split(col("text"), " +").as("t"))
+      .select(col("doc_id"), size(col("t")).cast(LongType).as("dl"), col("t"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("w"))
+      .filter(col("w").isin(termSet: _*))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val qt = RetrievalQueries.flatMap { case (q, ts) => ts.map(t => (q, t)) }.toDF("query_id", "w")
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+    val idf   = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val denom = col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / avgdl)
+    val contribMicro =
+      floor(idf * (col("tf") * lit(Bm25K1 + 1.0)) / denom * lit(1000000.0)).cast(LongType)
+    val scores = qt
+      .join(tf, Seq("w"))
+      .join(df, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), contribMicro.as("cm"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("cm")).as("score_micro"))
+    scores
+      .groupBy("query_id")
+      .agg(
+        graft.plans.TopKAggregate
+          .topK(struct(col("score_micro"), col("doc_id")), RetrievalTopK, Seq(false, true))
+          .as("top")
+      )
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast(LongType).as("rnk"),
+        col("t.doc_id").as("doc_id"),
+        col("t.score_micro").as("score_micro")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_bm25_retrieval" -> (bm25Retrieval _),
     "q97_pmi_pairs"       -> (pmiPairs _),
     "q72_gopher_rules"    -> (gopherRules _),
     "q73_pii_scrub"       -> (piiScrub _),
@@ -537,6 +608,34 @@ object TextAnalysis extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q103_bm25_retrieval" -> {
+      val termList = RetrievalQueries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+      val qtValues =
+        RetrievalQueries.flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS w FROM d) WHERE w IN ($termList) GROUP BY 1, 2
+         |),
+         |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |qt(query_id, w) AS (VALUES $qtValues),
+         |c AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    CAST(floor(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |        * (tf.tf * ($Bm25K1 + 1.0))
+         |        / (tf.tf + $Bm25K1 * ((1.0 - $Bm25B) + $Bm25B * dl.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+         |        * 1000000.0) AS BIGINT) AS cm
+         |  FROM qt JOIN tf ON qt.w = tf.w JOIN df ON tf.w = df.w JOIN dl ON tf.doc_id = dl.doc_id, st
+         |),
+         |sc AS (SELECT query_id, doc_id, CAST(sum(cm) AS BIGINT) AS score_micro FROM c GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score_micro,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rnk
+         |      FROM sc)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score_micro
+         |FROM r WHERE rnk <= $RetrievalTopK""".stripMargin
+    },
     "q97_pmi_pairs" ->
       s"""WITH tk AS (SELECT regexp_split_to_array(text, ' +') AS t FROM documents),
          |p AS (

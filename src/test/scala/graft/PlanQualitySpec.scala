@@ -247,6 +247,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"positional self-join crept in:\n$plan")
   }
 
+  test("q103 bm25: per-query top-k is the bounded heap, token stream prefiltered to query terms") {
+    val plan = finalPlan(graft.operators.TextAnalysis.bm25Retrieval(spark, dir))
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, "top-k not a partial bounded heap")
+    assert(!plan.contains("Window"), "per-query ranking fell back to a window")
+    assert(plan.contains("w#") || plan.contains("IN ("), "query-term prefilter missing from the scan side")
+  }
+
   test("q93 boilerplate: text never shuffles — exchanges carry fingerprints only") {
     val plan      = finalPlan(graft.operators.Dedup.boilerplate(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString

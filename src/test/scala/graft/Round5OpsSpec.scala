@@ -489,6 +489,28 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("conversion") == 0.333333)
   }
 
+  test("q103: BM25 ranking semantics — tf wins, length normalization demotes, no-term docs absent") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25").toFile.getAbsolutePath
+    val pad = (1 to 60).map(i => s"pad$i").mkString(" ")
+    Seq(
+      (1L, "spark hash join alpha beta gamma delta eps", "en", "s", 10L),  // all q1 terms once, short
+      (2L, "spark spark hash hash join join alpha beta", "en", "s", 10L),  // double tf, same length
+      (3L, "alpha beta gamma delta eps zeta eta theta", "en", "s", 10L),   // no query terms
+      (4L, s"spark hash join $pad", "en", "s", 10L)                        // same tf as doc 1, 8x longer
+    ).toDF("doc_id", "text", "lang", "source", "n_chars").write.parquet(s"$tmp/documents.parquet")
+    val q1 = graft.operators.TextAnalysis
+      .bm25Retrieval(spark, tmp)
+      .filter(col("query_id") === "q1")
+      .orderBy("rnk")
+      .select(col("doc_id"), col("score_micro"))
+      .as[(Long, Long)]
+      .collect()
+    assert(q1.map(_._1).toSeq == Seq(2L, 1L, 4L), s"BM25 order diverged: ${q1.toSeq}")
+    assert(q1(0)._2 > q1(1)._2 && q1(1)._2 > q1(2)._2, "scores must strictly decrease on this fixture")
+    assert(!q1.map(_._1).contains(3L), "a doc with no query terms must not be retrieved")
+  }
+
   test("q101: full embedding of a short doc scores containment 1.0 where jaccard fails the q32 bar") {
     import spark.implicits._
     val tmp   = java.nio.file.Files.createTempDirectory("graft-contain").toFile.getAbsolutePath
