@@ -247,6 +247,53 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"positional self-join crept in:\n$plan")
   }
 
+  test("AQE splits the hot partition of an UNSALTED skewed join (q78's synthetic skew, runtime path)") {
+    // q78 fixes skew explicitly (salting); this pins the RUNTIME fix — AQE's
+    // OptimizeSkewedJoin — on the same skew shape, so both documented paths
+    // (explicit salt, AQE split) are demonstrated against the same data.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      // test-scale thresholds: the hot key's partition is ~100s of KB
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // Two conditions this test documents, both discovered empirically and
+      // both real at any scale:
+      //  - detection is shuffle-BYTES-based: 42k copies of a constant join
+      //    key compress to almost nothing, making pure-key synthetic skew
+      //    invisible — the xxhash64 payload makes the hot partition's bytes
+      //    reflect its rows, as a real fact table's payload would;
+      //  - the split granularity is map-output ranges, so a single-map-task
+      //    shuffle (one input split at this SF) cannot be split at all —
+      //    hence the repartition(8) fan-out first.
+      val big = Tables
+        .lineitem(spark, "/root/testdata/sf0.01")
+        .repartition(8)
+        .withColumn(
+          "join_key",
+          when(col("l_orderkey") % 10 < 7, lit(1L)).otherwise(col("l_suppkey"))
+        )
+        .withColumn("payload", xxhash64(col("l_orderkey"), col("l_linenumber")))
+      val dim = Tables.supplier(spark, "/root/testdata/sf0.01").select(col("s_suppkey").as("join_key"), col("s_name"))
+      val joined = big
+        .join(dim.hint("merge"), Seq("join_key"))
+        .groupBy("s_name")
+        .agg(bit_xor(col("payload")).as("n")) // consumes payload without ANSI long overflow
+      val plan = finalPlan(joined)
+      assert(plan.contains("skew=true"), s"AQE did not split the hot partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("q103 bm25: per-query top-k is the bounded heap, token stream prefiltered to query terms") {
     val plan = finalPlan(graft.operators.TextAnalysis.bm25Retrieval(spark, dir))
     assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, "top-k not a partial bounded heap")
