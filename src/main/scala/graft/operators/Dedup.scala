@@ -184,6 +184,47 @@ object Dedup extends QueryModule {
       .withColumn("dup_frac", round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
   }
 
+  /** Ingest-order bucket width (docs) for [[growthCurve]] — test-scale;
+    * production sets it so the curve has O(10⁴) points. */
+  val GrowthBucket = 50L
+
+  /** Dedup saturation / content-growth curve (q104) — "is this source
+    * still yielding new content?": bucket the corpus by ingest order
+    * (doc_id) and report, per bucket, how many documents brought a
+    * canonical fingerprint never seen in ANY earlier bucket. A flattening
+    * cumulative curve (rising dup_rate) is the crawl-scheduling signal to
+    * stop re-fetching a source.
+    *
+    * Exact and parallel despite the sequential-looking semantics: "first
+    * time seen" is min(doc_id) per fingerprint — one partial agg on the
+    * skinny fp table, no ordered scan — and the running total then lives
+    * on the BUCKETS table (corpus/[[GrowthBucket]] rows), where a
+    * single-task window is the right plan, not a bottleneck. */
+  def growthCurve(s: SparkSession, dir: String): DataFrame = {
+    val perBucket = Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), md5(canonicalText(col("text"))).as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("first_id"))
+      .groupBy(call_function("div", col("first_id"), lit(GrowthBucket)).as("bucket"))
+      .agg(count(lit(1)).as("n_new_distinct"))
+    val docsPerBucket = Tables
+      .documentsDistributed(s, dir)
+      .groupBy(call_function("div", col("doc_id"), lit(GrowthBucket)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docsPerBucket
+      .join(perBucket, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), coalesce(col("n_new_distinct"), lit(0L)).as("n_new_distinct"))
+      .withColumn("cum_distinct", sum(col("n_new_distinct")).over(w))
+      .withColumn(
+        "dup_rate",
+        round((col("n_docs") - col("n_new_distinct")).cast("double") / col("n_docs"), 6)
+      )
+  }
+
   /** A span is boilerplate when it appears in ≥ this fraction of its
     * source's (span-bearing) documents — the CCNet/RefinedWeb-style
     * repeated-content rule, relative to the source so a 10⁶-doc crawl
@@ -399,7 +440,8 @@ object Dedup extends QueryModule {
     "q81_sketch_rollup"   -> (sketchRollup _),
     "q90_source_overlap"  -> (sourceOverlap _),
     "q93_boilerplate"     -> (boilerplate _),
-    "q101_containment"    -> (containment _)
+    "q101_containment"    -> (containment _),
+    "q104_growth_curve"   -> (growthCurve _)
   )
 
   /** DuckDB rendering of [[shingles]] — shared by the Jaccard and MinHash
@@ -448,6 +490,22 @@ object Dedup extends QueryModule {
         |    lower(url), '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/+$', '') AS canon,
         |  count(*) AS n_urls, min(doc_id) AS keep_id
         |FROM u GROUP BY 1""".stripMargin,
+    "q104_growth_curve" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+         |  FROM documents
+         |),
+         |firsts AS (SELECT fp, min(doc_id) AS first_id FROM fp GROUP BY 1),
+         |nb AS (SELECT first_id // $GrowthBucket AS bucket, CAST(count(*) AS BIGINT) AS n_new_distinct
+         |       FROM firsts GROUP BY 1),
+         |db AS (SELECT doc_id // $GrowthBucket AS bucket, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM fp GROUP BY 1)
+         |SELECT db.bucket AS bucket, db.n_docs AS n_docs,
+         |  COALESCE(nb.n_new_distinct, 0) AS n_new_distinct,
+         |  CAST(sum(COALESCE(nb.n_new_distinct, 0))
+         |    OVER (ORDER BY db.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct,
+         |  round(CAST(db.n_docs - COALESCE(nb.n_new_distinct, 0) AS DOUBLE) / db.n_docs, 6) AS dup_rate
+         |FROM db LEFT JOIN nb ON db.bucket = nb.bucket""".stripMargin,
     "q101_containment" ->
       s"""WITH $shinglesSql,
          |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),

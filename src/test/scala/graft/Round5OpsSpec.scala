@@ -511,6 +511,27 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(!q1.map(_._1).contains(3L), "a doc with no query terms must not be retrieved")
   }
 
+  test("q104: saturation curve — all-repeat bucket shows dup_rate 1.0 and a flat cumulative") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-growth").toFile.getAbsolutePath
+    val docs =
+      (0 until 50).map(i => (i.toLong, s"fresh a$i", "en", "s", 10L)) ++          // bucket 0: all new
+        (50 until 100).map(i => (i.toLong, s"fresh b$i", "en", "s", 10L)) ++     // bucket 1: all new
+        (100 until 150).map(i => (i.toLong, s"fresh a${i - 100}", "en", "s", 10L)) // bucket 2: all repeats of bucket 0
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").write.parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.Dedup
+      .growthCurve(spark, tmp)
+      .select(col("bucket"), col("n_docs"), col("n_new_distinct"), col("cum_distinct"), col("dup_rate"))
+      .as[(Long, Long, Long, Long, Double)]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    assert(
+      out == Seq((0L, 50L, 50L, 50L, 0.0), (1L, 50L, 50L, 100L, 0.0), (2L, 50L, 0L, 100L, 1.0)),
+      s"growth curve diverged: $out"
+    )
+  }
+
   test("q101: full embedding of a short doc scores containment 1.0 where jaccard fails the q32 bar") {
     import spark.implicits._
     val tmp   = java.nio.file.Files.createTempDirectory("graft-contain").toFile.getAbsolutePath
