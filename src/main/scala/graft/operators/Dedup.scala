@@ -86,7 +86,9 @@ object Dedup extends QueryModule {
         "Use minhashLsh (q33) at corpus scale, or raise graft.invertedJaccard.maxRows explicitly."
     )
     val sh  = Tables.documentsDistributed(s, dir).select(col("doc_id"), shingles(col("text")).as("shingles"))
-    val sz  = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    // cast: Spark's size() is INT but DuckDB counts are BIGINT — the driver
+    // hash is dtype-sensitive, so n_a/n_b must ship as BIGINT
+    val sz = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val a   = inv.select(col("doc_id").as("id_a"), col("sh"))
     val b   = inv.select(col("doc_id").as("id_b"), col("sh"))
@@ -119,8 +121,9 @@ object Dedup extends QueryModule {
     * normalizes by the SMALLER set, so full embedding scores 1.0
     * regardless of the size skew. Same guarded inverted-index machinery
     * as q32 (the jaccard column is kept so the skew is visible per
-    * pair); the scale path for this semantic is asymmetric MinHash — at
-    * corpus scale, q58's capped band probe plays that role. */
+    * pair); the REGISTERED scale path for this semantic is q105
+    * ([[FuzzyDedup.containmentLsh]]): candidates from the occupancy-capped
+    * banded-MinHash probe, containment verified on candidates only. */
   def containment(s: SparkSession, dir: String): DataFrame =
     shinglePairStats(s, dir, "containment")
       .withColumn("containment", round(col("inter") / least(col("n_a"), col("n_b")), 6))
@@ -321,8 +324,12 @@ object Dedup extends QueryModule {
     * Oracle discipline (q14's pairing): sketch estimates are not
     * DuckDB-reproducible, so the hash-checked columns are the EXACT
     * distinct counts plus an in-row `est_ok` flag asserting the estimate
-    * landed within 8% (HLL lgK=12 rsd ≈ 1.6%; 8% ≈ 4.9σ — the gate data regenerates per round, so the bound must survive fresh draws) — DuckDB emits
-    * literal 1s, Spark must earn them. */
+    * landed within 16% (HLL lgK=12 rsd ≈ 1.6%; 16% ≈ 10σ). The flag is a
+    * probabilistic assertion hash-checked against a literal 1, and the gate
+    * data regenerates per round, so the margin must make a tail-draw flake
+    * practically impossible (10σ ≈ 1e-23) while still failing loudly on a
+    * BROKEN sketch, which misses by orders of magnitude, not percent —
+    * DuckDB emits literal 1s, Spark must earn them. */
   def sketchRollup(s: SparkSession, dir: String): DataFrame = {
     // ONE corpus pass: narrow md5 → distinct (source, fp), materialized
     // (localCheckpoint) so BOTH consumers — per-source exact counts +
@@ -346,7 +353,7 @@ object Dedup extends QueryModule {
     val sourceRows = perSource.select(
       col("source").as("scope"),
       col("n_exact"),
-      (abs(hll_sketch_estimate(col("sk")) - col("n_exact")).cast(DoubleType) / col("n_exact") <= 0.08)
+      (abs(hll_sketch_estimate(col("sk")) - col("n_exact")).cast(DoubleType) / col("n_exact") <= 0.16)
         .cast(LongType)
         .as("est_ok")
     )
@@ -360,7 +367,7 @@ object Dedup extends QueryModule {
       .select(
         lit("__all__").as("scope"),
         col("n_exact"),
-        (abs(hll_sketch_estimate(col("sk")) - col("n_exact")).cast(DoubleType) / col("n_exact") <= 0.08)
+        (abs(hll_sketch_estimate(col("sk")) - col("n_exact")).cast(DoubleType) / col("n_exact") <= 0.16)
           .cast(LongType)
           .as("est_ok")
       )
@@ -369,9 +376,13 @@ object Dedup extends QueryModule {
 
   /** est_ok tolerance for [[sourceOverlap]]: the intersection estimate
     * composes THREE lgK=12 sketches (|A∩B| = |A|+|B|−|A∪B|), each rsd
-    * ≈1.6%, so its std vs the union size is ≤ 1.6%·√3 ≈ 2.8% — 12% ≈ 4.3σ,
-    * safe against the per-round data regen even across ~200² pairs. */
-  val OverlapTol = 0.12
+    * ≈1.6%, so its std vs the union size is ≤ 1.6%·√3 ≈ 2.8%. 25% ≈ 9σ:
+    * like q81's flag this is a probabilistic assertion hash-checked against
+    * a literal 1 on per-round regenerated data, so the margin is sized to
+    * make a tail-draw flake practically impossible even across ~200² pairs
+    * per round, while a broken sketch (off by orders of magnitude) still
+    * fails. */
+  val OverlapTol = 0.25
 
   /** Cross-source overlap matrix via sketch intersection (q90) — the
     * second half of q81's sketch algebra. "How much of src_a is also in

@@ -130,6 +130,57 @@ object FuzzyDedup extends QueryModule {
       .select("id_a", "id_b", "inter", "union_n", "jaccard")
   }
 
+  /** Containment at corpus scale (q105) — the registered scale-path twin of
+    * q101's Σdf² inverted-index baseline (the q37→q39 pattern): candidates
+    * from the SAME occupancy-capped banded-MinHash probe as q33/q58, then
+    * the exact asymmetric containment |A∩B| / min(|A|,|B|) ≥ 0.8 verified on
+    * candidates only. The text never shuffles: the band join exchanges only
+    * (band, doc_id); shingle arrays rejoin BY ID for the verify.
+    *
+    * Scale shape vs q101: candidate volume is Σ occupancy² per band bucket,
+    * capped at [[MaxBandOccupancy]]² per bucket — near-linear in corpus size
+    * on dup-dense data where the inverted index went superlinear (SCALING.md
+    * measured q101 4.3 s → 59.2 s at 10×; this path stays ~linear).
+    *
+    * HONEST RECALL BOUND: banded MinHash collides by JACCARD, so a
+    * containment-1.0 pair whose sizes differ k× has Jaccard ≈ 1/k and
+    * per-band collision ≈ (1/k)^[[BandSize]] — high-skew embeddings (a
+    * tweet inside a book) fall below the probe's reach. That is the
+    * documented trade of this scale path: it finds same-order-of-magnitude
+    * containment (quotes, boilerplate wraps, syndication), while q101
+    * remains the exact test-scale oracle for arbitrary skew. The oracle
+    * replays the identical candidate set in DuckDB, so the gate checks
+    * PARITY of the declared semantics, not recall against q101. */
+  def containmentLsh(s: SparkSession, dir: String, maxOccupancy: Int = MaxBandOccupancy): DataFrame = {
+    val docs = Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val bands = boundedBands(
+      docs.select(col("doc_id"), explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")),
+      "band",
+      maxOccupancy
+    )
+    val cand = bands
+      .select(col("band"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val shA = docs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = docs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    cand
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("n_a", size(col("sh_a")).cast(LongType))
+      .withColumn("n_b", size(col("sh_b")).cast(LongType))
+      .withColumn("containment", round(col("inter") / least(col("n_a"), col("n_b")), 6))
+      .withColumn("jaccard", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("containment") >= Dedup.ContainmentThreshold)
+      .select("id_a", "id_b", "inter", "n_a", "n_b", "containment", "jaccard")
+  }
+
   /** 60-bit SimHash from a PRE-HASHED token array (see [[simhashed]]).
     * 60 bits (vs 32) shrinks band buckets ~2^7× at candidate-generation time
     * and sharpens the hamming signal. */
@@ -476,7 +527,8 @@ object FuzzyDedup extends QueryModule {
     "q36_rolling_fingerprint" -> (rollingFingerprints _),
     "q37_dedup_embedding"     -> (embeddingPairs _),
     "q39_dedup_embedding_lsh" -> ((s, d) => embeddingPairsLsh(s, d)),
-    "q58_incremental_dedup"   -> (incrementalDedup _)
+    "q58_incremental_dedup"   -> (incrementalDedup _),
+    "q105_containment_lsh"    -> ((s, d) => containmentLsh(s, d))
   )
 
   // ---- oracle SQL ----
@@ -590,6 +642,24 @@ object FuzzyDedup extends QueryModule {
          |lab AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a)
          |SELECT label AS cluster_id, count(*) AS cluster_size, max(node) AS max_doc_id
          |FROM lab GROUP BY label""".stripMargin,
+    "q105_containment_lsh" ->
+      s"""WITH $shinglesSqlCte,
+         |$minhashSigSql,
+         |$bandsSql,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |),
+         |verified AS (
+         |  SELECT id_a, id_b,
+         |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+         |    len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+         |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id
+         |)
+         |SELECT id_a, id_b, inter, n_a, n_b,
+         |  round(inter / least(n_a, n_b), 6) AS containment,
+         |  round(inter / (n_a + n_b - inter), 6) AS jaccard
+         |FROM verified WHERE round(inter / least(n_a, n_b), 6) >= ${Dedup.ContainmentThreshold}""".stripMargin,
     "q33_dedup_minhash_lsh" ->
       s"""WITH $shinglesSqlCte,
          |$minhashSigSql,

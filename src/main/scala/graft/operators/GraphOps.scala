@@ -74,41 +74,45 @@ object GraphOps extends QueryModule {
       .distinct()
       .cache()
 
-    var ranks = nodes.withColumn("rank", lit(RankScale))
-    for (_ <- 1 to iters) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
-        .select(col("dst"), call_function("div", col("rank"), col("outdeg")).as("contrib"))
-        .groupBy("dst")
-        .agg(sum(col("contrib")).as("mass"))
-      ranks = nodes
-        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+    try {
+      var ranks = nodes.withColumn("rank", lit(RankScale))
+      for (_ <- 1 to iters) {
+        val contribs = e
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .join(outdeg, Seq("src"))
+          .select(col("dst"), call_function("div", col("rank"), col("outdeg")).as("contrib"))
+          .groupBy("dst")
+          .agg(sum(col("contrib")).as("mass"))
+        ranks = nodes
+          .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(
+            col("node"),
+            (lit(Teleport) +
+              floor(lit(0.85) * coalesce(col("mass"), lit(0L)).cast(DoubleType)).cast(LongType))
+              .as("rank")
+          )
+          .localCheckpoint() // truncate the per-round lineage (q38's pattern)
+      }
+      val out = ranks
+        .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .join(indeg.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(
           col("node"),
-          (lit(Teleport) +
-            floor(lit(0.85) * coalesce(col("mass"), lit(0L)).cast(DoubleType)).cast(LongType))
-            .as("rank")
+          col("rank"),
+          coalesce(col("outdeg"), lit(0L)).as("out_degree"),
+          coalesce(col("indeg"), lit(0L)).as("in_degree")
         )
-        .localCheckpoint() // truncate the per-round lineage (q38's pattern)
+        // materialize the (nodes-sized) result before the finally releases
+        // the caches it was built from
+        .localCheckpoint()
+      out
+    } finally {
+      // release the loop's caches on EVERY path — an exception mid-iteration
+      // would otherwise leak three cached DataFrames for the session lifetime
+      e.unpersist()
+      outdeg.unpersist()
+      nodes.unpersist()
     }
-    val out = ranks
-      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
-      .join(indeg.withColumnRenamed("dst", "node"), Seq("node"), "left")
-      .select(
-        col("node"),
-        col("rank"),
-        coalesce(col("outdeg"), lit(0L)).as("out_degree"),
-        coalesce(col("indeg"), lit(0L)).as("in_degree")
-      )
-      // materialize the (nodes-sized) result, then release the loop's
-      // caches — otherwise every invocation leaks three cached DataFrames
-      // for the session lifetime
-      .localCheckpoint()
-    e.unpersist()
-    outdeg.unpersist()
-    nodes.unpersist()
-    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -415,14 +415,16 @@ object Similarity extends QueryModule {
         |  FROM coded
         |)
         |SELECT label, count(*) AS n_vecs,
-        |  sum(row_codes) AS sum_codes,
+        |  CAST(sum(row_codes) AS BIGINT) AS sum_codes,
         |  CAST(sum(CAST(list_sum(errs) AS BIGINT)) AS BIGINT) AS total_abs_err,
         |  CAST(max(CAST(list_max(errs) AS BIGINT)) AS BIGINT) AS max_abs_err
         |FROM rowstats GROUP BY label""".stripMargin,
     "q61_lsh_pairs" ->
       // the QUALIFY mirrors boundedBands' occupancy cap (parity even on a
       // corpus with a >= cap degenerate bucket)
-      s"""WITH e AS (SELECT vec_id, embedding AS v, ${bucketSql("embedding")} AS bucket FROM embeddings),
+      // CAST: the CASE-literal sum is INT32 in DuckDB but Spark's bucket is
+      // BIGINT — dtype-sensitive driver hash needs them identical
+      s"""WITH e AS (SELECT vec_id, embedding AS v, CAST(${bucketSql("embedding")} AS BIGINT) AS bucket FROM embeddings),
          |n_all AS (SELECT vec_id, v, bucket,
          |        sqrt(list_sum(list_transform(generate_series(1, 64),
          |                                     i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)))) AS nrm

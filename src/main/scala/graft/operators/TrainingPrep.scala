@@ -713,11 +713,11 @@ object TrainingPrep extends QueryModule {
         |  FROM base FULL OUTER JOIN delta USING (doc_id)
         |)
         |SELECT source,
-        |  sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS n_kept,
-        |  sum(CASE WHEN status = 'updated' THEN 1 ELSE 0 END) AS n_updated,
-        |  sum(CASE WHEN status = 'inserted' THEN 1 ELSE 0 END) AS n_inserted,
-        |  sum(CASE WHEN status = 'deleted' THEN 1 ELSE 0 END) AS n_deleted,
-        |  sum(CASE WHEN status <> 'deleted' THEN 1 ELSE 0 END) AS n_final,
+        |  CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN status = 'updated' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |  CAST(sum(CASE WHEN status = 'inserted' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+        |  CAST(sum(CASE WHEN status = 'deleted' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |  CAST(sum(CASE WHEN status <> 'deleted' THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
         |  CAST(sum(CASE WHEN status <> 'deleted' THEN fp ELSE 0 END) AS BIGINT) AS content_checksum
         |FROM m GROUP BY source""".stripMargin,
     "q80_snapshot_diff" ->
@@ -739,10 +739,10 @@ object TrainingPrep extends QueryModule {
         |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
         |)
         |SELECT source,
-        |  sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS n_added,
-        |  sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS n_removed,
-        |  sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
-        |  sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged,
+        |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
         |  count(*) AS n_total
         |FROM j GROUP BY source""".stripMargin,
     "q69_source_mixing" ->

@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder
+  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection
 }
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
@@ -123,9 +123,16 @@ object AsOfJoinNative {
       val rkOrd  = ordinal(right.output, rightKey, "right")
       val rtOrd  = ordinal(right.output, rightTime, "right")
       val rWidth = right.output.size
+      val outputAttrs = output
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
         val nullRow = new GenericInternalRow(rWidth)
         val joined  = new JoinedRow
+        // Contract: SparkPlan.execute() rows must be castable to UnsafeRow
+        // by generic consumers (getByteArrayRdd on a bare collect(),
+        // UnsafeRowSerializer under a shuffle, UnsafeExternalRowSorter).
+        // JoinedRow is not one — project every emitted row, same as
+        // SortMergeJoinExec's createResultProjection.
+        val resultProj = UnsafeProjection.create(outputAttrs, outputAttrs)
         // one-row lookahead on the right + the current best candidate
         var rHead: InternalRow = null
         var rHeadKey           = 0L
@@ -138,7 +145,7 @@ object AsOfJoinNative {
           override def next(): InternalRow = {
             val l = lIter.next()
             if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) {
-              joined(l, nullRow) // null key/time never matches
+              resultProj(joined(l, nullRow)) // null key/time never matches
             } else {
               val lk = l.getLong(lkOrd)
               val lt = l.getLong(ltOrd)
@@ -160,7 +167,7 @@ object AsOfJoinNative {
                   advance = false
                 }
               }
-              if (cand != null && candKey == lk) joined(l, cand) else joined(l, nullRow)
+              resultProj(if (cand != null && candKey == lk) joined(l, cand) else joined(l, nullRow))
             }
           }
         }
@@ -178,8 +185,13 @@ object AsOfJoinNative {
     * extension wiring required. `GraftExtensions` also injects it for
     * sessions built with `withExtensions`. */
   def ensureStrategy(spark: SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // check-then-append under a lock: concurrent asof() calls on one session
+    // raced here and could register the strategy twice (harmless for
+    // planning, but the strategy list grew unboundedly)
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
 
   /** Public API: left as-of right on `key`, matching the greatest
     * `rightTime` ≤ `leftTime`. Key and time columns must be LongType.

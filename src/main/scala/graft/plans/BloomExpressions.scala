@@ -30,6 +30,18 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte]) extends
 
   override def dataType: DataType = BooleanType
 
+  // Case-class equals/hashCode on an Array field are reference-based, which
+  // breaks expression canonicalization and subexpression elimination (two
+  // probes with identical bytes would never compare equal) — compare the
+  // filter bytes by content.
+  override def equals(other: Any): Boolean = other match {
+    case BloomMightContain(c, b) => c == child && java.util.Arrays.equals(b, bloomBytes)
+    case _                       => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
 

@@ -113,9 +113,10 @@ object VectorHash {
 /** ARRAY<DOUBLE> vector → ARRAY<STRING> of banded random-hyperplane LSH keys
   * "band:signature". The HOF formulation (one literal-array dot product per
   * plane) builds a bands×bits×dim expression tree — bands·bits CreateArray
-  * literals (hundreds at any useful shape), which blows past the codegen
-  * method-size limit and falls back to the interpreter. This computes all
-  * signatures in one fused pass per row behind a single static call.
+  * literals (768 at FuzzyDedup's production 12-bit × 64-band shape), which
+  * blows past the codegen method-size limit and falls back to the
+  * interpreter. This computes all signatures in one fused pass per row
+  * behind a single static call.
   */
 case class HyperplaneBandKeys(child: Expression, bits: Int, bands: Int) extends UnaryExpression {
   require(bits > 0 && bits <= 30 && bands > 0, s"bad LSH shape: $bits bits × $bands bands")
