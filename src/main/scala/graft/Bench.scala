@@ -12,6 +12,14 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * makes environmental contention self-evident: a contended run inflates
   * wall time but not cpu time (a CPU-bound query on an idle box keeps
   * wall ≲ cpu ≤ wall·cores).
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
+  * MEDIAN wall and cpu. In a shared session, one-off GC/JIT pauses land on
+  * whichever query happens to trigger them — measured swings up to 6× on the
+  * same binary between clean runs while the TOTAL stayed stable — which made
+  * per-query numbers incomparable across rounds. The median drops those
+  * one-offs; per-rep walls are preserved in the sidecar so the spread stays
+  * visible.
   */
 object Bench {
 
@@ -42,15 +50,24 @@ object Bench {
       case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
       case None     => SparkEntry.queries
     }
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      org.apache.spark.GraftSparkBridge.drainListenerBus(sc) // attribute straggler events to the right query
-      val cpu0 = cpu.cpuNs.sum()
-      val t0   = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-      val wall = (System.nanoTime() - t0) / 1e9
-      org.apache.spark.GraftSparkBridge.drainListenerBus(sc)
-      (name, wall, (cpu.cpuNs.sum() - cpu0) / 1e9)
+      val runs = (1 to reps).map { _ =>
+        org.apache.spark.GraftSparkBridge.drainListenerBus(sc) // attribute straggler events to the right query
+        val cpu0 = cpu.cpuNs.sum()
+        val t0   = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+        val wall = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.GraftSparkBridge.drainListenerBus(sc)
+        (wall, (cpu.cpuNs.sum() - cpu0) / 1e9)
+      }
+      (name, median(runs.map(_._1)), median(runs.map(_._2)), runs.map(_._1))
     }
     def s3(v: Double): String   = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def json(kv: Seq[(String, Double)]): String =
@@ -71,14 +88,17 @@ object Bench {
     val cpuTot = results.map(_._3).sum
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     val detail = results
-      .map(r => s""""${r._1}":{"wall_sec":${s3(r._2)},"cpu_sec":${s3(r._3)}}""")
+      .map { r =>
+        val walls = r._4.map(s3).mkString("[", ",", "]")
+        s""""${r._1}":{"wall_sec":${s3(r._2)},"cpu_sec":${s3(r._3)},"rep_walls":$walls}"""
+      }
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     println(
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_sec":${s3(cpuTot)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_sec":${s3(cpuTot)},"reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

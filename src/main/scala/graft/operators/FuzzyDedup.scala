@@ -42,13 +42,12 @@ object FuzzyDedup extends QueryModule {
     (md5Long(s"minhash:a:$j") % ((1L << 31) - 1) + 1, md5Long(s"minhash:b:$j") % (1L << 31))
   }
 
-  /** H(s): first 8 md5 hex chars → uint32 as long. */
-  def baseHash(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+  /** H(s): first 8 md5 hex chars → uint32 as long ([[graft.functions.Fingerprints.fp8]]). */
+  def baseHash(c: Column): Column = graft.functions.Fingerprints.fp8(c)
 
-  /** H60(s): first 15 md5 hex chars → 60-bit long (SimHash base). */
-  def baseHash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  /** H60(s): first 15 md5 hex chars → 60-bit long (SimHash base;
+    * [[graft.functions.Fingerprints.fp15]]). */
+  def baseHash60(c: Column): Column = graft.functions.Fingerprints.fp15(c)
 
   val SimhashBits  = 60
   val SimhashBands = 4 // 15 bits each; hamming ≤ 3 ⇒ ≥1 band identical
@@ -533,7 +532,7 @@ object FuzzyDedup extends QueryModule {
 
   // ---- oracle SQL ----
 
-  private val baseHashSql: String = "CAST('0x' || substr(md5(%s), 1, 8) AS BIGINT)"
+  private val baseHashSql: String = graft.functions.Fingerprints.fp8Sql("%s")
 
   private val shinglesSqlCte: String = Dedup.shinglesSql
 
@@ -560,7 +559,7 @@ object FuzzyDedup extends QueryModule {
        |  QUALIFY count(*) OVER (PARTITION BY band) <= $MaxBandOccupancy)""".stripMargin
   }
 
-  private val baseHash60Sql: String = "CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)"
+  private val baseHash60Sql: String = graft.functions.Fingerprints.fp15Sql("%s")
 
   private val simhashSql: String = {
     val hs = s"list_transform(regexp_split_to_array(text, ' +'), t -> ${baseHash60Sql.format("t")})"

@@ -360,8 +360,7 @@ object TextAnalysis extends QueryModule {
     * token; 60-bit hash collisions within one doc's vocabulary are
     * negligible and the oracle hashes identically). */
   def gopherRules(s: SparkSession, dir: String): DataFrame = {
-    val tokHash =
-      conv(substring(md5(col("token")), 1, 15), 16, 10).cast(LongType)
+    val tokHash = graft.functions.Fingerprints.fp15(col("token"))
     val perDoc = Tables
       .documentsDistributed(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))

@@ -289,8 +289,7 @@ object TrainingPrep extends QueryModule {
     * which reproduces the same deterministic order with no single-task
     * window. Reruns and other engines agree exactly (no RNG state). */
   def shardAssign(s: SparkSession, dir: String): DataFrame = {
-    val h = conv(substring(md5(concat(lit("shard:42:"), col("doc_id").cast(StringType))), 1, 8), 16, 10)
-      .cast(LongType)
+    val h = graft.functions.Fingerprints.fp8(concat(lit("shard:42:"), col("doc_id").cast(StringType)))
     Tables
       .documents(s, dir)
       .select(
@@ -313,8 +312,7 @@ object TrainingPrep extends QueryModule {
     * the only exchange is the tiny per-source count aggregate. */
   def sourceMixing(s: SparkSession, dir: String): DataFrame = {
     val w4 = regexp_extract(col("source"), "(\\d+)$", 1).cast(LongType) % 4 + 1
-    val h = conv(substring(md5(concat(lit("mix:42:"), col("doc_id").cast(StringType))), 1, 8), 16, 10)
-      .cast(LongType)
+    val h = graft.functions.Fingerprints.fp8(concat(lit("mix:42:"), col("doc_id").cast(StringType)))
     Tables
       .documents(s, dir)
       .select(col("source"), h.as("h"), w4.as("w4"))
@@ -457,8 +455,7 @@ object TrainingPrep extends QueryModule {
     * rides the same rollup. This is q80's reconciliation discipline turned
     * into the write-side operator. */
   def upsertMerge(s: SparkSession, dir: String): DataFrame = {
-    def fp8(text: Column): Column =
-      conv(substring(md5(text), 1, 8), 16, 10).cast(LongType)
+    def fp8(text: Column): Column = graft.functions.Fingerprints.fp8(text)
     val docs = Tables.documentsDistributed(s, dir)
     val base = docs.select(col("doc_id"), col("source").as("src_b"), fp8(col("text")).as("fp_b"))
     val delta = docs

@@ -153,6 +153,32 @@ object Analytics extends QueryModule {
     )
   }
 
+  /** GROUPING SETS beyond rollup/cube (q24): the set mix ((rf, ls), (ls),
+    * ()) is expressible as neither ROLLUP(rf, ls) — which emits (rf), not
+    * (ls) — nor CUBE (4 sets), closing the registry's one missing grouping
+    * shape. One Expand node fans each input row to its 3 grouping sets and
+    * the partial agg combines map-side, so the shuffle carries ≤ 3·|groups|
+    * skinny rows regardless of corpus size — same scale shape as the
+    * rollup. gid is derived from grouping() bits arithmetically (not
+    * grouping_id()) so the Spark and DuckDB renderings are trivially the
+    * same expression. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .createOrReplaceTempView("graft_gsets_src")
+    // SQL path for the same reason as the rollup above: the Expand node's
+    // duplicated grouping attributes trip Dataset column tagging.
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(1) AS n_rows
+        |FROM graft_gsets_src
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin
+    )
+  }
+
   /** Exact multi-distinct aggregation in one pass (expand-based). */
   def distinctStats(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -562,6 +588,7 @@ object Analytics extends QueryModule {
     "q06_window_topk"       -> (windowTopCustomers _),
     "q07_anti_join"         -> (customersWithoutOrders _),
     "q08_rollup"            -> (rollupAcctbal _),
+    "q24_grouping_sets"     -> (groupingSets _),
     "q09_distinct_stats"    -> (distinctStats _),
     "q10_pivot"             -> (pivotPriority _),
     "q11_set_ops"           -> (setOps _),
@@ -745,6 +772,13 @@ object Analytics extends QueryModule {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q24_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  count(*) AS n_rows
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin,
     "q09_distinct_stats" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
         |  count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows

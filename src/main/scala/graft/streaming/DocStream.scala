@@ -127,4 +127,60 @@ object DocStream {
         }
       )
   }
+
+  final case class FpArrival(fp: String, doc_id: Long)
+  final case class NoveltyEvent(doc_id: Long, is_new: Long)
+  final case class SeenState(first_id: Long)
+
+  /** Streaming novelty detection — batch q104's "first fingerprint sighting"
+    * as keyed state: one tiny `SeenState` row per DISTINCT canonical
+    * fingerprint; each arriving doc emits (doc_id, is_new ∈ {0,1}). Within a
+    * micro-batch the min doc_id of an unseen group is the one marked new
+    * (matching batch q104's min-per-fingerprint exactly); across
+    * micro-batches the first ARRIVAL wins — so batch↔stream parity holds
+    * precisely when delivery respects ingest (doc_id) order, which is the
+    * operator's own premise: the growth curve is BY ingest order. State is
+    * one row per distinct fingerprint (the same unbounded-feed caveat as
+    * [[dedupExact]]; a production feed bounds it with a watermark horizon).
+    * Parity pinned by StreamingSpec's q104 fixture. */
+  def noveltyEvents(docs: DataFrame): Dataset[NoveltyEvent] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(md5(Dedup.canonicalText(col("text"))).as("fp"), col("doc_id"))
+      .as[FpArrival]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[FpArrival], state: GroupState[SeenState]) => {
+          val ids = rows.map(_.doc_id).toList
+          if (state.exists) ids.map(NoveltyEvent(_, 0L)).iterator
+          else {
+            val first = ids.min
+            state.update(SeenState(first))
+            ids.map(id => NoveltyEvent(id, if (id == first) 1L else 0L)).iterator
+          }
+        }
+      )
+  }
+
+  /** Assemble q104's curve from (doc_id, is_new) novelty events — stateless,
+    * so it runs identically over the streaming sink table and a batch
+    * DataFrame (the parity pin evaluates both sides through this). Same
+    * bucket arithmetic, cumulative window and dup_rate as
+    * [[graft.operators.Dedup.growthCurve]]; the window runs on the
+    * buckets-sized table (corpus/[[graft.operators.Dedup.GrowthBucket]]
+    * rows), where single-task is the right plan. */
+  def curveFromNovelty(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events
+      .groupBy(call_function("div", col("doc_id"), lit(Dedup.GrowthBucket)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_new")).as("n_new_distinct"))
+      .withColumn("cum_distinct", sum(col("n_new_distinct")).over(w))
+      .withColumn(
+        "dup_rate",
+        round((col("n_docs") - col("n_new_distinct")).cast("double") / col("n_docs"), 6)
+      )
+  }
 }

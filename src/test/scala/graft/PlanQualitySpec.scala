@@ -353,4 +353,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(parsed.filter(col("p.items").isNull).count() == 1)
     assert(parsed.filter(col("p.items").isNotNull).count() == 1)
   }
+
+  test("q24 grouping sets: ONE Expand fans the 3 sets; aggregation is partial (map-side combine)") {
+    val df = Analytics.groupingSets(spark, dir)
+    // slice off AQE's "== Initial Plan ==" echo — it duplicates every node
+    val plan = finalPlan(df).split("== Initial Plan ==").head
+    assert(plan.split("Expand").length - 1 >= 1, s"no Expand in grouping-sets plan:\n$plan")
+    assert(plan.split("Expand").length - 1 <= 1, s"more than one Expand in grouping-sets plan:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation in grouping-sets plan:\n$plan")
+    // semantic pin: the () set totals the corpus; the (ls) sets partition it
+    val rows = df.collect()
+    val grand = rows.filter(_.getLong(2) == 3L)
+    assert(grand.length == 1, s"expected one grand-total row, got ${grand.length}")
+    val total = grand.head.getLong(4)
+    assert(rows.filter(_.getLong(2) == 2L).map(_.getLong(4)).sum == total,
+      "per-linestatus subtotals do not sum to the grand total")
+    assert(rows.filter(_.getLong(2) == 0L).map(_.getLong(4)).sum == total,
+      "finest-set rows do not sum to the grand total")
+  }
 }

@@ -461,4 +461,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("q104 growth curve: streaming novelty events reproduce the batch curve exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 3 ingest buckets (GrowthBucket = 50) with planted duplicates: within a
+    // bucket, across buckets in file A, and across the micro-batch boundary
+    // (file B dups of file A texts) — the cross-batch case is what the
+    // fingerprint state exists for.
+    def text(i: Long): String = i match {
+      case 30L          => "planted duplicate alpha" // dup of 10, same file, same bucket
+      case 60L          => "planted duplicate alpha" // dup of 10, same file, next bucket
+      case 110L | 120L  => "planted duplicate alpha" // dups of 10, NEXT micro-batch
+      case 115L         => "planted duplicate beta"  // first sighting in file B...
+      case 140L         => "planted duplicate beta"  // ...dup within file B
+      case 10L          => "planted duplicate alpha"
+      case _            => s"unique document number $i"
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_growth")
+    val docDir = s"$root/documents.parquet"
+    def write(ids: Range): Unit = ids
+      .map(i => (i.toLong, text(i.toLong), "en", "s0", text(i.toLong).length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(docDir)
+    write(0 until 100)   // file A: buckets 0 and 1
+    Thread.sleep(1100)   // distinct mtimes so the file source orders A before B
+    write(100 until 150) // file B: bucket 2
+    val stream = spark.readStream.schema(DocStream.DocSchema)
+      .option("maxFilesPerTrigger", 1) // force >= 2 micro-batches
+      .parquet(docDir)
+    val q = DocStream.noveltyEvents(stream)
+      .writeStream.outputMode("append").format("memory").queryName("stream_growth").start()
+    try {
+      q.processAllAvailable()
+      val streamedCurve = DocStream.curveFromNovelty(spark.table("stream_growth"))
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      val batchCurve = graft.operators.Dedup.growthCurve(spark, root.toString)
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      assert(streamedCurve.nonEmpty && streamedCurve.length == 3)
+      assert(streamedCurve == batchCurve, s"stream=$streamedCurve\nbatch=$batchCurve")
+      // the planted dups actually bent the curve (parity is not vacuous)
+      assert(streamedCurve.exists(r => r(3).asInstanceOf[Long] < r(1).asInstanceOf[Long] + r(2).asInstanceOf[Long]))
+    } finally q.stop()
+  }
 }
