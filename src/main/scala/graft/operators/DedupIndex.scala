@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{Tables}
+import graft.sources.Layout
+
+/** PERSISTED dedup index (q106) — the cross-run production shape of q58's
+  * incremental dedup. q58 screens a delta batch against a base corpus it
+  * re-fingerprints inside the SAME job; a continuous corpus-building
+  * pipeline cannot afford that — the base is re-read and re-hashed on every
+  * arriving batch. This operator persists the base's dedup state ONCE as
+  * three bucketed tables and lets every subsequent delta batch probe them:
+  *
+  *  - `<prefix>_fp`       (fingerprint)        bucketed by fingerprint
+  *  - `<prefix>_bands`    (band, doc_id)       bucketed by band
+  *  - `<prefix>_shingles` (doc_id, shingles)   bucketed by doc_id
+  *
+  * Bucketing is the scale story: the three probe joins (exact fingerprint,
+  * band candidates, shingle verify) each hit an index table PRE-BUCKETED on
+  * its join key, so the INDEX side of every join is exchange-free — only
+  * the delta batch (tiny, by the incremental premise) shuffles, and the
+  * corpus-sized shingle table is read only for rows matching band
+  * candidates. Per-probe cost is O(delta), independent of how many batches
+  * preceded it. Pinned by DedupIndexSpec: bucketed band/fp scans aggregate
+  * with no exchange, and the probe result equals q58 row-for-row on the
+  * gate split.
+  *
+  * Band occupancy is capped at BUILD time over the base alone
+  * ([[FuzzyDedup.boundedBands]]); the delta side probes uncapped. This
+  * differs from q58 — which caps the base+delta union — only when a bucket
+  * crosses [[FuzzyDedup.MaxBandOccupancy]] exactly at the boundary, a
+  * degenerate mega-cluster case that is exact-dedup's territory either way.
+  * The q106 oracle replays the base-only cap, so the gate checks the
+  * declared semantics.
+  *
+  * Accepted-doc MAINTENANCE (appending the kept delta rows to the index,
+  * compaction cadence) is the caller's write policy; [[build]] is also the
+  * rebuild primitive for compaction.
+  */
+object DedupIndex {
+
+  val IndexPrefix = "graft_dedup_idx"
+  /** Matches the engine-wide shuffle parallelism so bucketed scans line up
+    * with exchange partitioning at test scale; production sizes buckets to
+    * the base corpus (thousands). */
+  val NumBuckets = 32
+
+  private def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("fingerprint"))
+
+  private def shingled(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** Drop a managed table AND clear its warehouse location: a location left
+    * by a PREVIOUS session (Verify/Bench run their own JVMs with fresh derby
+    * catalogs) is invisible to this catalog but still blocks saveAsTable
+    * with LOCATION_ALREADY_EXISTS. */
+  private def reset(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = s.conf.get("spark.sql.warehouse.dir")
+    val root =
+      if (warehouse.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(warehouse))
+      else java.nio.file.Paths.get(warehouse)
+    val loc = root.resolve(table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files
+        .walk(loc)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator()
+        .asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  /** Build (or rebuild) the persisted index from the base corpus. */
+  def build(docs: DataFrame, prefix: String = IndexPrefix): Unit = {
+    val s = docs.sparkSession
+    Seq(s"${prefix}_fp", s"${prefix}_shingles", s"${prefix}_bands").foreach(reset(s, _))
+    Layout.writeBucketed(
+      fingerprints(docs).select("fingerprint").distinct(),
+      s"${prefix}_fp", "fingerprint", NumBuckets)
+    val sh = shingled(docs)
+    Layout.writeBucketed(sh, s"${prefix}_shingles", "doc_id", NumBuckets)
+    val bands = FuzzyDedup.boundedBands(
+      sh.select(
+        col("doc_id"),
+        explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")
+      ),
+      "band",
+      FuzzyDedup.MaxBandOccupancy
+    )
+    Layout.writeBucketed(bands.select("band", "doc_id"), s"${prefix}_bands", "band", NumBuckets)
+  }
+
+  /** Screen a delta batch against the persisted index: q58's output shape —
+    * one row per delta doc with (exact_dup, n_near, near_match, keep). */
+  def probe(s: SparkSession, delta: DataFrame, prefix: String = IndexPrefix): DataFrame = {
+    val fpIdx   = s.table(s"${prefix}_fp")
+    val bandIdx = s.table(s"${prefix}_bands")
+    val shIdx   = s.table(s"${prefix}_shingles")
+    val exactDup = fingerprints(delta)
+      .join(fpIdx.withColumn("e", lit(1L)), Seq("fingerprint"), "left")
+      .select(col("doc_id"), coalesce(col("e"), lit(0L)).as("exact_dup"))
+    val dSh = shingled(delta)
+    val cand = dSh
+      .select(
+        col("doc_id").as("d_id"),
+        explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")
+      )
+      .join(bandIdx.select(col("band"), col("doc_id").as("b_id")), Seq("band"))
+      .select("d_id", "b_id")
+      .distinct()
+    val near = cand
+      .join(dSh.select(col("doc_id").as("d_id"), col("shingles").as("sh_d")), Seq("d_id"))
+      .join(shIdx.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("sh_d"), col("sh_b"))).cast(LongType))
+      .withColumn("union_n", (size(col("sh_d")) + size(col("sh_b"))).cast(LongType) - col("inter"))
+      .filter(round(col("inter") / col("union_n"), 6) >= 0.3)
+      .groupBy(col("d_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_near"), min(col("b_id")).as("near_match"))
+    exactDup
+      .join(near, Seq("doc_id"), "left")
+      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+      .withColumn("near_match", coalesce(col("near_match"), lit(-1L)))
+      .withColumn("keep", (col("exact_dup") === 0 && col("n_near") === 0).cast(LongType))
+      .select("doc_id", "exact_dup", "n_near", "near_match", "keep")
+  }
+
+  /** q106: build the index from the q58 base split, probe the q58 delta —
+    * end-to-end through the PERSISTED tables, never the in-memory base. */
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documentsDistributed(s, dir)
+    val base  = docs.filter(col("doc_id") % FuzzyDedup.DeltaMod < 8)
+    val delta = docs.filter(col("doc_id") % FuzzyDedup.DeltaMod >= 8)
+    build(base)
+    probe(s, delta)
+  }
+}

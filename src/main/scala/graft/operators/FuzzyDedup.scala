@@ -527,7 +527,8 @@ object FuzzyDedup extends QueryModule {
     "q37_dedup_embedding"     -> (embeddingPairs _),
     "q39_dedup_embedding_lsh" -> ((s, d) => embeddingPairsLsh(s, d)),
     "q58_incremental_dedup"   -> (incrementalDedup _),
-    "q105_containment_lsh"    -> ((s, d) => containmentLsh(s, d))
+    "q105_containment_lsh"    -> ((s, d) => containmentLsh(s, d)),
+    "q106_dedup_index"        -> (DedupIndex.q106 _)
   )
 
   // ---- oracle SQL ----
@@ -547,17 +548,20 @@ object FuzzyDedup extends QueryModule {
        |  FROM hsig)""".stripMargin
   }
 
-  private def bandsSql: String = {
+  private def bandsAllSql: String = {
     val bandExprs = (0 until NumBands).map { b =>
       val cols = (b * BandSize until (b + 1) * BandSize).map(j => s"sig$j").mkString(", ")
       s"concat_ws(':', $b, $cols)"
     }
+    s"bands_all AS (SELECT doc_id, shingles, unnest([${bandExprs.mkString(", ")}]) AS band FROM sig)"
+  }
+
+  private def bandsSql: String =
     // the QUALIFY mirrors boundedBands' occupancy cap, so Spark/oracle
     // parity holds even on a corpus with a >= cap boilerplate cluster
-    s"""bands_all AS (SELECT doc_id, shingles, unnest([${bandExprs.mkString(", ")}]) AS band FROM sig),
+    s"""$bandsAllSql,
        |bands AS (SELECT doc_id, shingles, band FROM bands_all
        |  QUALIFY count(*) OVER (PARTITION BY band) <= $MaxBandOccupancy)""".stripMargin
-  }
 
   private val baseHash60Sql: String = graft.functions.Fingerprints.fp15Sql("%s")
 
@@ -592,6 +596,43 @@ object FuzzyDedup extends QueryModule {
        |pairs AS (SELECT id_a, id_b FROM verified WHERE round(inter / union_n, 6) >= 0.3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q106_dedup_index" ->
+      s"""WITH $shinglesSqlCte,
+         |$minhashSigSql,
+         |$bandsAllSql,
+         |base_bands AS (
+         |  SELECT doc_id, band FROM bands_all WHERE doc_id % $DeltaMod < 8
+         |  QUALIFY count(*) OVER (PARTITION BY band) <= $MaxBandOccupancy
+         |),
+         |delta_bands AS (SELECT doc_id, band FROM bands_all WHERE doc_id % $DeltaMod >= 8),
+         |d AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % $DeltaMod >= 8),
+         |bse AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % $DeltaMod < 8),
+         |ex AS (
+         |  SELECT d.doc_id, CASE WHEN bse.fp IS NULL THEN 0 ELSE 1 END AS exact_dup
+         |  FROM d LEFT JOIN bse ON d.fp = bse.fp
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d_id, b.doc_id AS b_id
+         |  FROM delta_bands a JOIN base_bands b ON a.band = b.band
+         |),
+         |ver AS (
+         |  SELECT d_id, b_id,
+         |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+         |    len(sa.shingles) + len(sb.shingles)
+         |      - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS union_n
+         |  FROM cand JOIN sh sa ON cand.d_id = sa.doc_id JOIN sh sb ON cand.b_id = sb.doc_id
+         |),
+         |nr AS (
+         |  SELECT d_id AS doc_id, count(*) AS n_near, min(b_id) AS near_match
+         |  FROM ver WHERE round(CAST(inter AS DOUBLE) / union_n, 6) >= 0.3 GROUP BY 1
+         |)
+         |SELECT ex.doc_id AS doc_id,
+         |  CAST(ex.exact_dup AS BIGINT) AS exact_dup,
+         |  CAST(COALESCE(nr.n_near, 0) AS BIGINT) AS n_near,
+         |  CAST(COALESCE(nr.near_match, -1) AS BIGINT) AS near_match,
+         |  CAST(CASE WHEN ex.exact_dup = 0 AND COALESCE(nr.n_near, 0) = 0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM ex LEFT JOIN nr ON ex.doc_id = nr.doc_id""".stripMargin,
     "q58_incremental_dedup" ->
       s"""WITH $shinglesSqlCte,
          |$minhashSigSql,

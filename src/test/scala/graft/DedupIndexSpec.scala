@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupIndex, FuzzyDedup}
+
+/** q106 — persisted dedup index: build-once bucketed state, per-batch probe. */
+class DedupIndexSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("local[4]", 4)
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q106 probe through the persisted index equals q58's in-memory screen row-for-row") {
+    val viaIndex = DedupIndex.q106(spark, dir).collect().map(_.toSeq).toSet
+    val inMemory = FuzzyDedup.incrementalDedup(spark, dir).collect().map(_.toSeq).toSet
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex == inMemory)
+  }
+
+  test("bucketed index tables aggregate on their bucket key with NO exchange") {
+    // q106 above built the tables; a groupBy on the bucket column must not
+    // shuffle — this is what makes every probe exchange-free on the index
+    // side of each join
+    DedupIndex.q106(spark, dir).collect()
+    for ((table, key) <- Seq(
+        (s"${DedupIndex.IndexPrefix}_bands", "band"),
+        (s"${DedupIndex.IndexPrefix}_fp", "fingerprint"),
+        (s"${DedupIndex.IndexPrefix}_shingles", "doc_id"))) {
+      val agg = spark.table(table).groupBy(key).count()
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(
+        !plan.contains("Exchange hashpartitioning"),
+        s"bucketed $table still shuffles on $key:\n$plan"
+      )
+    }
+  }
+
+  test("incremental premise: probing a second delta does not touch the base corpus text") {
+    import spark.implicits._
+    // a fresh batch with one exact dup of the base, one near-dup-free doc;
+    // the probe must classify both using ONLY the persisted tables
+    DedupIndex.q106(spark, dir).collect() // ensure index exists
+    val baseDoc = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % FuzzyDedup.DeltaMod < 8)
+      .select("text").as[String].head()
+    val batch = Seq(
+      (1000000L, baseDoc, "en", "s0", baseDoc.length.toLong),
+      (1000001L, "a genuinely novel document about absolutely nothing seen before xyzzy", "en", "s0", 70L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupIndex.probe(spark, batch)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(got(1000000L)._1 == 1L && got(1000000L)._2 == 0L, s"exact dup not caught: $got")
+    assert(got(1000001L) == ((0L, 1L)), s"novel doc not kept: $got")
+  }
+}
