@@ -504,6 +504,35 @@ object FuzzyDedup extends QueryModule {
       .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc_id"))
   }
 
+  /** Dedup survivors (q107) — the step that turns dedup ANALYTICS into the
+    * cleaned CORPUS: q33's verified near-dup pairs (identical texts collide
+    * in every band, so exact dups are members too) → q38's pointer-jumped
+    * clusters → keep the minimum doc_id per cluster as its representative →
+    * per-source survivor accounting. Docs in no pair never enter the label
+    * table and survive by construction, so the anti-set is only the
+    * cluster-sized label table — the survivors join exchanges (doc_id)
+    * longs against it, never text. Output is the per-source summary (the
+    * driver-checkable shape); the survivor doc_id set itself is the
+    * labels-filtered join this derives from, exposed for pipeline callers
+    * via the same composition. */
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val (labels, _) = connectedComponents(minhashLsh(s, dir).select("id_a", "id_b"))
+    // non-representative members: in some cluster, not its min
+    val removed = labels
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"), lit(1L).as("removed"))
+    Tables
+      .documentsDistributed(s, dir)
+      .select("doc_id", "source")
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("removed"), lit(0L))).as("n_removed"),
+        sum(when(col("removed").isNull, 1L).otherwise(0L)).as("n_survivors")
+      )
+  }
+
   /** Embedding near-dup clusters (q76) — q38's composition over the vector
     * side: q39's banded-LSH pairs fed through the pointer-jumped connected
     * components, so semantic-duplicate GROUPS (not just pairs) come out —
@@ -528,7 +557,8 @@ object FuzzyDedup extends QueryModule {
     "q39_dedup_embedding_lsh" -> ((s, d) => embeddingPairsLsh(s, d)),
     "q58_incremental_dedup"   -> (incrementalDedup _),
     "q105_containment_lsh"    -> ((s, d) => containmentLsh(s, d)),
-    "q106_dedup_index"        -> (DedupIndex.q106 _)
+    "q106_dedup_index"        -> (DedupIndex.q106 _),
+    "q107_dedup_survivors"    -> (dedupSurvivors _)
   )
 
   // ---- oracle SQL ----
@@ -596,6 +626,27 @@ object FuzzyDedup extends QueryModule {
        |pairs AS (SELECT id_a, id_b FROM verified WHERE round(inter / union_n, 6) >= 0.3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q107_dedup_survivors" ->
+      s"""WITH RECURSIVE $pairsCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(a, b) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+         |),
+         |lab AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a),
+         |removed AS (SELECT node AS doc_id FROM lab WHERE node <> label)
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         |  CAST(sum(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+         |FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+         |GROUP BY d.source""".stripMargin,
     "q106_dedup_index" ->
       s"""WITH $shinglesSqlCte,
          |$minhashSigSql,

@@ -63,4 +63,18 @@ class Round6OpsSpec extends AnyFunSuite {
     val e3 = graft.plans.BloomMightContain(child, graft.plans.BloomExpressions.serialize(bfOther))
     assert(e1 != e3)
   }
+
+  test("q107: survivors = corpus minus non-representative cluster members (min-id reps kept)") {
+    // sf0.001 gate corpus: q38's clusters vs q107's accounting must agree
+    val dir = "/root/testdata/sf0.001"
+    val clusters = graft.operators.FuzzyDedup.dedupClusters(spark, dir).collect()
+    val removedExpected = clusters.map(r => r.getAs[Long]("cluster_size") - 1).sum
+    val surv = graft.operators.FuzzyDedup.dedupSurvivors(spark, dir).collect()
+    val nDocs    = surv.map(_.getAs[Long]("n_docs")).sum
+    val nRemoved = surv.map(_.getAs[Long]("n_removed")).sum
+    val nKept    = surv.map(_.getAs[Long]("n_survivors")).sum
+    assert(nRemoved == removedExpected, s"removed $nRemoved != clusters' non-reps $removedExpected")
+    assert(nKept + nRemoved == nDocs, "survivor accounting does not close")
+    assert(nRemoved > 0, "gate corpus planted no near-dups — accounting would be vacuous")
+  }
 }
