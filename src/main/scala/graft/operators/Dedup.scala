@@ -234,6 +234,10 @@ object Dedup extends QueryModule {
     * domain and a 10³-doc one are judged by the same standard. */
   val BoilerDfFrac = 0.2
 
+  /** Strip-side df fraction (q108) — lower than detection's
+    * [[BoilerDfFrac]] by design; see [[boilerplateStrip]]. */
+  val BoilerStripDfFrac = 0.05
+
   /** Per-source boilerplate detection (q93) — headers, footers, cookie
     * banners and nav text repeat across most pages OF THE SAME SOURCE,
     * which global span dedup (q71) under-weights: corpus-wide a banner in
@@ -273,6 +277,77 @@ object Dedup extends QueryModule {
       .withColumn(
         "boiler_frac",
         round(col("n_boiler_spans").cast("double") / col("n_distinct_spans"), 6)
+      )
+  }
+
+  /** Boilerplate STRIP accounting (q108) — the apply step to q93's detect.
+    * q93 reports which [[SpanTokens]]-token spans are per-source
+    * boilerplate; this operator removes them and accounts for the token
+    * mass a curation pass would reclaim. The spans are q93's own disjoint
+    * tiles ([[spanFingerprints]]: positions 0..7, 8..15, …; the <8-token
+    * tail always survives), so dropping a flagged span removes exactly
+    * [[SpanTokens]] tokens and the strip applies EXACTLY the detection's
+    * fp universe. A span is stripped under q93's rule SHAPE with its own
+    * fraction: df ≥ max(2, [[BoilerStripDfFrac]]·n_docs), n_docs = ALL
+    * docs of the source (short docs with no full span still dilute the
+    * threshold; they are real members of the source). The strip fraction
+    * (0.05) is deliberately lower than detection's 0.2: removal targets
+    * any systematically repeated span, and the fixture corpus — which
+    * plants near-dup GROUPS, not sitewide headers — only exercises the
+    * df≥2 floor (a production caller tunes the fraction to its crawl).
+    *
+    * Scale shape: ONE corpus pass explodes text into the skinny
+    * (doc_id, source, fp) occurrence stream + a per-doc token count;
+    * text itself never shuffles. df is a partial aggregate over distinct
+    * occurrences; the boilerplate set is per-source small and joins back
+    * onto the fp stream as (source, fp) hashes — AQE turns it into a
+    * broadcast when it is as tiny as real boilerplate sets are. Output is
+    * |sources| rows. retained_ppm is floor-micros (IEEE multiply + floor,
+    * bit-identical in DuckDB) — q42's determinism discipline. */
+  def boilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    // ONE text pass (q81/q93's discipline): per-doc token count + span
+    // fingerprints materialized skinny, both consumers read this
+    val base = Tables
+      .documentsDistributed(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(split(col("text"), " +")).cast(LongType).as("n_tok"),
+        spanFingerprints(col("text")).as("fps")
+      )
+      .localCheckpoint()
+    val nd = base
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens_before"))
+    val occ = base.select(col("doc_id"), col("source"), explode(col("fps")).as("fp"))
+    val df = occ
+      .distinct() // df counts a block once per containing doc
+      .groupBy("source", "fp")
+      .agg(count(lit(1)).as("df"))
+    val boiler = df
+      .join(nd.select(col("source"), col("n_docs")), Seq("source"))
+      .filter(col("df") >= 2L && col("df").cast(DoubleType) >= lit(BoilerStripDfFrac) * col("n_docs"))
+      .select("source", "fp")
+    // every OCCURRENCE of a flagged block is removed (dup blocks in a doc
+    // are each real text mass), so the removal count joins the raw stream
+    val rem = occ
+      .join(boiler, Seq("source", "fp"))
+      .groupBy("source")
+      .agg(
+        (count(lit(1)) * SpanTokens).as("tokens_removed"),
+        countDistinct(col("doc_id")).as("docs_touched")
+      )
+    nd.join(rem, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("tokens_before"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        coalesce(col("docs_touched"), lit(0L)).as("docs_touched"),
+        floor(
+          (col("tokens_before") - coalesce(col("tokens_removed"), lit(0L))).cast(DoubleType) /
+            col("tokens_before").cast(DoubleType) * lit(1e6)
+        ).cast(LongType).as("retained_ppm")
       )
   }
 
@@ -452,7 +527,8 @@ object Dedup extends QueryModule {
     "q90_source_overlap"  -> (sourceOverlap _),
     "q93_boilerplate"     -> (boilerplate _),
     "q101_containment"    -> (containment _),
-    "q104_growth_curve"   -> (growthCurve _)
+    "q104_growth_curve"   -> (growthCurve _),
+    "q108_boiler_strip"   -> (boilerplateStrip _)
   )
 
   /** DuckDB rendering of [[shingles]] — shared by the Jaccard and MinHash
@@ -533,6 +609,34 @@ object Dedup extends QueryModule {
          |FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
          |           JOIN sz sb ON inter.id_b = sb.doc_id
          |WHERE round(inter / least(sa.n_sh, sb.n_sh), 6) >= $ContainmentThreshold""".stripMargin,
+    "q108_boiler_strip" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok,
+         |    list_transform(generate_series(0, CAST(len(t) // $SpanTokens AS BIGINT) - 1),
+         |                   j -> md5(array_to_string(t[j*$SpanTokens+1 : j*$SpanTokens+$SpanTokens], ' '))) AS fps
+         |  FROM (SELECT doc_id, source, regexp_split_to_array(text, ' +') AS t FROM documents)
+         |),
+         |nd AS (SELECT source, count(*) AS n_docs, sum(n_tok) AS tokens_before FROM sp GROUP BY 1),
+         |occ AS (SELECT doc_id, source, unnest(fps) AS fp FROM sp WHERE len(fps) > 0),
+         |df AS (SELECT source, fp, count(DISTINCT doc_id) AS df FROM occ GROUP BY 1, 2),
+         |boiler AS (
+         |  SELECT df.source, df.fp FROM df JOIN nd ON df.source = nd.source
+         |  WHERE df.df >= 2 AND CAST(df.df AS DOUBLE) >= $BoilerStripDfFrac * nd.n_docs
+         |),
+         |rem AS (
+         |  SELECT o.source, count(*) * $SpanTokens AS tokens_removed,
+         |         count(DISTINCT o.doc_id) AS docs_touched
+         |  FROM occ o JOIN boiler b ON o.source = b.source AND o.fp = b.fp
+         |  GROUP BY 1
+         |)
+         |SELECT nd.source AS source,
+         |  CAST(nd.n_docs AS BIGINT) AS n_docs,
+         |  CAST(nd.tokens_before AS BIGINT) AS tokens_before,
+         |  CAST(COALESCE(rem.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+         |  CAST(COALESCE(rem.docs_touched, 0) AS BIGINT) AS docs_touched,
+         |  CAST(floor(CAST(nd.tokens_before - COALESCE(rem.tokens_removed, 0) AS DOUBLE)
+         |             / CAST(nd.tokens_before AS DOUBLE) * 1e6) AS BIGINT) AS retained_ppm
+         |FROM nd LEFT JOIN rem ON nd.source = rem.source""".stripMargin,
     "q93_boilerplate" ->
       s"""WITH sp AS (
          |  SELECT doc_id, source,

@@ -533,6 +533,55 @@ object FuzzyDedup extends QueryModule {
       )
   }
 
+  /** Quality-weighted dedup survivors (q109) — q107 with the survivor rule
+    * production pipelines actually use: per near-dup cluster keep the
+    * HIGHEST-QUALITY member (q42's composite score; floor-micros LONG so
+    * the argmax compares exact integers), min doc_id only as the
+    * tie-break. Min-id keep (q107) is deterministic but quality-blind — a
+    * crawl dup that was fetched first wins over its cleaner copy; this
+    * variant reclaims that quality mass, and `q_removed_sum` quantifies
+    * the score mass removed per source.
+    *
+    * Scale shape: the cluster machinery (pairs → pointer-jumped labels) is
+    * candidate-sized as in q107; quality is ONE narrow corpus pass emitting
+    * (doc_id, source, qm) — text never shuffles. Member/best/rep tables are
+    * all cluster-sized, so the corpus-side left join exchanges (doc_id)
+    * longs only (AQE broadcasts the label table at real scale). The
+    * two-step argmax (max qm per label, then min id among ties) avoids
+    * struct-ordering subtleties and keeps both engines trivially aligned. */
+  def dedupSurvivorsByQuality(s: SparkSession, dir: String): DataFrame = {
+    val (labels, _) = connectedComponents(minhashLsh(s, dir).select("id_a", "id_b"))
+    val docs = Tables
+      .documentsDistributed(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        floor(TextAnalysis.qualityScore(col("text"), col("n_chars")) * lit(1e6))
+          .cast(LongType)
+          .as("qm")
+      )
+    val members = labels.join(docs.select(col("doc_id").as("node"), col("qm")), Seq("node"))
+    val best    = members.groupBy("label").agg(max(col("qm")).as("maxq"))
+    val reps = members
+      .join(best, Seq("label"))
+      .filter(col("qm") === col("maxq"))
+      .groupBy("label")
+      .agg(min(col("node")).as("rep"))
+    val removed = members
+      .join(reps, Seq("label"))
+      .filter(col("node") =!= col("rep"))
+      .select(col("node").as("doc_id"), lit(1L).as("removed"))
+    docs
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("removed"), lit(0L))).as("n_removed"),
+        sum(when(col("removed").isNull, 1L).otherwise(0L)).as("n_survivors"),
+        sum(when(col("removed").isNotNull, col("qm")).otherwise(0L)).as("q_removed_sum")
+      )
+  }
+
   /** Embedding near-dup clusters (q76) — q38's composition over the vector
     * side: q39's banded-LSH pairs fed through the pointer-jumped connected
     * components, so semantic-duplicate GROUPS (not just pairs) come out —
@@ -558,7 +607,8 @@ object FuzzyDedup extends QueryModule {
     "q58_incremental_dedup"   -> (incrementalDedup _),
     "q105_containment_lsh"    -> ((s, d) => containmentLsh(s, d)),
     "q106_dedup_index"        -> (DedupIndex.q106 _),
-    "q107_dedup_survivors"    -> (dedupSurvivors _)
+    "q107_dedup_survivors"    -> (dedupSurvivors _),
+    "q109_survivors_quality"  -> (dedupSurvivorsByQuality _)
   )
 
   // ---- oracle SQL ----
@@ -626,6 +676,43 @@ object FuzzyDedup extends QueryModule {
        |pairs AS (SELECT id_a, id_b FROM verified WHERE round(inter / union_n, 6) >= 0.3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q109_survivors_quality" ->
+      s"""WITH RECURSIVE $pairsCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(a, b) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+         |),
+         |lab AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a),
+         |qd AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor((${TextAnalysis.qualityScoreSql}) * 1e6) AS BIGINT) AS qm
+         |  FROM documents
+         |),
+         |mem AS (SELECT l.node, l.label, q.qm FROM lab l JOIN qd q ON l.node = q.doc_id),
+         |best AS (SELECT label, max(qm) AS maxq FROM mem GROUP BY 1),
+         |rep AS (
+         |  SELECT m.label, min(m.node) AS rep
+         |  FROM mem m JOIN best b ON m.label = b.label AND m.qm = b.maxq
+         |  GROUP BY 1
+         |),
+         |removed AS (
+         |  SELECT m.node AS doc_id, m.qm FROM mem m
+         |  JOIN rep r ON m.label = r.label WHERE m.node <> r.rep
+         |)
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         |  CAST(sum(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+         |  CAST(sum(CASE WHEN r.doc_id IS NULL THEN 0 ELSE r.qm END) AS BIGINT) AS q_removed_sum
+         |FROM qd d LEFT JOIN removed r ON d.doc_id = r.doc_id
+         |GROUP BY d.source""".stripMargin,
     "q107_dedup_survivors" ->
       s"""WITH RECURSIVE $pairsCtes,
          |edges AS (

@@ -137,6 +137,46 @@ object TextAnalysis extends QueryModule {
         sum(col("bpe")).as("bpe_tokens")
       )
 
+  /** Hashed linear quality classifier (q110) — fasttext-style model
+    * inference as a pure expression. Production curation scores every doc
+    * with a linear classifier over hashed unigram+bigram features; the
+    * defining scale property is that the model needs NO weight table at
+    * the executor — the feature hash IS the weight index. Here the weight
+    * vector is itself hash-derived (w(f) = fp8(f) mod 17 − 8 ∈ [−8, 8], a
+    * stand-in for trained weights with the same execution shape), so the
+    * per-doc logit Σw(f) is exact integer arithmetic, reproducible in
+    * DuckDB bit-for-bit — no sigmoid needed for the keep decision (σ(x) >
+    * ½ ⇔ x > 0).
+    *
+    * Scale shape: the logit folds per-row inside `aggregate()` over the
+    * feature array — ZERO joins, zero explode, no per-token rows ever
+    * exist off-core; the only exchange is the |sources|-row final
+    * aggregate. This is the cheapest possible plan for model scoring: one
+    * codegen'd corpus pass. */
+  def hashedClassifier(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val bigrams = when(
+      size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i => concat_ws("_", element_at(t, i), element_at(t, i + 1)))
+    ).otherwise(array().cast("array<string>"))
+    val logit = aggregate(
+      concat(t, bigrams),
+      lit(0L),
+      (acc, f) => acc + (graft.functions.Fingerprints.fp8(f) % 17 - 8)
+    )
+    Tables
+      .documents(s, dir)
+      .select(col("source"), logit.as("logit"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("logit") > 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("logit")).as("sum_logit"),
+        min(col("logit")).as("min_logit"),
+        max(col("logit")).as("max_logit")
+      )
+  }
+
   /** TF-IDF top-5 terms per language: tf = term count within the lang,
     * idf = ln(N_docs / df) over the whole corpus. Deterministic ranking via
     * (rounded score desc, token asc), materialized by the bounded-heap
@@ -598,7 +638,8 @@ object TextAnalysis extends QueryModule {
     "q40_text_stats"  -> (stats _),
     "q41_lang_id"     -> (langId _),
     "q42_quality"     -> (quality _),
-    "q43_token_count" -> (tokenCount _)
+    "q43_token_count" -> (tokenCount _),
+    "q110_hashed_classifier" -> (hashedClassifier _)
   )
 
   private def overlapSql(listExpr: String, words: Seq[String]): String = {
@@ -607,6 +648,27 @@ object TextAnalysis extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q110_hashed_classifier" ->
+      """WITH d AS (SELECT source, regexp_split_to_array(text, ' +') AS t FROM documents),
+        |f AS (
+        |  SELECT source,
+        |    list_concat(t, list_transform(generate_series(1, len(t) - 1),
+        |                                  i -> t[i] || '_' || t[i+1])) AS feats
+        |  FROM d
+        |),
+        |dl AS (
+        |  SELECT source,
+        |    CAST(COALESCE(list_sum(list_transform(feats,
+        |      x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 17 - 8)), 0) AS BIGINT) AS logit
+        |  FROM f
+        |)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(logit) AS BIGINT) AS sum_logit,
+        |  CAST(min(logit) AS BIGINT) AS min_logit,
+        |  CAST(max(logit) AS BIGINT) AS max_logit
+        |FROM dl GROUP BY 1""".stripMargin,
     "q103_bm25_retrieval" -> {
       val termList = RetrievalQueries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
       val qtValues =

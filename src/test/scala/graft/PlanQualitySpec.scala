@@ -371,4 +371,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(rows.filter(_.getLong(2) == 0L).map(_.getLong(4)).sum == total,
       "finest-set rows do not sum to the grand total")
   }
+
+  test("q108 strip: text never shuffles — exchanges carry fingerprints and counts only") {
+    val plan      = finalPlan(graft.operators.Dedup.boilerplateStrip(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty, "expected hash exchanges for df/removal aggregates")
+    assert(
+      exchanges.forall(e => !e.contains("text") && !e.contains("fps")),
+      s"text or the span array rides a shuffle:\n${exchanges.mkString("\n")}"
+    )
+  }
+
+  test("q110 classifier: zero joins — the only exchange is the |sources|-row final aggregate") {
+    val plan = finalPlan(graft.operators.TextAnalysis.hashedClassifier(spark, dir))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"model scoring must not join a weight table:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.length == 1, s"expected exactly one exchange (source agg), got:\n${exchanges.mkString("\n")}")
+    assert(exchanges.head.contains("source"), s"exchange not on source: ${exchanges.head}")
+    assert(plan.contains("partial_"), "per-source aggregate not map-side partial")
+  }
 }

@@ -64,6 +64,72 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(e1 != e3)
   }
 
+  test("q108: strip accounting closes and is non-vacuous; removal is whole spans only") {
+    // sf0.01 is the smallest corpus where a span crosses the df>=2 floor
+    val dir  = "/root/testdata/sf0.01"
+    val rows = graft.operators.Dedup.boilerplateStrip(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val before  = r.getAs[Long]("tokens_before")
+      val removed = r.getAs[Long]("tokens_removed")
+      assert(removed % graft.operators.Dedup.SpanTokens == 0, "partial-span removal")
+      assert(removed <= before, "removed more tokens than exist")
+      assert(r.getAs[Long]("docs_touched") <= r.getAs[Long]("n_docs"))
+      assert((removed > 0) == (r.getAs[Long]("docs_touched") > 0), "removal/touched disagree")
+      val expectPpm = math.floor((before - removed).toDouble / before.toDouble * 1e6).toLong
+      assert(r.getAs[Long]("retained_ppm") == expectPpm, "retained_ppm drifts from its definition")
+    }
+    assert(rows.map(_.getAs[Long]("tokens_removed")).sum > 0,
+      "no source strips anything — the spec is vacuous on this corpus")
+  }
+
+  test("q109: per cluster the kept member has max quality; totals close against q107") {
+    val dir = "/root/testdata/sf0.001"
+    val q109 = graft.operators.FuzzyDedup.dedupSurvivorsByQuality(spark, dir).collect()
+    val q107 = graft.operators.FuzzyDedup.dedupSurvivors(spark, dir).collect()
+    // same clusters, same removal COUNT per source — only the chosen reps differ
+    val c109 = q109.map(r => r.getAs[String]("source") -> r.getAs[Long]("n_removed")).toMap
+    val c107 = q107.map(r => r.getAs[String]("source") -> r.getAs[Long]("n_removed")).toMap
+    assert(c109.values.sum == c107.values.sum, "total removal count differs from min-id survivors")
+    assert(c109.values.sum > 0, "gate corpus planted no near-dups — spec would be vacuous")
+    // independent argmax oracle: q_removed_sum == sum(member qm) - sum(per-cluster max qm)
+    import org.apache.spark.sql.functions._
+    val (labels, _) = graft.operators.FuzzyDedup.connectedComponents(
+      graft.operators.FuzzyDedup.minhashLsh(spark, dir).select("id_a", "id_b"))
+    val qm = Tables.documents(spark, dir).select(
+      col("doc_id").as("node"),
+      floor(graft.operators.TextAnalysis.qualityScore(col("text"), col("n_chars")) * lit(1e6))
+        .cast("long").as("qm"))
+    val members = labels.join(qm, Seq("node")).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("qm")))
+    val expected = members.map(_._2).sum -
+      members.groupBy(_._1).values.map(_.map(_._2).max).sum
+    assert(q109.map(_.getAs[Long]("q_removed_sum")).sum == expected,
+      "removed quality mass != member mass minus per-cluster maxima")
+  }
+
+  test("q110: logit matches a JVM-side md5 reimplementation on a planted doc") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog"
+    val dir  = java.nio.file.Files.createTempDirectory("graft-q110").toString
+    Seq((1L, text, "en", "srcA", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent weight computation: first 8 md5 hex chars as uint32, %17-8
+    def w(f: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(f.getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 17 - 8
+    }
+    val toks  = text.split(" +")
+    val feats = toks.toSeq ++ toks.sliding(2).map(_.mkString("_"))
+    val expected = feats.map(w).sum
+    val row = graft.operators.TextAnalysis.hashedClassifier(spark, dir).collect().head
+    assert(row.getAs[Long]("sum_logit") == expected,
+      s"engine logit ${row.getAs[Long]("sum_logit")} != reimplementation $expected")
+    assert(row.getAs[Long]("n_kept") == (if (expected > 0) 1L else 0L))
+  }
+
   test("q107: survivors = corpus minus non-representative cluster members (min-id reps kept)") {
     // sf0.001 gate corpus: q38's clusters vs q107's accounting must agree
     val dir = "/root/testdata/sf0.001"
