@@ -132,6 +132,30 @@ object DedupIndex {
       .select("doc_id", "exact_dup", "n_near", "near_match", "keep")
   }
 
+  /** Streaming sink for [[probe]] — the `foreachBatch` production shape:
+    * dedup state lives in the bucketed index tables (built once, refreshed
+    * offline), each micro-batch pays an O(delta) probe and appends its
+    * per-doc verdicts (tagged with the batch id) to `<prefix>_verdicts`.
+    * Probe semantics are delta-vs-INDEX only (q58's asymmetric contract),
+    * so each row's verdict is independent of its micro-batch boundaries —
+    * the union over any batching equals one batch probe over the union,
+    * which is exactly what StreamingSpec pins. `foreachBatch` is
+    * at-least-once under retry; verdicts are deterministic per doc, so
+    * replays duplicate rows rather than corrupt them — downstream readers
+    * dedup on (doc_id) as with any at-least-once sink. */
+  def probeBatch(prefix: String = IndexPrefix)(batch: DataFrame, batchId: Long): Unit =
+    probe(batch.sparkSession, batch, prefix)
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(s"${prefix}_verdicts")
+
+  /** Drop the verdict table (and clear its location) before starting a new
+    * stream against `prefix`. */
+  def resetVerdicts(s: SparkSession, prefix: String = IndexPrefix): Unit =
+    reset(s, s"${prefix}_verdicts")
+
   /** q106: build the index from the q58 base split, probe the q58 delta —
     * end-to-end through the PERSISTED tables, never the in-memory base. */
   def q106(s: SparkSession, dir: String): DataFrame = {

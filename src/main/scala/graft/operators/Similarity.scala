@@ -201,6 +201,41 @@ object Similarity extends QueryModule {
       )
   }
 
+  /** ANN recall evaluation (q111) — the measurement loop every ANN
+    * deployment runs before trusting an index: recall@10 of the IVF path
+    * (q62) against the brute-force ground truth (q60), per query. An index
+    * is a tuning knob (nlists/nprobe here, bits×bands for the LSH family)
+    * and recall is THE metric that decides it — "measure, don't guess"
+    * applied to the engine's own approximate operators, as a first-class
+    * query rather than a test-only assertion.
+    *
+    * Both rankings use the same deterministic (rounded cos DESC, vec_id)
+    * order, so the top-10 SETS are engine-reproducible and the recall is
+    * exact integer arithmetic — no tolerance band needed. Scale shape: in
+    * production recall runs over a SAMPLED query set (here: the 5 gate
+    * queries), so the brute-force side is |sample|·|corpus| — bounded by
+    * the sample, not the corpus²; the compose is two bounded top-k tables
+    * joined on (q_id, vec_id) longs. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = knnBrute(s, dir).select(col("q_id"), col("vec_id"))
+    val ann   = ivfKnn(s, dir).select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    brute
+      .join(ann, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit")
+      )
+      .select(
+        col("q_id"),
+        col("n_true"),
+        col("n_hit"),
+        floor(col("n_hit").cast(DoubleType) / col("n_true").cast(DoubleType) * lit(1e6))
+          .cast(LongType)
+          .as("recall_ppm")
+      )
+  }
+
   /** q79: int8 scalar quantization of the embedding corpus — the
     * compression step before an ANN index ships to serving (4× smaller
     * than f32, SIMD-friendly distance kernels). Per-dimension min/max
@@ -313,7 +348,8 @@ object Similarity extends QueryModule {
     "q61_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
     "q62_ivf_knn"   -> (ivfKnn _),
     "q79_int8_quant" -> (int8Quantize _),
-    "q100_embedding_drift" -> (embeddingDrift _)
+    "q100_embedding_drift" -> (embeddingDrift _),
+    "q111_ann_recall" -> (annRecall _)
   )
 
   private val dotSql =
@@ -384,6 +420,49 @@ object Similarity extends QueryModule {
          |SELECT q_id, vec_id, list_id, cos, rnk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM cand
          |) WHERE rnk <= 10""".stripMargin
+    },
+    "q111_ann_recall" -> {
+      def d(x: String, y: String) =
+        s"list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+      s"""WITH n AS (SELECT vec_id, embedding AS v,
+         |        sqrt(${d("embedding", "embedding")}) AS nrm FROM embeddings),
+         |bsim AS (
+         |  SELECT b.vec_id AS q_id, a.vec_id AS vec_id,
+         |    round(${d("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos
+         |  FROM n a JOIN n b ON b.vec_id < 5 AND a.vec_id <> b.vec_id
+         |),
+         |bk AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM bsim) WHERE rnk <= 10),
+         |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+         |ac AS (SELECT n.vec_id, n.v, n.nrm, c.c_id,
+         |         round(${d("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) AS c_cos
+         |       FROM n CROSS JOIN c),
+         |asg AS (SELECT vec_id, v, nrm, c_id AS list_id FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS a_rnk
+         |          FROM ac) WHERE a_rnk = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+         |pc AS (SELECT q.q_id, q.qv, q.qnrm, c.c_id,
+         |         round(${d("q.qv", "c.cv")} / (q.qnrm * c.cnrm), 6) AS p_cos
+         |       FROM q CROSS JOIN c),
+         |probes AS (SELECT q_id, qv, qnrm, c_id AS list_id FROM (
+         |             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY p_cos DESC, c_id) AS p_rnk
+         |             FROM pc) WHERE p_rnk <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id,
+         |           round(${d("a.v", "p.qv")} / (a.nrm * p.qnrm), 6) AS cos
+         |         FROM asg a JOIN probes p ON a.list_id = p.list_id AND a.vec_id <> p.q_id),
+         |ik AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM cand) WHERE rnk <= 10)
+         |SELECT bk.q_id,
+         |  CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN ik.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+         |  CAST(floor(CAST(sum(CASE WHEN ik.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS recall_ppm
+         |FROM bk LEFT JOIN ik ON bk.q_id = ik.q_id AND bk.vec_id = ik.vec_id
+         |GROUP BY bk.q_id""".stripMargin
     },
     "q79_int8_quant" ->
       // mirrors int8Quantize's op order exactly: quantize → per-dim

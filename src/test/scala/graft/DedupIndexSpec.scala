@@ -36,6 +36,36 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming probe via foreachBatch equals the one-shot batch probe (micro-batch independence)") {
+    import org.apache.spark.sql.DataFrame
+    val prefix = "stream_idx"
+    val docs   = spark.read.parquet(s"$dir/documents.parquet")
+    val base   = docs.filter(col("doc_id") % FuzzyDedup.DeltaMod < 8)
+    val delta  = docs.filter(col("doc_id") % FuzzyDedup.DeltaMod >= 8)
+    DedupIndex.build(base, prefix)
+    DedupIndex.resetVerdicts(spark, prefix)
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_delta")
+    delta.repartition(2).write.mode("overwrite").parquet(d.toString)
+    val sink: (DataFrame, Long) => Unit = DedupIndex.probeBatch(prefix)
+    val q = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(d.toString)
+      .writeStream
+      .foreachBatch(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+      val verdicts = spark.table(s"${prefix}_verdicts")
+      assert(verdicts.select("batch_id").distinct().count() >= 2,
+        "stream collapsed into one micro-batch — parity claim untested")
+      val streamed  = verdicts.drop("batch_id").collect().map(_.toSeq).toSet
+      val oneShot   = DedupIndex.probe(spark, delta, prefix).collect().map(_.toSeq).toSet
+      assert(streamed == oneShot, "streamed verdict union differs from the one-shot probe")
+      assert(verdicts.count() == delta.count(), "a delta doc is missing or duplicated")
+    } finally q.stop()
+  }
+
   test("incremental premise: probing a second delta does not touch the base corpus text") {
     import spark.implicits._
     // a fresh batch with one exact dup of the base, one near-dup-free doc;

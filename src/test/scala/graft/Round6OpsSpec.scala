@@ -130,6 +130,26 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_kept") == (if (expected > 0) 1L else 0L))
   }
 
+  test("q111: recall accounting equals the set intersection of the two rankings") {
+    val dir   = "/root/testdata/sf0.001"
+    val brute = graft.operators.Similarity.knnBrute(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val ann = graft.operators.Similarity.ivfKnn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = graft.operators.Similarity.annRecall(spark, dir).collect()
+    recall.foreach { r =>
+      val q        = r.getAs[Long]("q_id")
+      val expected = brute.filter(_._1 == q).count(ann.contains)
+      assert(r.getAs[Long]("n_hit") == expected, s"q$q: n_hit != |brute ∩ ivf|")
+      assert(r.getAs[Long]("n_true") == brute.count(_._1 == q))
+      assert(r.getAs[Long]("recall_ppm") ==
+        math.floor(expected.toDouble / r.getAs[Long]("n_true") * 1e6).toLong)
+    }
+    assert(recall.map(_.getAs[Long]("n_hit")).sum > 0, "IVF finds nothing — eval is vacuous")
+    assert(recall.exists(r => r.getAs[Long]("n_hit") < r.getAs[Long]("n_true")),
+      "recall is uniformly perfect — the measurement distinguishes nothing on this corpus")
+  }
+
   test("q107: survivors = corpus minus non-representative cluster members (min-id reps kept)") {
     // sf0.001 gate corpus: q38's clusters vs q107's accounting must agree
     val dir = "/root/testdata/sf0.001"
