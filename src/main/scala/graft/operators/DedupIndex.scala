@@ -36,9 +36,11 @@ import graft.sources.Layout
   * The q106 oracle replays the base-only cap, so the gate checks the
   * declared semantics.
   *
-  * Accepted-doc MAINTENANCE (appending the kept delta rows to the index,
-  * compaction cadence) is the caller's write policy; [[build]] is also the
-  * rebuild primitive for compaction.
+  * Accepted-doc MAINTENANCE is [[probeAndAbsorb]] (q112): survivors of each
+  * batch are appended to the three tables with the same bucket spec, so
+  * later batches dedup against base ∪ earlier survivors. [[build]] is the
+  * rebuild primitive for periodic compaction (re-enforcing the global band
+  * cap). Streaming: [[probeBatch]] is the `foreachBatch` sink.
   */
 object DedupIndex {
 
@@ -130,6 +132,57 @@ object DedupIndex {
       .withColumn("near_match", coalesce(col("near_match"), lit(-1L)))
       .withColumn("keep", (col("exact_dup") === 0 && col("n_near") === 0).cast(LongType))
       .select("doc_id", "exact_dup", "n_near", "near_match", "keep")
+  }
+
+  /** Probe the batch, ABSORB its survivors into the index, return the
+    * verdicts — the full incremental-dedup maintenance loop (q112): after
+    * this call, later batches dedup against base ∪ earlier survivors, so
+    * the index stays current without a rebuild. Only keep==1 docs enter
+    * the index (a dup's fingerprint is already there by definition; adding
+    * near-dups would make the index grow with the DUP mass instead of the
+    * novel mass). Appends go through [[graft.sources.Layout.appendBucketed]]
+    * — same bucket spec, so probe joins stay exchange-free on the index
+    * side. The absorb batch's band entries are occupancy-capped within the
+    * batch alone; the global cap is re-enforced by the periodic [[build]]
+    * compaction, exactly like segment merges in any LSM-ish index.
+    *
+    * Correctness note: verdicts are materialized (`localCheckpoint`)
+    * BEFORE the index tables are mutated — `probe` is lazy, and computing
+    * it after the append would screen the batch against itself. */
+  def probeAndAbsorb(s: SparkSession, batch: DataFrame, prefix: String = IndexPrefix): DataFrame = {
+    val verdicts = probe(s, batch, prefix).localCheckpoint()
+    val kept     = batch.join(verdicts.filter(col("keep") === 1L).select("doc_id"), Seq("doc_id"))
+    Layout.appendBucketed(
+      fingerprints(kept).select("fingerprint").distinct(),
+      s"${prefix}_fp", "fingerprint", NumBuckets)
+    val sh = shingled(kept)
+    Layout.appendBucketed(sh, s"${prefix}_shingles", "doc_id", NumBuckets)
+    val bands = FuzzyDedup.boundedBands(
+      sh.select(
+        col("doc_id"),
+        explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")
+      ),
+      "band",
+      FuzzyDedup.MaxBandOccupancy
+    )
+    Layout.appendBucketed(bands.select("band", "doc_id"), s"${prefix}_bands", "band", NumBuckets)
+    verdicts
+  }
+
+  /** q112: two sequential deltas through the maintained index — batch 1 is
+    * probed and absorbed, batch 2 is probed against base ∪ batch-1
+    * survivors. The registered proof that the index UPDATES, not just
+    * screens: a batch-2 doc whose only duplicate lives in batch 1 is
+    * caught here and missed by the rebuild-blind q106 shape. */
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    val prefix = s"${IndexPrefix}_inc"
+    val docs   = Tables.documentsDistributed(s, dir)
+    val m      = col("doc_id") % FuzzyDedup.DeltaMod
+    build(docs.filter(m < 8), prefix)
+    val v1 = probeAndAbsorb(s, docs.filter(m === 8), prefix).withColumn("batch", lit(1L))
+    val v2 = probe(s, docs.filter(m === 9), prefix).withColumn("batch", lit(2L))
+    v1.unionByName(v2)
+      .select("batch", "doc_id", "exact_dup", "n_near", "near_match", "keep")
   }
 
   /** Streaming sink for [[probe]] — the `foreachBatch` production shape:

@@ -608,7 +608,8 @@ object FuzzyDedup extends QueryModule {
     "q105_containment_lsh"    -> ((s, d) => containmentLsh(s, d)),
     "q106_dedup_index"        -> (DedupIndex.q106 _),
     "q107_dedup_survivors"    -> (dedupSurvivors _),
-    "q109_survivors_quality"  -> (dedupSurvivorsByQuality _)
+    "q109_survivors_quality"  -> (dedupSurvivorsByQuality _),
+    "q112_index_absorb"       -> (DedupIndex.q112 _)
   )
 
   // ---- oracle SQL ----
@@ -734,6 +735,93 @@ object FuzzyDedup extends QueryModule {
          |  CAST(sum(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
          |FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
          |GROUP BY d.source""".stripMargin,
+    "q112_index_absorb" ->
+      s"""WITH $shinglesSqlCte,
+         |$minhashSigSql,
+         |$bandsAllSql,
+         |base_bands AS (
+         |  SELECT doc_id, band FROM bands_all WHERE doc_id % $DeltaMod < 8
+         |  QUALIFY count(*) OVER (PARTITION BY band) <= $MaxBandOccupancy
+         |),
+         |d1_bands AS (SELECT doc_id, band FROM bands_all WHERE doc_id % $DeltaMod = 8),
+         |d2_bands AS (SELECT doc_id, band FROM bands_all WHERE doc_id % $DeltaMod = 9),
+         |bse AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % $DeltaMod < 8),
+         |d1 AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % $DeltaMod = 8),
+         |ex1 AS (
+         |  SELECT d1.doc_id, CASE WHEN bse.fp IS NULL THEN 0 ELSE 1 END AS exact_dup
+         |  FROM d1 LEFT JOIN bse ON d1.fp = bse.fp
+         |),
+         |cand1 AS (
+         |  SELECT DISTINCT a.doc_id AS d_id, b.doc_id AS b_id
+         |  FROM d1_bands a JOIN base_bands b ON a.band = b.band
+         |),
+         |ver1 AS (
+         |  SELECT d_id, b_id,
+         |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+         |    len(sa.shingles) + len(sb.shingles)
+         |      - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS union_n
+         |  FROM cand1 JOIN sh sa ON cand1.d_id = sa.doc_id JOIN sh sb ON cand1.b_id = sb.doc_id
+         |),
+         |nr1 AS (
+         |  SELECT d_id AS doc_id, count(*) AS n_near, min(b_id) AS near_match
+         |  FROM ver1 WHERE round(CAST(inter AS DOUBLE) / union_n, 6) >= 0.3 GROUP BY 1
+         |),
+         |v1 AS (
+         |  SELECT ex1.doc_id, ex1.exact_dup, COALESCE(nr1.n_near, 0) AS n_near,
+         |    COALESCE(nr1.near_match, -1) AS near_match,
+         |    CASE WHEN ex1.exact_dup = 0 AND COALESCE(nr1.n_near, 0) = 0 THEN 1 ELSE 0 END AS keep
+         |  FROM ex1 LEFT JOIN nr1 ON ex1.doc_id = nr1.doc_id
+         |),
+         |surv1 AS (SELECT doc_id FROM v1 WHERE keep = 1),
+         |bse2 AS (
+         |  SELECT fp FROM bse
+         |  UNION
+         |  SELECT DISTINCT md5(d.text) AS fp FROM documents d JOIN surv1 s ON d.doc_id = s.doc_id
+         |),
+         |absorb_bands AS (
+         |  SELECT b.doc_id, b.band FROM d1_bands b JOIN surv1 s ON b.doc_id = s.doc_id
+         |  QUALIFY count(*) OVER (PARTITION BY b.band) <= $MaxBandOccupancy
+         |),
+         |idx2_bands AS (
+         |  SELECT doc_id, band FROM base_bands
+         |  UNION ALL
+         |  SELECT doc_id, band FROM absorb_bands
+         |),
+         |d2 AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % $DeltaMod = 9),
+         |ex2 AS (
+         |  SELECT d2.doc_id, CASE WHEN bse2.fp IS NULL THEN 0 ELSE 1 END AS exact_dup
+         |  FROM d2 LEFT JOIN bse2 ON d2.fp = bse2.fp
+         |),
+         |cand2 AS (
+         |  SELECT DISTINCT a.doc_id AS d_id, b.doc_id AS b_id
+         |  FROM d2_bands a JOIN idx2_bands b ON a.band = b.band
+         |),
+         |ver2 AS (
+         |  SELECT d_id, b_id,
+         |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+         |    len(sa.shingles) + len(sb.shingles)
+         |      - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS union_n
+         |  FROM cand2 JOIN sh sa ON cand2.d_id = sa.doc_id JOIN sh sb ON cand2.b_id = sb.doc_id
+         |),
+         |nr2 AS (
+         |  SELECT d_id AS doc_id, count(*) AS n_near, min(b_id) AS near_match
+         |  FROM ver2 WHERE round(CAST(inter AS DOUBLE) / union_n, 6) >= 0.3 GROUP BY 1
+         |),
+         |v2 AS (
+         |  SELECT ex2.doc_id, ex2.exact_dup, COALESCE(nr2.n_near, 0) AS n_near,
+         |    COALESCE(nr2.near_match, -1) AS near_match,
+         |    CASE WHEN ex2.exact_dup = 0 AND COALESCE(nr2.n_near, 0) = 0 THEN 1 ELSE 0 END AS keep
+         |  FROM ex2 LEFT JOIN nr2 ON ex2.doc_id = nr2.doc_id
+         |)
+         |SELECT CAST(1 AS BIGINT) AS batch, doc_id, CAST(exact_dup AS BIGINT) AS exact_dup,
+         |  CAST(n_near AS BIGINT) AS n_near, CAST(near_match AS BIGINT) AS near_match,
+         |  CAST(keep AS BIGINT) AS keep
+         |FROM v1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS batch, doc_id, CAST(exact_dup AS BIGINT) AS exact_dup,
+         |  CAST(n_near AS BIGINT) AS n_near, CAST(near_match AS BIGINT) AS near_match,
+         |  CAST(keep AS BIGINT) AS keep
+         |FROM v2""".stripMargin,
     "q106_dedup_index" ->
       s"""WITH $shinglesSqlCte,
          |$minhashSigSql,

@@ -32,6 +32,24 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append to an existing bucketed table with the SAME bucket spec —
+    * incremental index maintenance. Spark validates the spec against the
+    * catalog entry, so a drifted bucketCol/numBuckets fails loudly instead
+    * of silently de-bucketing the table. Appended files are bucketed like
+    * the originals; scans over the union stay exchange-free on the key. */
+  def appendBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int
+  ): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Read a partitioned dataset back. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -66,6 +66,31 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q112 absorb: a batch-2 dup of a batch-1 survivor is caught; without absorb it is missed") {
+    import spark.implicits._
+    val prefix = "absorb_idx"
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % FuzzyDedup.DeltaMod < 8)
+    DedupIndex.build(base, prefix)
+    val novel = "an entirely new report about warp drives and llama husbandry in four acts " * 3
+    val b1 = Seq((2000000L, novel, "en", "s0", novel.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b2 = Seq((2000001L, novel, "en", "s0", novel.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v1 = DedupIndex.probeAndAbsorb(spark, b1, prefix).collect()
+    assert(v1.head.getAs[Long]("keep") == 1L, "batch-1 novel doc should survive")
+    val v2 = DedupIndex.probe(spark, b2, prefix).collect()
+    assert(v2.head.getAs[Long]("exact_dup") == 1L,
+      "batch-2 exact copy of the absorbed survivor not caught — absorb is a no-op")
+    assert(v2.head.getAs[Long]("n_near") >= 1L && v2.head.getAs[Long]("near_match") == 2000000L,
+      "near-dup path does not see the absorbed survivor's bands/shingles")
+    // counterfactual: the rebuild-blind index (no absorb) misses the same doc
+    DedupIndex.build(base, prefix)
+    val v2blind = DedupIndex.probe(spark, b2, prefix).collect()
+    assert(v2blind.head.getAs[Long]("keep") == 1L,
+      "without absorb the doc should NOT be caught — fixture no longer distinguishes the two")
+  }
+
   test("incremental premise: probing a second delta does not touch the base corpus text") {
     import spark.implicits._
     // a fresh batch with one exact dup of the base, one near-dup-free doc;
