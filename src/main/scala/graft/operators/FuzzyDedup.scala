@@ -533,6 +533,61 @@ object FuzzyDedup extends QueryModule {
       )
   }
 
+  /** Near-dup contamination screen (q113) — the leak q54 cannot see. q54
+    * flags training docs sharing exact trigram shingles with the eval set;
+    * a PARAPHRASED eval leak (reworded answers, light edits) shares few
+    * exact shingles but still collides in MinHash bands. This runs q58's
+    * asymmetric probe with the eval set as the index side: eval bands are
+    * occupancy-capped and BROADCAST (benchmark suites are thousands of
+    * docs — trivially broadcastable at any corpus scale), the training
+    * corpus streams its (doc_id, band) pairs map-side against them, and
+    * only the candidate pairs fetch shingle arrays for the exact-Jaccard
+    * verify. The corpus never shuffles for candidate generation; verify
+    * joins are candidate-sized. Per-source accounting is the actionable
+    * report (which crawl source leaks the benchmark). */
+  def nearContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), col("source"), Dedup.shingles(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val isEval = col("doc_id") % TrainingPrep.EvalMod === 0
+    val eval   = docs.filter(isEval)
+    val train  = docs.filter(!isEval)
+    val evalBands = boundedBands(
+      eval.select(
+        col("doc_id").as("e_id"),
+        explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")
+      ),
+      "band",
+      MaxBandOccupancy
+    )
+    val trainBands = train.select(
+      col("doc_id").as("t_id"),
+      explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")
+    )
+    val cand = trainBands
+      .join(broadcast(evalBands), Seq("band"))
+      .select("t_id", "e_id")
+      .distinct()
+    val leaks = cand
+      .join(train.select(col("doc_id").as("t_id"), col("shingles").as("sh_t")), Seq("t_id"))
+      .join(broadcast(eval.select(col("doc_id").as("e_id"), col("shingles").as("sh_e"))), Seq("e_id"))
+      .withColumn("inter", size(array_intersect(col("sh_t"), col("sh_e"))).cast(LongType))
+      .withColumn("union_n", (size(col("sh_t")) + size(col("sh_e"))).cast(LongType) - col("inter"))
+      .filter(round(col("inter") / col("union_n"), 6) >= 0.3)
+      .groupBy(col("t_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_eval_matches"))
+    train
+      .select(col("doc_id"), col("source"))
+      .join(leaks, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(when(col("n_eval_matches").isNotNull, 1L).otherwise(0L)).as("n_leaked"),
+        sum(coalesce(col("n_eval_matches"), lit(0L))).as("n_leak_pairs")
+      )
+  }
+
   /** Quality-weighted dedup survivors (q109) — q107 with the survivor rule
     * production pipelines actually use: per near-dup cluster keep the
     * HIGHEST-QUALITY member (q42's composite score; floor-micros LONG so
@@ -609,7 +664,8 @@ object FuzzyDedup extends QueryModule {
     "q106_dedup_index"        -> (DedupIndex.q106 _),
     "q107_dedup_survivors"    -> (dedupSurvivors _),
     "q109_survivors_quality"  -> (dedupSurvivorsByQuality _),
-    "q112_index_absorb"       -> (DedupIndex.q112 _)
+    "q112_index_absorb"       -> (DedupIndex.q112 _),
+    "q113_near_contamination" -> (nearContamination _)
   )
 
   // ---- oracle SQL ----
@@ -677,6 +733,40 @@ object FuzzyDedup extends QueryModule {
        |pairs AS (SELECT id_a, id_b FROM verified WHERE round(inter / union_n, 6) >= 0.3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q113_near_contamination" ->
+      s"""WITH $shinglesSqlCte,
+         |$minhashSigSql,
+         |$bandsAllSql,
+         |e_bands AS (
+         |  SELECT doc_id, band FROM bands_all WHERE doc_id % ${TrainingPrep.EvalMod} = 0
+         |  QUALIFY count(*) OVER (PARTITION BY band) <= $MaxBandOccupancy
+         |),
+         |t_bands AS (SELECT doc_id, band FROM bands_all WHERE doc_id % ${TrainingPrep.EvalMod} <> 0),
+         |cand AS (
+         |  SELECT DISTINCT t.doc_id AS t_id, e.doc_id AS e_id
+         |  FROM t_bands t JOIN e_bands e ON t.band = e.band
+         |),
+         |ver AS (
+         |  SELECT t_id, e_id,
+         |    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+         |    len(sa.shingles) + len(sb.shingles)
+         |      - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS union_n
+         |  FROM cand JOIN sh sa ON cand.t_id = sa.doc_id JOIN sh sb ON cand.e_id = sb.doc_id
+         |),
+         |nr AS (
+         |  SELECT t_id AS doc_id, count(*) AS n_eval_matches
+         |  FROM ver WHERE round(CAST(inter AS DOUBLE) / union_n, 6) >= 0.3 GROUP BY 1
+         |),
+         |tr AS (
+         |  SELECT d.doc_id, d.source FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+         |  WHERE d.doc_id % ${TrainingPrep.EvalMod} <> 0 AND len(sh.shingles) > 0
+         |)
+         |SELECT tr.source,
+         |  CAST(count(*) AS BIGINT) AS n_train,
+         |  CAST(sum(CASE WHEN nr.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_leaked,
+         |  CAST(sum(COALESCE(nr.n_eval_matches, 0)) AS BIGINT) AS n_leak_pairs
+         |FROM tr LEFT JOIN nr ON tr.doc_id = nr.doc_id
+         |GROUP BY tr.source""".stripMargin,
     "q109_survivors_quality" ->
       s"""WITH RECURSIVE $pairsCtes,
          |edges AS (

@@ -130,6 +130,31 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_kept") == (if (expected > 0) 1L else 0L))
   }
 
+  test("q113: gate corpus plants real leaks; a paraphrased leak is caught where q54 misses it") {
+    import spark.implicits._
+    // gate-corpus non-vacuity (sf0.001 plants 2 near-dup eval leaks)
+    val gate = graft.operators.FuzzyDedup.nearContamination(spark, "/root/testdata/sf0.001").collect()
+    assert(gate.map(_.getAs[Long]("n_leaked")).sum > 0, "no leaks on the gate corpus — vacuous")
+    // planted paraphrase: train = eval text + novel tail, tuned so exact-shingle
+    // containment (q54's signal) is 0.453 < its 0.5 threshold while the pair
+    // still collides in MinHash bands and verifies at Jaccard 0.453 >= 0.3
+    val evalText = "kilo echo mike uniform bravo charlie red romeo delta lima sierra bravo amber quebec golf bravo charlie november november charlie hotel charlie romeo november bravo red sierra delta hotel uniform uniform sierra bravo sierra sierra mike bravo hotel bravo romeo blue echo juliet november echo romeo delta sierra juliet romeo red victor foxtrot delta sierra sierra uniform golf lima delta"
+    val tail = "novemberx4 deltax4 xrayx4 tangox4 romeox4 whiskeyx4 victorx4 quebecx4 uniformx4 golfx4 yankeex4 redx4 amberx4 bluex4 yankeex4 golfx4 kilox4 uniformx4 bravox4 whiskeyx4 yankeex4 whiskeyx4 bluex4 zulux4 echox4 bluex4 tangox4 limax4 charliex4 quebecx4 hotelx4 xrayx4 alphax4 echox4 whiskeyx4 alphax4 echox4 echox4 charliex4 redx4 quebecx4 kilox4 novemberx4 julietx4 alphax4 deltax4 novemberx4 deltax4 papax4 xrayx4 bravox4 bluex4 julietx4 romeox4 alphax4 hotelx4 greenx4 alphax4 bluex4 greenx4 whiskeyx4 mikex4 julietx4 oscarx4 bravox4 whiskeyx4 zulux4 foxtrotx4 victorx4 papax4"
+    val trainText = s"$evalText $tail"
+    val dir = java.nio.file.Files.createTempDirectory("graft-q113").toString
+    Seq(
+      (97L, evalText, "en", "seval", evalText.length.toLong),   // 97 % EvalMod == 0
+      (1L, trainText, "en", "strain", trainText.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val near = graft.operators.FuzzyDedup.nearContamination(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_leaked")).toMap
+    assert(near("strain") == 1L, "paraphrased leak not caught by the banded screen")
+    val exact = graft.operators.TrainingPrep.contaminationScreen(spark, dir).collect()
+    assert(exact.length == 1 && exact.head.getAs[Long]("flagged") == 0L,
+      "q54 flagged the paraphrase — fixture no longer demonstrates the gap q113 closes")
+  }
+
   test("q111: recall accounting equals the set intersection of the two rankings") {
     val dir   = "/root/testdata/sf0.001"
     val brute = graft.operators.Similarity.knnBrute(spark, dir).collect()
