@@ -80,10 +80,15 @@ object Clustering extends QueryModule {
       .sortBy(_._1)
   }
 
-  /** q70: `iters` rounds of (assign, update), then final stats of the last
-    * assignment: size, modal ground-truth label (tie-break smallest label),
-    * modal-label mass, and exact integer SSE per cluster. */
-  def kmeans(s: SparkSession, dir: String, k: Int = K, iters: Int = Iters): DataFrame = {
+  /** The deterministic fit loop shared by q70 and q114: `iters` rounds of
+    * (assign, update). Returns the quantized corpus and the final
+    * driver-resident centroid model. */
+  def fit(
+      s: SparkSession,
+      dir: String,
+      k: Int = K,
+      iters: Int = Iters
+  ): (DataFrame, Seq[(Long, Array[Double])]) = {
     val emb = Tables
       .embeddingsDistributed(s, dir)
       .select(col("vec_id"), col("label").cast(LongType).as("label"), quantize(col("embedding")).as("qv"))
@@ -96,14 +101,21 @@ object Clustering extends QueryModule {
       .zipWithIndex
       .map { case (r, i) => i.toLong -> r.getSeq[Double](0).toArray }
       .toSeq
-    var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = emb
+      val assigned = emb
         .withColumn("best", nearest(col("qv"), centroids))
         .select(col("vec_id"), col("label"), col("qv"), col("best.c").as("cid"), col("best.d").as("d"))
       centroids = update(assigned)
     }
-    assigned = emb
+    (emb, centroids)
+  }
+
+  /** q70: `iters` rounds of (assign, update), then final stats of the last
+    * assignment: size, modal ground-truth label (tie-break smallest label),
+    * modal-label mass, and exact integer SSE per cluster. */
+  def kmeans(s: SparkSession, dir: String, k: Int = K, iters: Int = Iters): DataFrame = {
+    val (emb, centroids) = fit(s, dir, k, iters)
+    val assigned = emb
       .withColumn("best", nearest(col("qv"), centroids))
       .select(col("vec_id"), col("label"), col("best.c").as("cid"), col("best.d").as("d"))
     val byLabel = assigned
@@ -119,8 +131,54 @@ object Clustering extends QueryModule {
       .select("cid", "n_points", "majority_label", "n_majority", "sse")
   }
 
+  /** Cluster assignment quality (q114) — the evaluation loop for q70's
+    * model, q111's "measure, don't guess" applied to clustering: the
+    * simplified (centroid-based) silhouette. Per point, a = distance to
+    * its own centroid, b = distance to the nearest OTHER centroid;
+    * s = (b−a)/max(a,b) ∈ [0,1] here (a is the minimum by construction).
+    * Near-0 mean silhouette for a cluster says its points sit on a
+    * boundary — merge candidates; near-1 says tight and isolated. The
+    * full-pairwise silhouette is O(n²) and never run at corpus scale;
+    * the centroid form is the production proxy (same shape BigQuery ML /
+    * scikit's davies-bouldin-style screens use).
+    *
+    * Determinism: a and b are exact integer squared-L2 (q70's quantized
+    * space); the score is ONE identical IEEE chain — (b−a)/max(a,b,1)
+    * divide, ×10⁶ multiply, floor — so both engines emit the same micros.
+    * Scale shape: distances to the K literal centroids are map-side
+    * codegen (zero exchange, like q70's assignment); the only exchange is
+    * the K-row final aggregate. */
+  def clusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val (emb, centroids) = fit(s, dir)
+    val sqx = dot(col("qv"), col("qv"))
+    val darr = array_sort(array(centroids.map { case (cid, qc) =>
+      val qcLit = array(qc.toIndexedSeq.map(lit): _*)
+      val qcSq  = qc.map(v => v * v).sum
+      struct((sqx - lit(2.0) * dot(col("qv"), qcLit) + lit(qcSq)).as("d"), lit(cid).as("c"))
+    }: _*))
+    emb
+      .withColumn("ds", darr)
+      .select(
+        col("ds").getItem(0).getField("c").as("cid"),
+        col("ds").getItem(0).getField("d").as("da"),
+        col("ds").getItem(1).getField("d").as("db")
+      )
+      .withColumn(
+        "sm",
+        floor((col("db") - col("da")) / greatest(col("da"), col("db"), lit(1.0)) * lit(1e6))
+          .cast(LongType)
+      )
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_points"), sum(col("sm")).as("sil_sum_micro"))
+      .withColumn(
+        "sil_mean_micro",
+        floor(col("sil_sum_micro").cast(DoubleType) / col("n_points")).cast(LongType)
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q70_kmeans" -> ((s, d) => kmeans(s, d))
+    "q70_kmeans" -> ((s, d) => kmeans(s, d)),
+    "q114_cluster_quality" -> ((s, d) => clusterQuality(s, d))
   )
 
   /** The oracle replays the same quantized-integer iterations in pure SQL:
@@ -150,6 +208,39 @@ object Clustering extends QueryModule {
        |) GROUP BY cid""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q114_cluster_quality" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0)) AS qv
+         |  FROM embeddings
+         |),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $K)
+         |),
+         |a1 AS (${assignSql("q", "c0")}),
+         |c1 AS (${updateSql("a1")}),
+         |a2 AS (${assignSql("q", "c1")}),
+         |c2 AS (${updateSql("a2")}),
+         |ad AS (
+         |  SELECT q.vec_id, c.cid,
+         |    list_sum(list_transform(generate_series(1, $dims),
+         |      i -> CAST((q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]) AS BIGINT))) AS d
+         |  FROM q CROSS JOIN c2 c
+         |),
+         |r AS (SELECT vec_id, cid, d,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM ad),
+         |ab AS (
+         |  SELECT a.vec_id, a.cid, CAST(a.d AS DOUBLE) AS da, CAST(b.d AS DOUBLE) AS db
+         |  FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rk = 1 AND b.rk = 2
+         |),
+         |sil AS (SELECT cid,
+         |          CAST(floor((db - da) / greatest(da, db, 1.0) * 1e6) AS BIGINT) AS sm
+         |        FROM ab)
+         |SELECT cid, count(*) AS n_points,
+         |  CAST(sum(sm) AS BIGINT) AS sil_sum_micro,
+         |  CAST(floor(CAST(sum(sm) AS DOUBLE) / count(*)) AS BIGINT) AS sil_mean_micro
+         |FROM sil GROUP BY 1""".stripMargin,
     "q70_kmeans" ->
       s"""WITH q AS (
          |  SELECT vec_id, CAST(label AS BIGINT) AS label,

@@ -155,6 +155,23 @@ class Round6OpsSpec extends AnyFunSuite {
       "q54 flagged the paraphrase — fixture no longer demonstrates the gap q113 closes")
   }
 
+  test("q114: silhouette is bounded, every point is scored, clusters match q70's assignment") {
+    val dir  = "/root/testdata/sf0.001"
+    val qual = graft.operators.Clustering.clusterQuality(spark, dir).collect()
+    val km   = graft.operators.Clustering.kmeans(spark, dir).collect()
+    assert(qual.length == km.length, "cluster count differs from q70")
+    val kmSizes = km.map(r => r.getAs[Long]("cid") -> r.getAs[Long]("n_points")).toMap
+    qual.foreach { r =>
+      assert(kmSizes(r.getAs[Long]("cid")) == r.getAs[Long]("n_points"),
+        "q114 assigns points differently from q70's final assignment")
+      val mean = r.getAs[Long]("sil_mean_micro")
+      assert(mean >= 0L && mean <= 1000000L, s"silhouette mean out of [0,1]: $mean")
+    }
+    assert(qual.map(_.getAs[Long]("n_points")).sum ==
+      spark.read.parquet(s"$dir/embeddings.parquet").count(), "a vector is unscored")
+    assert(qual.exists(_.getAs[Long]("sil_mean_micro") > 0L), "all-zero silhouette — degenerate")
+  }
+
   test("q111: recall accounting equals the set intersection of the two rankings") {
     val dir   = "/root/testdata/sf0.001"
     val brute = graft.operators.Similarity.knnBrute(spark, dir).collect()
