@@ -382,6 +382,27 @@ class PlanQualitySpec extends AnyFunSuite {
     )
   }
 
+  test("q113 contamination: eval bands broadcast — no text or shingle arrays ride any exchange") {
+    val plan      = finalPlan(graft.operators.FuzzyDedup.nearContamination(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "eval side does not broadcast")
+    assert(
+      exchanges.forall(e => !e.contains("text") && !e.contains("shingles") &&
+        !e.contains("sh_t") && !e.contains("sh_e")),
+      s"text or shingle arrays ride a shuffle:\n${exchanges.mkString("\n")}"
+    )
+  }
+
+  test("q109 quality survivors: text never shuffles — quality is computed map-side") {
+    val plan      = finalPlan(graft.operators.FuzzyDedup.dedupSurvivorsByQuality(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(
+      exchanges.forall(e => !e.contains("text")),
+      s"raw text rides a shuffle:\n${exchanges.mkString("\n")}"
+    )
+  }
+
   test("q110 classifier: zero joins — the only exchange is the |sources|-row final aggregate") {
     val plan = finalPlan(graft.operators.TextAnalysis.hashedClassifier(spark, dir))
       .split("== Initial Plan ==").head
