@@ -221,6 +221,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("boundedBands: band membership is all-or-nothing and capped; kept rows unchanged") {
+    import spark.implicits._
+    // adversarial occupancy mix: bands of size 1, cap, cap+1, and a mega-band
+    val cap = 4
+    val rows = sample(
+      for {
+        band <- Gen.oneOf("solo", "atcap", "over", "mega", "mega", "mega")
+        id   <- Gen.choose(0L, 10000L)
+      } yield (band, id),
+      300
+    ).distinct
+    val df  = rows.toDF("band", "doc_id")
+    val out = graft.operators.FuzzyDedup.boundedBands(df, "band", cap).collect()
+      .map(r => (r.getAs[String]("band"), r.getAs[Long]("doc_id")))
+    val inCounts  = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    val outCounts = out.groupBy(_._1).view.mapValues(_.length).toMap
+    inCounts.foreach { case (band, n) =>
+      if (n <= cap)
+        assert(outCounts.getOrElse(band, 0) == n, s"under-cap band $band lost rows")
+      else
+        assert(!outCounts.contains(band), s"over-cap band $band partially retained")
+    }
+    assert(out.toSet.subsetOf(rows.toSet), "boundedBands invented rows")
+  }
+
+  test("fp8/fp15 fingerprints: stay in their declared non-negative ranges") {
+    import spark.implicits._
+    val texts = sample(Gen.alphaNumStr, 200).filter(_.nonEmpty)
+    val df = texts.toDF("t").select(
+      graft.functions.Fingerprints.fp8(col("t")).as("f8"),
+      graft.functions.Fingerprints.fp15(col("t")).as("f15")
+    ).collect()
+    df.foreach { r =>
+      val (f8, f15) = (r.getLong(0), r.getLong(1))
+      assert(f8 >= 0L && f8 < (1L << 32), s"fp8 out of uint32 range: $f8")
+      assert(f15 >= 0L && f15 < (1L << 60), s"fp15 out of 60-bit range: $f15")
+    }
+  }
+
   test("ISO validation: every rendered timestamp validates; offset forms reject") {
     import spark.implicits._
     val secs = sample(Gen.chooseNum(0L, 1700000000L), 200)
