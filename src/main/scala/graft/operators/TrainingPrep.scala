@@ -623,7 +623,65 @@ object TrainingPrep extends QueryModule {
       )
   }
 
+  /** Snapshot shard-drift audit (q115) — q80's reconciliation lifted to the
+    * SHARD level: between two corpus snapshots, which training shards
+    * changed at all, and how much re-tokenization the refresh actually
+    * costs. q80 answers "which docs changed"; an ops dashboard needs
+    * "which of my 10k shards must re-export" — unchanged shards are
+    * skipped wholesale (their cached tokenized form is still valid), which
+    * is the entire point of sharded exports.
+    *
+    * The shard fingerprint is a commutative SUM of per-doc fp8 hashes
+    * (hash binds doc_id AND text, so an in-place edit moves the sum and a
+    * doc can never silently swap shards — shard is a function of doc_id).
+    * Order-insensitivity makes the fingerprint a one-pass partial
+    * aggregate — no collect_list of shard content (q102's concat-md5 works
+    * because its bins are token-budget-bounded; a corpus/NumShards shard
+    * is NOT collectable at 100 TB). Overflow headroom: fp8 < 2³², so the
+    * LONG sum is exact below ~2³¹ docs per shard.
+    *
+    * ONE corpus pass computes both versions' membership and fingerprints
+    * per doc (the versions are q80's derived v1/v2 — production passes two
+    * snapshot paths); the only exchange is the |shards|-row aggregate. */
+  def shardDrift(s: SparkSession, dir: String): DataFrame = {
+    val text1 = when(col("doc_id") % 7 === 0, concat(lit("draft "), col("text"))).otherwise(col("text"))
+    val fpOf = (t: Column) =>
+      graft.functions.Fingerprints.fp8(concat(col("doc_id").cast(StringType), lit(":"), t))
+    val perDoc = Tables
+      .documentsDistributed(s, dir)
+      .select(
+        (graft.functions.Fingerprints.fp8(concat(lit("shard:42:"), col("doc_id").cast(StringType))) % NumShards)
+          .cast(LongType).as("shard"),
+        (col("doc_id") % 13 =!= 0).as("in1"),
+        (col("doc_id") % 17 =!= 0).as("in2"),
+        fpOf(text1).as("fp1"),
+        fpOf(col("text")).as("fp2"),
+        size(split(col("text"), " +")).cast(LongType).as("n_tok")
+      )
+    perDoc
+      .groupBy("shard")
+      .agg(
+        sum(when(col("in1"), 1L).otherwise(0L)).as("n_docs_v1"),
+        sum(when(col("in2"), 1L).otherwise(0L)).as("n_docs_v2"),
+        sum(when(col("in2"), col("n_tok")).otherwise(0L)).as("tokens_v2"),
+        sum(when(col("in1"), col("fp1")).otherwise(0L)).as("cfp1"),
+        sum(when(col("in2"), col("fp2")).otherwise(0L)).as("cfp2")
+      )
+      .select(
+        col("shard"),
+        col("n_docs_v1"),
+        col("n_docs_v2"),
+        col("tokens_v2"),
+        when(col("n_docs_v1") === 0 && col("n_docs_v2") === 0, "empty")
+          .when(col("cfp1") === col("cfp2"), "same")
+          .otherwise("changed")
+          .as("status"),
+        when(col("cfp1") =!= col("cfp2"), col("tokens_v2")).otherwise(0L).as("retokenize_tokens")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_shard_drift"      -> (shardDrift _),
     "q102_packed_export"    -> (packedShardExport _),
     "q94_mix_allocation"    -> (mixAllocation _),
     "q68_clean_funnel"      -> (cleanFunnel _),
@@ -644,6 +702,33 @@ object TrainingPrep extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q115_shard_drift" ->
+      s"""WITH pd AS (
+         |  SELECT
+         |    CAST('0x' || substr(md5('shard:42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      % $NumShards AS shard,
+         |    doc_id % 13 <> 0 AS in1,
+         |    doc_id % 17 <> 0 AS in2,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |      CASE WHEN doc_id % 7 = 0 THEN 'draft ' || text ELSE text END), 1, 8) AS BIGINT) AS fp1,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8) AS BIGINT) AS fp2,
+         |    len(regexp_split_to_array(text, ' +')) AS n_tok
+         |  FROM documents
+         |),
+         |a AS (
+         |  SELECT shard,
+         |    CAST(sum(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_v1,
+         |    CAST(sum(CASE WHEN in2 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_v2,
+         |    CAST(sum(CASE WHEN in2 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_v2,
+         |    CAST(sum(CASE WHEN in1 THEN fp1 ELSE 0 END) AS BIGINT) AS cfp1,
+         |    CAST(sum(CASE WHEN in2 THEN fp2 ELSE 0 END) AS BIGINT) AS cfp2
+         |  FROM pd GROUP BY 1
+         |)
+         |SELECT shard, n_docs_v1, n_docs_v2, tokens_v2,
+         |  CASE WHEN n_docs_v1 = 0 AND n_docs_v2 = 0 THEN 'empty'
+         |       WHEN cfp1 = cfp2 THEN 'same' ELSE 'changed' END AS status,
+         |  CAST(CASE WHEN cfp1 <> cfp2 THEN tokens_v2 ELSE 0 END AS BIGINT) AS retokenize_tokens
+         |FROM a""".stripMargin,
     "q94_mix_allocation" ->
       s"""WITH t AS (
          |  SELECT source, CAST(sum(len(regexp_split_to_array(text, ' +'))) AS BIGINT) AS tokens

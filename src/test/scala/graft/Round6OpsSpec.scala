@@ -155,6 +155,30 @@ class Round6OpsSpec extends AnyFunSuite {
       "q54 flagged the paraphrase — fixture no longer demonstrates the gap q113 closes")
   }
 
+  test("q115: only the edited doc's shard reports changed; untouched shards are 'same' with zero retokenize cost") {
+    import spark.implicits._
+    // ids 1..6 avoid every version rule (mod 7/13/17): present unedited in both
+    // versions. id 7 is edited in v1 (mod-7 draft rule) — exactly its shard drifts.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q115").toString
+    (1L to 7L).map(i => (i, s"document number $i with some text payload", "en", "s0", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TrainingPrep.shardDrift(spark, dir).collect()
+    def fp8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val shard7 = fp8("shard:42:7") % graft.operators.TrainingPrep.NumShards
+    val changed = out.filter(_.getAs[String]("status") == "changed")
+    assert(changed.map(_.getAs[Long]("shard")).toSeq == Seq(shard7),
+      s"expected only doc 7's shard ($shard7) to drift, got ${changed.map(_.getAs[Long]("shard")).toSeq}")
+    out.filter(_.getAs[String]("status") == "same").foreach { r =>
+      assert(r.getAs[Long]("retokenize_tokens") == 0L, "unchanged shard billed for retokenization")
+      assert(r.getAs[Long]("n_docs_v1") == r.getAs[Long]("n_docs_v2"))
+    }
+    assert(out.exists(_.getAs[String]("status") == "same"), "no unchanged shard — fixture degenerate")
+  }
+
   test("q114: silhouette is bounded, every point is scored, clusters match q70's assignment") {
     val dir  = "/root/testdata/sf0.001"
     val qual = graft.operators.Clustering.clusterQuality(spark, dir).collect()
