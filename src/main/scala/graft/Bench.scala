@@ -97,9 +97,17 @@ object Bench {
       java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(
+    val line =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_sec":${s3(cpuTot)},"reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    // the harness parses the JSON out of the LAST 2000 chars of output; an
+    // overgrown line silently truncates into "parsed: null" (BENCH_r01-r03)
+    // — fail loudly here instead so the keys get shortened, not the data lost
+    require(
+      line.length <= 1900,
+      s"bench stdout line is ${line.length} chars (> 1900): the driver's 2000-char " +
+        "tail window would truncate it — shorten keys or drop precision"
     )
+    println(line)
     spark.stop()
   }
 }
