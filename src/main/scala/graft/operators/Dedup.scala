@@ -187,6 +187,58 @@ object Dedup extends QueryModule {
       .withColumn("dup_frac", round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
   }
 
+  /** Cross-source ownership attribution for exact span dedup (q116) — the
+    * keep-first step [[spanDedup]] stops short of: q71 reports duplicated-
+    * span MASS, this operator decides, for every duplicated span, which
+    * occurrence is the canonical copy (the globally first: min
+    * (doc_id, span_idx)) and charges every other occurrence to its source
+    * as strip cost. The per-source report — spans it uniquely contributes,
+    * canonical copies it owns, occurrences a strip pass would remove — is
+    * the redundancy bill of materials a curation run publishes before
+    * rewriting a corpus: exact dedup keeps exactly one copy of each span;
+    * this is the accounting of who keeps it and who pays.
+    *
+    * Scale shape: one narrow text pass computes span fingerprints
+    * (codegen'd, [[graft.plans.SpanFingerprints]]); every exchange after it
+    * carries (fp, doc_id, span_idx, source) — 32-hex plus three scalars,
+    * the text never shuffles. Ownership is min over struct(doc_id,
+    * span_idx) — a partial-aggregating lexicographic min, no window and no
+    * global sort — and the occurrence⋈stats join keys on fp, the same
+    * hash-partitioning the aggregate just produced, so the exchange is
+    * reused rather than repeated. DuckDB's min(ROW(…)) has the identical
+    * lexicographic semantics, so the oracle mirrors the engine exactly. */
+  def spanOwnership(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables
+      .documentsDistributed(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        posexplode(spanFingerprints(col("text"))).as(Seq("span_idx", "fp"))
+      )
+    val stats = occ
+      .groupBy("fp")
+      .agg(
+        count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("span_idx"))).as("owner")
+      )
+    occ
+      .join(stats, Seq("fp"))
+      .withColumn(
+        "is_owner",
+        col("doc_id") === col("owner.doc_id") && col("span_idx") === col("owner.span_idx")
+      )
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_spans"),
+        sum(when(col("n_occ") === 1, 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("n_occ") > 1 && col("is_owner"), 1L).otherwise(0L)).as("n_owned"),
+        sum(when(!col("is_owner"), 1L).otherwise(0L)).as("n_stripped")
+      )
+      .withColumn("tokens_stripped", col("n_stripped") * SpanTokens)
+      .withColumn("strip_frac", round(col("n_stripped").cast(DoubleType) / col("n_spans"), 6))
+  }
+
   /** Ingest-order bucket width (docs) for [[growthCurve]] — test-scale;
     * production sets it so the curve has O(10⁴) points. */
   val GrowthBucket = 50L
@@ -528,7 +580,8 @@ object Dedup extends QueryModule {
     "q93_boilerplate"     -> (boilerplate _),
     "q101_containment"    -> (containment _),
     "q104_growth_curve"   -> (growthCurve _),
-    "q108_boiler_strip"   -> (boilerplateStrip _)
+    "q108_boiler_strip"   -> (boilerplateStrip _),
+    "q116_span_ownership" -> (spanOwnership _)
   )
 
   /** DuckDB rendering of [[shingles]] — shared by the Jaccard and MinHash
@@ -565,6 +618,30 @@ object Dedup extends QueryModule {
          |  CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
          |  round(CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
          |FROM e JOIN c ON e.fp = c.fp GROUP BY 1""".stripMargin,
+    "q116_span_ownership" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, source,
+         |    list_transform(generate_series(0, CAST(len(t) // $SpanTokens AS BIGINT) - 1),
+         |                   j -> md5(array_to_string(t[j*$SpanTokens+1 : j*$SpanTokens+$SpanTokens], ' '))) AS fps
+         |  FROM (SELECT doc_id, source, regexp_split_to_array(text, ' +') AS t FROM documents)
+         |),
+         |e AS (SELECT doc_id, source, unnest(fps) AS fp,
+         |             generate_subscripts(fps, 1) - 1 AS span_idx
+         |      FROM sp WHERE len(fps) > 0),
+         |c AS (SELECT fp, count(*) AS n_occ, min(ROW(doc_id, span_idx)) AS owner FROM e GROUP BY 1)
+         |SELECT e.source AS source,
+         |  count(DISTINCT e.doc_id) AS n_docs,
+         |  count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN c.n_occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST(sum(CASE WHEN c.n_occ > 1 AND ROW(e.doc_id, e.span_idx) = c.owner THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_owned,
+         |  CAST(sum(CASE WHEN ROW(e.doc_id, e.span_idx) <> c.owner THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped,
+         |  CAST(sum(CASE WHEN ROW(e.doc_id, e.span_idx) <> c.owner THEN 1 ELSE 0 END) AS BIGINT) * $SpanTokens
+         |    AS tokens_stripped,
+         |  round(CAST(sum(CASE WHEN ROW(e.doc_id, e.span_idx) <> c.owner THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         |    AS strip_frac
+         |FROM e JOIN c ON e.fp = c.fp
+         |GROUP BY 1""".stripMargin,
     "q74_url_canonical" ->
       """WITH u AS (
         |  SELECT doc_id,

@@ -403,6 +403,21 @@ class PlanQualitySpec extends AnyFunSuite {
     )
   }
 
+  test("q116 span ownership: text never shuffles; ownership min is map-side partial") {
+    val plan = finalPlan(graft.operators.Dedup.spanOwnership(spark, dir))
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty, "no hash exchange at all — plan collapsed unexpectedly")
+    assert(
+      exchanges.forall(e => !e.contains("text")),
+      s"raw text rides a shuffle:\n${exchanges.mkString("\n")}"
+    )
+    // the lexicographic owner min must partial-combine map-side: a window
+    // or sort-based formulation would show neither
+    assert(plan.contains("partial_min") || plan.contains("partial_"), "owner min not map-side partial")
+    assert(!plan.contains("Window"), "keep-first via window — single-partition risk at scale")
+  }
+
   test("q110 classifier: zero joins — the only exchange is the |sources|-row final aggregate") {
     val plan = finalPlan(graft.operators.TextAnalysis.hashedClassifier(spark, dir))
       .split("== Initial Plan ==").head

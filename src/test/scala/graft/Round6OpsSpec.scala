@@ -245,4 +245,52 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(nKept + nRemoved == nDocs, "survivor accounting does not close")
     assert(nRemoved > 0, "gate corpus planted no near-dups — accounting would be vacuous")
   }
+
+  test("q116: keep-first span ownership attributes exactly on a planted two-source corpus") {
+    import spark.implicits._
+    // 8-token spans A/B/C; docs are exactly two aligned spans each.
+    val A = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val B = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val C = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val dir = java.nio.file.Files.createTempDirectory("graft-q116").toString
+    Seq(
+      (1L, s"$A $B", "en", "src_a", 47L), // spans (1,0)=A (1,1)=B
+      (2L, s"$A $C", "en", "src_b", 47L), // spans (2,0)=A (2,1)=C
+      (3L, s"$C $A", "en", "src_b", 47L)  // spans (3,0)=C (3,1)=A
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Dedup.spanOwnership(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // A: occurrences (1,0),(2,0),(3,1) → owner (1,0); B: unique; C: (2,1),(3,0) → owner (2,1)
+    val a = rows("src_a")
+    assert(a.getAs[Long]("n_spans") == 2 && a.getAs[Long]("n_unique") == 1 &&
+      a.getAs[Long]("n_owned") == 1 && a.getAs[Long]("n_stripped") == 0)
+    val b = rows("src_b")
+    assert(b.getAs[Long]("n_spans") == 4 && b.getAs[Long]("n_unique") == 0 &&
+      b.getAs[Long]("n_owned") == 1 && b.getAs[Long]("n_stripped") == 3,
+      s"src_b attribution wrong: $b")
+    assert(b.getAs[Long]("tokens_stripped") == 3L * graft.operators.Dedup.SpanTokens)
+    assert(b.getAs[Double]("strip_frac") == 0.75)
+  }
+
+  test("q116: accounting closes per source and totals agree with q71 on the gate corpus") {
+    val dir  = "/root/testdata/sf0.01"
+    val rows = graft.operators.Dedup.spanOwnership(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (u, o, st, n) = (r.getAs[Long]("n_unique"), r.getAs[Long]("n_owned"),
+        r.getAs[Long]("n_stripped"), r.getAs[Long]("n_spans"))
+      assert(u + o + st == n, s"ownership classes do not partition spans: $r")
+      assert(r.getAs[Long]("tokens_stripped") == st * graft.operators.Dedup.SpanTokens)
+      assert(r.getAs[Double]("strip_frac") ==
+        BigDecimal(st.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // cross-operator identity (not a chance property): occurrences of
+    // duplicated spans counted by q71 (per lang) and q116 (per source)
+    // total identically — both are Σ over spans with n_occ>1 of n_occ.
+    val dupOcc71 = graft.operators.Dedup.spanDedup(spark, dir).collect()
+      .map(_.getAs[Long]("n_dup_spans")).sum
+    assert(rows.map(r => r.getAs[Long]("n_owned") + r.getAs[Long]("n_stripped")).sum == dupOcc71,
+      "q116 dup-occurrence total diverges from q71's")
+  }
 }
