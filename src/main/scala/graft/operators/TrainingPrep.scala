@@ -55,6 +55,60 @@ object TrainingPrep extends QueryModule {
         (col("pos") + 1).cast(LongType).as("rk")
       )
 
+  /** Sample size per source for [[weightedSample]]. */
+  val WeightedSampleK = 20
+
+  /** Weight cap for [[weightedSample]] — bounds any single giant document's
+    * inclusion probability, so one 10M-token crawl artifact can't dominate
+    * its source's sample. */
+  val WeightCap = 512
+
+  /** q117: deterministic WEIGHTED sample per source — sequential Poisson
+    * (order) sampling: each doc draws a "uniform" u from a salted md5 of
+    * its id and competes on priority w/u; the k highest priorities per
+    * source win, giving inclusion probability ≈ proportional to weight
+    * (Ohlsson 1998's πps order sampling, the method statistics agencies use
+    * for PPS draws). Weight = token count capped at [[WeightCap]].
+    *
+    * Determinism across engines is the whole design:
+    *  - u comes from [[graft.functions.Fingerprints.fp8]] (salted md5
+    *    prefix), not an RNG — every rerun and every engine draws the same
+    *    sample, and the driver's DuckDB oracle can reproduce it exactly.
+    *  - the priority is ONE IEEE division of exact-in-double integers
+    *    (w ≤ 512, h < 2³²) — correctly rounded, bit-identical in Spark and
+    *    DuckDB. The textbook A-ES key u^(1/w) (or −ln(u)/w) needs pow/ln,
+    *    which libm implementations round differently at the last ulp — a
+    *    cross-engine ordering flip waiting to happen. Ties (possible only
+    *    on fp8 collision + equal weight) break on doc_id, mirrored in the
+    *    oracle's ORDER BY.
+    *
+    * Scale shape: one narrow projection pass over the corpus (text never
+    * leaves the scan), then [[graft.plans.TopKAggregate]]'s bounded heap —
+    * each map partition contributes ≤ k rows per source to the exchange,
+    * so the shuffle is O(sources · k) regardless of corpus size. No global
+    * sort, no window funnel; the same plan holds at 100 TB. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val w   = least(size(split(col("text"), " +")), lit(WeightCap)).cast(LongType)
+    val h   = graft.functions.Fingerprints.fp8(concat(lit("wsamp:"), col("doc_id").cast(StringType)))
+    val pri = w.cast(DoubleType) / (h + lit(1L)).cast(DoubleType)
+    Tables
+      .documentsDistributed(s, dir)
+      .select(col("source"), col("doc_id"), w.as("w"), pri.as("pri"))
+      .groupBy("source")
+      .agg(
+        graft.plans.TopKAggregate
+          .topK(struct(col("pri"), col("doc_id"), col("w")), WeightedSampleK)
+          .as("top")
+      )
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("source"),
+        (col("pos") + 1).cast(LongType).as("rk"),
+        col("t.doc_id").as("doc_id"),
+        col("t.w").as("w")
+      )
+  }
+
   /** Chunk width (in doc_id space) for [[sequencePacking]]'s two-phase
     * cumulative sum. Width-invariant result: bin ids depend only on the
     * total exclusive prefix sum, so the chunking is purely a parallelism
@@ -694,6 +748,7 @@ object TrainingPrep extends QueryModule {
     "q49_length_quantile"   -> (lengthQuantileFilter _),
     "q56_shard_assign"      -> (shardAssign _),
     "q45_stratified_sample" -> (stratifiedSample _),
+    "q117_weighted_sample"  -> (weightedSample _),
     "q46_sequence_packing"  -> ((s, d) => sequencePacking(s, d)),
     "q47_repetition_score"  -> (repetitionScore _),
     "q54_contamination"     -> (contaminationScreen _),
@@ -886,6 +941,21 @@ object TrainingPrep extends QueryModule {
          |    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
          |  FROM documents
          |) WHERE rk <= $SamplePerLang""".stripMargin,
+    "q117_weighted_sample" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |    least(len(regexp_split_to_array(text, ' +')), $WeightCap) AS wi,
+         |    ${graft.functions.Fingerprints.fp8Sql("'wsamp:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents
+         |),
+         |p AS (
+         |  SELECT source, doc_id, wi,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY CAST(wi AS DOUBLE) / CAST(h + 1 AS DOUBLE) DESC, doc_id DESC) AS rk
+         |  FROM d
+         |)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, CAST(wi AS BIGINT) AS w
+         |FROM p WHERE rk <= $WeightedSampleK""".stripMargin,
     "q102_packed_export" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, text, CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n_tokens

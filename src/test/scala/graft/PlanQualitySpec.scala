@@ -132,6 +132,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), s"stratified sample plan sorts:\n$plan")
   }
 
+  test("q117 weighted sample: bounded-heap aggregate, no window; text stays off the exchange") {
+    val plan = finalPlan(graft.operators.TrainingPrep.weightedSample(spark, dir))
+    val aggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(aggs >= 2, s"expected partial+final ObjectHashAggregate, got $aggs in:\n$plan")
+    assert(!plan.contains("Window"), "weighted sample fell back to a window")
+    assert(!plan.contains("Sort "), s"weighted sample plan sorts:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.forall(e => !e.contains("text")),
+      s"corpus text rides the sample's shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("q68 clean funnel: text never shuffles, length bounds broadcast") {
     val plan      = finalPlan(graft.operators.TrainingPrep.cleanFunnel(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList

@@ -273,6 +273,52 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(b.getAs[Double]("strip_frac") == 0.75)
   }
 
+  test("q117: weighted sample reproduces the priority formula exactly on a planted corpus") {
+    import spark.implicits._
+    // 30 docs in one source, token counts 1..30; k=20 → 10 must lose.
+    // Expected selection is recomputed independently (java MD5, same
+    // w/(h+1) priority) — a true parity check, not a chance property.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q117").toString
+    val docs = (1L to 30L).map { i =>
+      val text = (1L to i).map(j => s"t$j").mkString(" ")
+      (i, text, "en", "s0", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def fp8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val expected = (1L to 30L)
+      .map { i =>
+        val w = math.min(i, graft.operators.TrainingPrep.WeightCap.toLong)
+        (i, w, w.toDouble / (fp8(s"wsamp:$i") + 1L).toDouble)
+      }
+      .sortBy { case (id, _, pri) => (-pri, -id) }
+      .take(graft.operators.TrainingPrep.WeightedSampleK)
+      .zipWithIndex
+      .map { case ((id, w, _), pos) => (pos + 1L, id, w) }
+    val got = graft.operators.TrainingPrep.weightedSample(spark, dir).collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("doc_id"), r.getAs[Long]("w")))
+      .sortBy(_._1)
+    assert(got.toSeq == expected, s"engine sample diverges from the independent formula:\n$got")
+  }
+
+  test("q117: weight cap binds — a giant doc competes at WeightCap, not its true length") {
+    import spark.implicits._
+    val cap = graft.operators.TrainingPrep.WeightCap
+    val dir = java.nio.file.Files.createTempDirectory("graft-q117cap").toString
+    Seq(
+      (1L, (1 to cap * 3).map(i => s"w$i").mkString(" "), "en", "s0", 10L),
+      (2L, "short text", "en", "s0", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val byId = graft.operators.TrainingPrep.weightedSample(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("w")).toMap
+    assert(byId(1L) == cap.toLong, s"giant doc reported w=${byId(1L)}, expected cap $cap")
+    assert(byId(2L) == 2L)
+  }
+
   test("q116: accounting closes per source and totals agree with q71 on the gate corpus") {
     val dir  = "/root/testdata/sf0.01"
     val rows = graft.operators.Dedup.spanOwnership(spark, dir).collect()
