@@ -239,6 +239,47 @@ object Dedup extends QueryModule {
       .withColumn("strip_frac", round(col("n_stripped").cast(DoubleType) / col("n_spans"), 6))
   }
 
+  /** q118: cross-document n-gram exposure — for each doc, the fraction of
+    * its distinct trigram shingles that also occur in at least one OTHER
+    * document (corpus document-frequency ≥ 2), as parts-per-million.
+    *
+    * This is the memorization-risk / syndication signal the dedup papers
+    * curate on (Lee et al. 2022's duplicated-n-gram mass; RefinedWeb keeps
+    * it as a per-doc quality column): q47's repetition score is WITHIN-doc,
+    * q71/q116 count span copies corpus-wide but at 8-token span
+    * granularity with no per-doc normalization — this is the per-doc
+    * "how much of me exists elsewhere" number a curation filter thresholds
+    * on. Docs with < 3 tokens have no trigrams and are excluded (they
+    * carry no n-gram signal; the q42/q72 quality funnel owns them).
+    *
+    * Scale shape: the token stream is hashed BEFORE it moves — explode to
+    * (doc_id, fp15(shingle)) longs, so both exchanges (df partial-agg on
+    * fp, pairs⋈df join on fp) carry only skinny longs; shingle STRINGS
+    * never leave their scan task. Two passes over the corpus (the pairs
+    * stream feeds both the df aggregate and the join probe) — the
+    * standard inverted-df shape; heavy-hitter shingles (site boilerplate)
+    * skew the fp join, which AQE's skew split owns (pinned for the q78
+    * shape). Exposure is exact integer arithmetic (ppm via long floor
+    * division) — no cross-engine double drift. */
+  def ngramExposure(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), graft.functions.Fingerprints.fp15(col("sh")).as("fp"))
+    val dfreq = pairs.groupBy("fp").agg(count(lit(1)).as("df"))
+    pairs
+      .join(dfreq, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup")
+      )
+      .withColumn(
+        "exposure_ppm",
+        call_function("div", col("n_dup") * lit(1000000L), col("n_shingles"))
+      )
+  }
+
   /** Ingest-order bucket width (docs) for [[growthCurve]] — test-scale;
     * production sets it so the curve has O(10⁴) points. */
   val GrowthBucket = 50L
@@ -581,7 +622,8 @@ object Dedup extends QueryModule {
     "q101_containment"    -> (containment _),
     "q104_growth_curve"   -> (growthCurve _),
     "q108_boiler_strip"   -> (boilerplateStrip _),
-    "q116_span_ownership" -> (spanOwnership _)
+    "q116_span_ownership" -> (spanOwnership _),
+    "q118_ngram_exposure" -> (ngramExposure _)
   )
 
   /** DuckDB rendering of [[shingles]] — shared by the Jaccard and MinHash
@@ -618,6 +660,21 @@ object Dedup extends QueryModule {
          |  CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
          |  round(CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
          |FROM e JOIN c ON e.fp = c.fp GROUP BY 1""".stripMargin,
+    "q118_ngram_exposure" ->
+      s"""WITH $shinglesSql,
+         |p AS (
+         |  SELECT doc_id, ${graft.functions.Fingerprints.fp15Sql("s")} AS fp
+         |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+         |),
+         |dfreq AS (SELECT fp, count(*) AS df FROM p GROUP BY 1),
+         |e AS (
+         |  SELECT p.doc_id, count(*) AS n_shingles,
+         |    CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM p JOIN dfreq d ON p.fp = d.fp GROUP BY 1
+         |)
+         |SELECT doc_id, n_shingles, n_dup,
+         |  (n_dup * 1000000) // n_shingles AS exposure_ppm
+         |FROM e""".stripMargin,
     "q116_span_ownership" ->
       s"""WITH sp AS (
          |  SELECT doc_id, source,

@@ -143,6 +143,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"corpus text rides the sample's shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("q118 ngram exposure: shingle strings hash before they move — long-only exchanges") {
+    val plan = finalPlan(graft.operators.Dedup.ngramExposure(spark, dir))
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty, "no hash exchange — plan collapsed unexpectedly")
+    assert(exchanges.forall(e => !e.contains("text") && !e.contains("sh#")),
+      s"shingle strings or raw text ride a shuffle:\n${exchanges.mkString("\n")}")
+    assert(plan.contains("partial_count"), "shingle df not map-side partial")
+  }
+
   test("q68 clean funnel: text never shuffles, length bounds broadcast") {
     val plan      = finalPlan(graft.operators.TrainingPrep.cleanFunnel(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList

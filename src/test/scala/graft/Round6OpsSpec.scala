@@ -319,6 +319,51 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(byId(2L) == 2L)
   }
 
+  test("q118: exposure attributes exactly on a planted corpus; trigram-free docs are excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q118").toString
+    Seq(
+      (1L, "a b c d e", "en", "s0", 9L),  // {abc,bcd,cde}; abc,bcd shared with doc 2
+      (2L, "a b c d x", "en", "s0", 9L),  // {abc,bcd,cdx}
+      (3L, "p q r s", "en", "s0", 7L),    // {pqr,qrs} all unique
+      (4L, "hi there", "en", "s0", 8L),   // < 3 tokens → no trigrams → excluded
+      (5L, "m n o p q", "en", "s1", 9L),  // exact dup of 6 → fully exposed
+      (6L, "m n o p q", "en", "s1", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.ngramExposure(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_dup"), r.getAs[Long]("exposure_ppm"))).toMap
+    assert(got == Map(
+      1L -> ((3L, 2L, 666666L)),
+      2L -> ((3L, 2L, 666666L)),
+      3L -> ((2L, 0L, 0L)),
+      5L -> ((3L, 3L, 1000000L)),
+      6L -> ((3L, 3L, 1000000L))
+    ), s"exposure table diverges from hand computation: $got")
+  }
+
+  test("q118: exposure totals close against the shingle df table on the gate corpus") {
+    // cross-operator identity, not a chance property: Σ per-doc n_dup must
+    // equal Σ over df≥2 shingles of df (each occurrence of a shared shingle
+    // is counted once in exactly one doc's n_dup).
+    val dir  = "/root/testdata/sf0.001"
+    val rows = graft.operators.Dedup.ngramExposure(spark, dir).collect()
+    rows.foreach { r =>
+      val (n, d, ppm) = (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_dup"), r.getAs[Long]("exposure_ppm"))
+      assert(d >= 0L && d <= n, s"n_dup out of range: $r")
+      assert(ppm == d * 1000000L / n, s"ppm not the floor ratio: $r")
+    }
+    val expected = Tables.documents(spark, dir)
+      .select(explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
+      .groupBy("sh").count().filter(col("count") >= 2)
+      .agg(sum("count")).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_dup")).sum == expected,
+      "Σ n_dup diverges from the df-table mass")
+    assert(rows.map(_.getAs[Long]("n_dup")).sum > 0L,
+      "gate corpus has no cross-doc shingles — identity is vacuous")
+  }
+
   test("q116: accounting closes per source and totals agree with q71 on the gate corpus") {
     val dir  = "/root/testdata/sf0.01"
     val rows = graft.operators.Dedup.spanOwnership(spark, dir).collect()
