@@ -176,9 +176,98 @@ object Clustering extends QueryModule {
       )
   }
 
+  /** Cosine threshold for [[semDedup]] — same bar as q37/q39's near-dup
+    * semantics, here over the quantized vectors (quantization shifts a
+    * cosine by ~10⁻⁶, irrelevant at a 0.9 threshold and what makes the
+    * integer dot products exact cross-engine). */
+  val SemDupCos = 0.9
+
+  /** Fail-fast ceiling on the largest cluster for [[semDedup]] (override
+    * via `graft.semdedup.maxClusterSize`). */
+  val SemDedupDefaultMaxCluster = 100000L
+
+  /** q119: SemDeDup (Abbas et al. 2023) — semantic dedup with k-means
+    * cluster scoping: near-duplicate pairs are only searched WITHIN each
+    * cluster of q70's fitted model, turning the global O(n²) pair scan
+    * (q37) into Σ|cluster|² — the published answer to embedding dedup at
+    * extreme scale, complementary to q39's LSH (data-dependent candidate
+    * structure vs data-oblivious random planes). Keep rule is the paper's:
+    * within a duplicate relation prefer the point FARTHEST from its
+    * centroid (it preserves cluster diversity); we rank (distance DESC,
+    * vec_id ASC) and apply q116's keep-first policy — a point is removed
+    * iff it is ≥[[SemDupCos]]-similar to a higher-priority clustermate.
+    * Both the ranking distance and the cosine run in q70's quantized
+    * integer space, so every comparison is bit-identical cross-engine.
+    *
+    * Scale shape: assignment is q70's map-side codegen argmin (zero
+    * exchange); the corpus then shuffles ONCE by cid for the intra-cluster
+    * self-join, whose cost is bounded by the largest cluster — the knob is
+    * K (SemDeDup runs K ~ √n or larger; the paper uses 50k clusters for
+    * LAION). A skewed fit fails fast at [[SemDedupDefaultMaxCluster]]
+    * rather than melting on a quadratic cluster. Accounting output is
+    * K-row. */
+  /** Per-vector final assignment of q70's fitted model: (vec_id, qv, cid,
+    * d) with d the exact integer squared-L2 to the owning centroid.
+    * Shared by [[semDedup]] and its spec (which re-applies the keep rule
+    * independently over these d's). */
+  def assignments(s: SparkSession, dir: String): DataFrame = {
+    val (emb, centroids) = fit(s, dir)
+    emb
+      .withColumn("best", nearest(col("qv"), centroids))
+      .select(col("vec_id"), col("qv"), col("best.c").as("cid"), col("best.d").as("d"))
+  }
+
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val assigned = assignments(s, dir)
+    val sizes    = assigned.groupBy("cid").agg(count(lit(1)).as("n_points"))
+    val maxCluster = s.conf
+      .getOption("graft.semdedup.maxClusterSize")
+      .map(_.toLong)
+      .getOrElse(SemDedupDefaultMaxCluster)
+    val biggest = sizes.agg(max(col("n_points"))).head().getLong(0)
+    require(
+      biggest <= maxCluster,
+      s"semDedup's intra-cluster pair scan is O(cluster²): largest cluster has $biggest vectors " +
+        s"> limit $maxCluster. Raise K (the SemDeDup remedy) or graft.semdedup.maxClusterSize explicitly."
+    )
+    val withNorm = assigned.withColumn("nrm", sqrt(dot(col("qv"), col("qv"))))
+    val a = withNorm.select(
+      col("cid"), col("vec_id").as("id_a"), col("qv").as("va"), col("nrm").as("na"), col("d").as("da"))
+    val b = withNorm.select(
+      col("cid"), col("vec_id").as("id_b"), col("qv").as("vb"), col("nrm").as("nb"), col("d").as("db"))
+    val pairs = a
+      .join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= SemDupCos)
+      .select(col("cid"), col("id_a"), col("id_b"), col("da"), col("db"))
+    // loser = lower priority under (d DESC, vec_id ASC); id_a < id_b, so an
+    // equal-distance pair removes id_b. removed_d_sum (Σ losers' d, exact
+    // longs) makes the keep-FARTHEST rule observable in the accounting: a
+    // keep-closest bug would flip it to the larger branch of each pair.
+    val removed = pairs
+      .select(
+        col("cid"),
+        when(col("da") >= col("db"), col("id_b")).otherwise(col("id_a")).as("removed_id"),
+        when(col("da") >= col("db"), col("db")).otherwise(col("da")).as("rd")
+      )
+      .distinct()
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_removed"), sum(col("rd").cast(LongType)).as("removed_d_sum"))
+    val pairCounts = pairs.groupBy("cid").agg(count(lit(1)).as("n_pairs"))
+    sizes
+      .join(pairCounts, Seq("cid"), "left")
+      .join(removed, Seq("cid"), "left")
+      .na
+      .fill(0L, Seq("n_pairs", "n_removed", "removed_d_sum"))
+      .withColumn("n_kept", col("n_points") - col("n_removed"))
+      .select("cid", "n_points", "n_pairs", "n_removed", "n_kept", "removed_d_sum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_kmeans" -> ((s, d) => kmeans(s, d)),
-    "q114_cluster_quality" -> ((s, d) => clusterQuality(s, d))
+    "q114_cluster_quality" -> ((s, d) => clusterQuality(s, d)),
+    "q119_semdedup" -> ((s, d) => semDedup(s, d))
   )
 
   /** The oracle replays the same quantized-integer iterations in pure SQL:
@@ -241,6 +330,49 @@ object Clustering extends QueryModule {
          |  CAST(sum(sm) AS BIGINT) AS sil_sum_micro,
          |  CAST(floor(CAST(sum(sm) AS DOUBLE) / count(*)) AS BIGINT) AS sil_mean_micro
          |FROM sil GROUP BY 1""".stripMargin,
+    "q119_semdedup" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0)) AS qv
+         |  FROM embeddings
+         |),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $K)
+         |),
+         |a1 AS (${assignSql("q", "c0")}),
+         |c1 AS (${updateSql("a1")}),
+         |a2 AS (${assignSql("q", "c1")}),
+         |c2 AS (${updateSql("a2")}),
+         |a3 AS (${assignSql("q", "c2")}),
+         |n AS (
+         |  SELECT vec_id, cid, dist, qv,
+         |    sqrt(CAST(list_sum(list_transform(generate_series(1, $dims),
+         |           i -> CAST(qv[i] * qv[i] AS BIGINT))) AS DOUBLE)) AS nrm
+         |  FROM a3
+         |),
+         |p AS (
+         |  SELECT a.cid AS cid, a.vec_id AS id_a, b.vec_id AS id_b, a.dist AS da, b.dist AS db
+         |  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE round(CAST(list_sum(list_transform(generate_series(1, $dims),
+         |          i -> CAST(a.qv[i] * b.qv[i] AS BIGINT))) AS DOUBLE) / (a.nrm * b.nrm), 6)
+         |        >= $SemDupCos
+         |),
+         |r AS (
+         |  SELECT DISTINCT cid, CASE WHEN da >= db THEN id_b ELSE id_a END AS removed_id,
+         |    CASE WHEN da >= db THEN db ELSE da END AS rd
+         |  FROM p
+         |),
+         |g  AS (SELECT cid, count(*) AS n_points FROM a3 GROUP BY 1),
+         |pc AS (SELECT cid, count(*) AS n_pairs FROM p GROUP BY 1),
+         |rc AS (SELECT cid, count(*) AS n_removed, CAST(sum(rd) AS BIGINT) AS removed_d_sum
+         |       FROM r GROUP BY 1)
+         |SELECT g.cid AS cid, g.n_points AS n_points,
+         |  COALESCE(pc.n_pairs, 0) AS n_pairs,
+         |  COALESCE(rc.n_removed, 0) AS n_removed,
+         |  g.n_points - COALESCE(rc.n_removed, 0) AS n_kept,
+         |  COALESCE(rc.removed_d_sum, 0) AS removed_d_sum
+         |FROM g LEFT JOIN pc ON g.cid = pc.cid LEFT JOIN rc ON g.cid = rc.cid""".stripMargin,
     "q70_kmeans" ->
       s"""WITH q AS (
          |  SELECT vec_id, CAST(label AS BIGINT) AS label,

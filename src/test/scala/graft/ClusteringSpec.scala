@@ -62,6 +62,66 @@ class ClusteringSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  /** q119 fixture: 25 mutually-orthogonal axis vectors (cos 0 between
+    * bases, so no accidental dup pairs), an exact-copy trio (11,25,26), an
+    * exact-copy pair (12,27), and one near-dup pair (13,28) at cos ≈ 0.928
+    * whose two members sit at DIFFERENT distances from their centroid —
+    * the only pair that can distinguish keep-farthest from keep-closest. */
+  private lazy val semDedupDir: String = {
+    def axisVec(axis: Int, v: Double, axis2: Int = -1, v2: Double = 0.0): Seq[Double] = {
+      val a = Array.fill(64)(0.0); a(axis) = v; if (axis2 >= 0) a(axis2) = v2; a.toSeq
+    }
+    val rows = (0 to 24).map(i => (i.toLong, axisVec(i, 8.0), i)) ++ Seq(
+      (25L, axisVec(11, 8.0), 11),
+      (26L, axisVec(11, 8.0), 11),
+      (27L, axisVec(12, 8.0), 12),
+      (28L, axisVec(13, 5.0, 40, 2.0), 13),
+      (29L, axisVec(30, 8.0), 14)
+    )
+    val out = Files.createTempDirectory("graft-semdedup").toFile
+    out.deleteOnExit()
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", col("label").cast("int"))
+      .write.mode("overwrite").parquet(s"${out.getAbsolutePath}/embeddings.parquet")
+    out.getAbsolutePath
+  }
+
+  test("q119: SemDeDup accounting matches an independent keep-first replay on the planted corpus") {
+    val d = Clustering.assignments(spark, semDedupDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("d").toLong).toMap
+    // independent application of the keep rule over the 5 pairs the fixture
+    // plants (production code only supplies each vector's centroid distance)
+    val pairs = Seq((11L, 25L), (11L, 26L), (25L, 26L), (12L, 27L), (13L, 28L))
+    def loser(a: Long, b: Long): Long =
+      if (d(a) > d(b)) b else if (d(b) > d(a)) a else math.max(a, b)
+    val expRemoved = pairs.map { case (x, y) => loser(x, y) }.toSet
+    assert(d(13L) != d(28L),
+      "fixture degenerate: equal centroid distances cannot pin the keep-farthest rule")
+    val out = Clustering.semDedup(spark, semDedupDir).collect()
+    assert(out.map(_.getAs[Long]("n_points")).sum == 30L)
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == 5L,
+      "planted dup pairs crossed a cluster boundary or an orthogonal-base cosine leaked")
+    assert(out.map(_.getAs[Long]("n_removed")).sum == expRemoved.size.toLong)
+    assert(out.map(_.getAs[Long]("removed_d_sum")).sum == expRemoved.toSeq.map(d).sum,
+      "removed_d_sum diverges — the engine removed different points than the keep rule dictates")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_points") - r.getAs[Long]("n_removed"))
+    }
+  }
+
+  test("q119: cluster sizes agree with q70 on the gate corpus; clean clusters report zero removal mass") {
+    val dir  = "/root/testdata/sf0.001"
+    val km   = Clustering.kmeans(spark, dir).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Long]("n_points")).toMap
+    val out  = Clustering.semDedup(spark, dir).collect()
+    assert(out.map(r => r.getAs[Long]("cid") -> r.getAs[Long]("n_points")).toMap == km,
+      "q119 partitions the corpus differently from q70's final assignment")
+    out.filter(_.getAs[Long]("n_removed") == 0L).foreach { r =>
+      assert(r.getAs[Long]("removed_d_sum") == 0L && r.getAs[Long]("n_kept") == r.getAs[Long]("n_points"))
+    }
+  }
+
   test("assignment plan: no join, no cartesian product — centroids are literals") {
     val emb = Tables.embeddingsDistributed(spark, plantedDir)
       .select(col("vec_id"), Clustering.quantize(col("embedding")).as("qv"))
