@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -277,6 +278,104 @@ object Dedup extends QueryModule {
       .withColumn(
         "exposure_ppm",
         call_function("div", col("n_dup") * lit(1000000L), col("n_shingles"))
+      )
+  }
+
+  /** Rolling-window width (tokens) for [[cdcChunks]]' boundary hash. */
+  val CdcWindow = 4
+
+  /** Boundary modulus for [[cdcChunks]] — the expected chunk length in
+    * tokens (a boundary fires when the window hash ≡ 0 mod this). */
+  val CdcMod = 32L
+
+  /** q120: content-defined chunking (the rsync / LBFS / storage-dedup
+    * algorithm): cut a document AFTER token i whenever the hash of the
+    * [[CdcWindow]]-token window ending at i is ≡ 0 (mod [[CdcMod]]), then
+    * account corpus-wide chunk-level duplication per source.
+    *
+    * Why content-defined beats fixed-width (q57) for dedup: boundaries
+    * depend only on LOCAL token content, so inserting one sentence shifts
+    * only the chunk containing the seam — every downstream chunk keeps its
+    * exact fingerprint (pinned by the shift-robustness spec). Fixed-width
+    * chunking re-aligns EVERYTHING after an insertion: near-identical docs
+    * share zero chunk fingerprints. This is the chunking layer under
+    * dedup-friendly training-data storage and incremental shard rebuild
+    * (q115 decides WHICH shards re-export; CDC bounds how much content
+    * within a re-export is actually new). Production CDC adds min/max
+    * chunk bounds (a sequential-scan detail); the textbook mod-cut keeps
+    * the operator one window pass.
+    *
+    * Scale shape: the cut is ENTIRELY map-side — linear array HOFs
+    * (boundary positions via transform+filter over the token array, chunk
+    * extraction via zip_with over adjacent cut positions), so raw tokens
+    * never leave their scan task and there is NO per-doc sort, window, or
+    * token-stream exchange (the naive formulation shuffles every token
+    * for a (doc_id, pos) window pass — at 100 TB that shuffle IS the
+    * corpus). Chunk text reduces to fp15 in the same projection; what
+    * moves is the q118 two-pass df shape on skinny (fp, n_tok) rows. */
+  /** The CDC cut itself: (doc_id, source, chunk_id, n_tok, fp) per chunk.
+    * Exposed for the shift-robustness spec (the query aggregates it away). */
+  def cdcChunkTable(s: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val n    = size(toks)
+    // 0-based boundary positions: i >= 3 where the 4-token window ending
+    // at i hashes to 0 mod CdcMod (0-based i-3..i = 1-based slice(i-2, 4))
+    val bpos = filter(
+      transform(
+        sequence(lit(3), n - 1),
+        i =>
+          when(
+            graft.functions.Fingerprints
+              .fp8(concat(lit("cdc:"), concat_ws(" ", slice(toks, i - lit(2), lit(4))))) % CdcMod === 0L,
+            i
+          ).otherwise(lit(-2))
+      ),
+      x => x >= 0
+    )
+    // cut list: sentinel -1 (first chunk starts at 0), boundaries, and the
+    // last position unless it already IS a boundary (no empty tail chunk)
+    val cuts = when(
+      size(col("bpos")) > 0 && element_at(col("bpos"), -1) === n - 1,
+      concat(array(lit(-1)), col("bpos"))
+    ).otherwise(concat(array(lit(-1)), col("bpos"), array(n - 1)))
+    // chunk (a, b] covers 0-based a+1..b = 1-based slice(a+2, b-a)
+    val chunks = zip_with(
+      slice(col("cuts"), lit(1), size(col("cuts")) - 1),
+      slice(col("cuts"), lit(2), size(col("cuts")) - 1),
+      (a, b) =>
+        struct(
+          (b - a).cast(LongType).as("n_tok"),
+          graft.functions.Fingerprints
+            .fp15(concat_ws(" ", slice(toks, a + lit(2), b - a)))
+            .as("fp")
+        )
+    )
+    Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " +").as("toks"))
+      .withColumn("bpos", when(n < 4, array().cast("array<int>")).otherwise(bpos))
+      .withColumn("cuts", cuts)
+      .select(col("doc_id"), col("source"), posexplode(chunks).as(Seq("chunk_id", "c")))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("chunk_id").cast(LongType).as("chunk_id"),
+        col("c.n_tok").as("n_tok"),
+        col("c.fp").as("fp")
+      )
+  }
+
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunkTable(s, dir).select("source", "n_tok", "fp")
+    val dfreq  = chunks.groupBy("fp").agg(count(lit(1)).as("df"))
+    chunks
+      .join(dfreq, Seq("fp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("df") >= 2, col("n_tok")).otherwise(lit(0L))).as("dup_tokens")
       )
   }
 
@@ -623,7 +722,8 @@ object Dedup extends QueryModule {
     "q104_growth_curve"   -> (growthCurve _),
     "q108_boiler_strip"   -> (boilerplateStrip _),
     "q116_span_ownership" -> (spanOwnership _),
-    "q118_ngram_exposure" -> (ngramExposure _)
+    "q118_ngram_exposure" -> (ngramExposure _),
+    "q120_cdc_chunks"     -> (cdcChunks _)
   )
 
   /** DuckDB rendering of [[shingles]] — shared by the Jaccard and MinHash
@@ -660,6 +760,40 @@ object Dedup extends QueryModule {
          |  CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
          |  round(CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
          |FROM e JOIN c ON e.fp = c.fp GROUP BY 1""".stripMargin,
+    "q120_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, ' +') AS toks FROM documents),
+         |p AS (
+         |  SELECT doc_id, source, i - 1 AS pos, toks[i] AS token
+         |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+         |),
+         |f AS (
+         |  SELECT doc_id, source, pos, token,
+         |    CASE WHEN pos >= 3 AND
+         |      ${graft.functions.Fingerprints.fp8Sql(
+            "'cdc:' || lag(token, 3) OVER w || ' ' || lag(token, 2) OVER w || ' ' || " +
+              "lag(token, 1) OVER w || ' ' || token"
+          )} % $CdcMod = 0
+         |    THEN 1 ELSE 0 END AS flag
+         |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |),
+         |c AS (
+         |  SELECT doc_id, source, pos, token,
+         |    COALESCE(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+         |  FROM f
+         |),
+         |ch AS (
+         |  SELECT doc_id, source, chunk_id, count(*) AS n_tok,
+         |    ${graft.functions.Fingerprints.fp15Sql("string_agg(token, ' ' ORDER BY pos)")} AS fp
+         |  FROM c GROUP BY 1, 2, 3
+         |),
+         |dfq AS (SELECT fp, count(*) AS df FROM ch GROUP BY 1)
+         |SELECT ch.source AS source, count(*) AS n_chunks,
+         |  CAST(sum(ch.n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  CAST(sum(CASE WHEN dfq.df >= 2 THEN ch.n_tok ELSE 0 END) AS BIGINT) AS dup_tokens
+         |FROM ch JOIN dfq ON ch.fp = dfq.fp
+         |GROUP BY 1""".stripMargin,
     "q118_ngram_exposure" ->
       s"""WITH $shinglesSql,
          |p AS (

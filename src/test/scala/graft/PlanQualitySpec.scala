@@ -153,6 +153,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), "shingle df not map-side partial")
   }
 
+  test("q120 CDC cut is zero-exchange map-side; the df composition moves only fingerprints") {
+    val cutPlan = finalPlan(graft.operators.Dedup.cdcChunkTable(spark, dir))
+    // the only allowed exchange is documentsDistributed's single-split
+    // test-fixture fan-out (RoundRobin; a pass-through on a real corpus)
+    assert(!cutPlan.contains("Exchange hashpartitioning") && !cutPlan.contains("Exchange rangepartitioning"),
+      s"the CDC cut itself must not shuffle by key:\n$cutPlan")
+    assert(!cutPlan.contains("Window"), "CDC cut fell back to a window pass over the token stream")
+    val plan = finalPlan(graft.operators.Dedup.cdcChunks(spark, dir))
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(e => !e.contains("text") && !e.contains("toks")),
+      s"raw text/tokens ride a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("q68 clean funnel: text never shuffles, length bounds broadcast") {
     val plan      = finalPlan(graft.operators.TrainingPrep.cleanFunnel(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList

@@ -364,6 +364,50 @@ class Round6OpsSpec extends AnyFunSuite {
       "gate corpus has no cross-doc shingles — identity is vacuous")
   }
 
+  test("q120: CDC boundaries are content-local — a head insertion leaves downstream chunks intact") {
+    import spark.implicits._
+    // doc 2 = doc 1 with 5 tokens prepended. Content-defined cuts depend
+    // only on the 4-token window, so every chunk of doc 1 except (at most)
+    // the seam-covering first chunk must reappear verbatim in doc 2.
+    // Fixed-width chunking (q57's cut) shares NOTHING after the same edit.
+    val rnd   = new scala.util.Random(7)
+    val words = (1 to 200).map(_ => "w" + rnd.nextInt(5000))
+    val a     = words.mkString(" ")
+    val b     = "pre1 pre2 pre3 pre4 pre5 " + a
+    val dir   = java.nio.file.Files.createTempDirectory("graft-q120").toString
+    Seq((1L, a, "en", "s0", a.length.toLong), (2L, b, "en", "s0", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val chunks = graft.operators.Dedup.cdcChunkTable(spark, dir).collect()
+    val fa     = chunks.filter(_.getAs[Long]("doc_id") == 1L).map(_.getAs[Long]("fp")).toSet
+    val fb     = chunks.filter(_.getAs[Long]("doc_id") == 2L).map(_.getAs[Long]("fp")).toSet
+    assert(fa.size >= 3, s"fixture inadequate: doc A cut into only ${fa.size} chunks")
+    assert((fa intersect fb).size >= fa.size - 2,
+      s"head insertion rewrote downstream chunks: ${fa.size} A-chunks, only ${(fa intersect fb).size} survive in B")
+    // the q57 contrast: fixed-width cuts of the same pair share no chunk
+    val fixedA = words.grouped(32).map(_.mkString(" ")).toSet
+    val fixedB = (Seq("pre1", "pre2", "pre3", "pre4", "pre5") ++ words).grouped(32).map(_.mkString(" ")).toSet
+    assert((fixedA intersect fixedB).isEmpty,
+      "fixture lost its point: fixed-width chunks survived the insertion")
+    // accounting closure on the planted pair
+    val out = graft.operators.Dedup.cdcChunks(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == 405L) // 200 + 205
+  }
+
+  test("q120: chunk accounting closes against the raw token count on the gate corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Dedup.cdcChunks(spark, dir).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dup_chunks") <= r.getAs[Long]("n_chunks"), s"dup count overflows: $r")
+      assert(r.getAs[Long]("dup_tokens") <= r.getAs[Long]("n_tokens"), s"dup tokens overflow: $r")
+    }
+    val expected = Tables.documents(spark, dir)
+      .select(size(split(col("text"), " +")).cast("long").as("n")).agg(sum("n"))
+      .collect()(0).getLong(0)
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == expected,
+      "CDC chunks do not partition the token stream")
+  }
+
   test("q116: accounting closes per source and totals agree with q71 on the gate corpus") {
     val dir  = "/root/testdata/sf0.01"
     val rows = graft.operators.Dedup.spanOwnership(spark, dir).collect()
