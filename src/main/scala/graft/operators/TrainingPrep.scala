@@ -734,7 +734,112 @@ object TrainingPrep extends QueryModule {
       )
   }
 
+  /** Hashed-feature bucket count for [[dsirSelection]] — fixed, so the
+    * model table is B rows regardless of corpus size. DSIR's paper setting
+    * is 10⁴; 512 keeps the gate fixture's buckets multiply occupied. */
+  val DsirBuckets = 512
+
+  /** Target-set selector for [[dsirSelection]]: every 89th doc plays the
+    * small target distribution (co-prime with q54's eval mod 97, so the
+    * two screens' held-out sets don't alias). */
+  val DsirTargetMod = 89
+
+  /** Docs selected by [[dsirSelection]] (global top-k by importance). */
+  val DsirTopK = 25
+
+  /** DSIR importance resampling (q121) — Data Selection via Importance
+    * Resampling (Xie et al., NeurIPS 2023): select raw-corpus documents
+    * whose hashed-n-gram distribution looks like a small TARGET set. Two
+    * bag-of-hashed-ngram unigram models (target vs raw) are fitted over
+    * [[DsirBuckets]] buckets of md5-hashed unigrams+bigrams with add-½
+    * smoothing; each raw doc's importance weight is
+    * Σ_occurrences [log p̂_target(bucket) − log p̂_raw(bucket)], and the
+    * top-[[DsirTopK]] weights win. This is the standing alternative to
+    * q110's supervised classifier filter: no labels needed, just a target
+    * sample — the method behind "select pretraining data that looks like
+    * Wikipedia/books" at corpus scale.
+    *
+    * Determinism: both log-probs are floored to integer micros PER BUCKET
+    * (one IEEE ln + multiply + floor each, identical in DuckDB), so the
+    * per-doc score is an exact integer sum — partial-aggregation order
+    * cannot drift it. Tie-break (score desc, doc_id asc) pinned in both
+    * engines.
+    *
+    * Scale shape: the model is a [[DsirBuckets]]-row table — the feature
+    * stream pre-reduces map-side into ≤ B rows per partition before its
+    * exchange (partial count agg), and the log-ratio table BROADCASTS
+    * back onto the stream; the only corpus-sized exchange carries skinny
+    * (doc_id, source, long) partial score rows, and the global top-k is
+    * the bounded heap (≤ k rows per partition). Text never shuffles. The
+    * token stream is read twice (model fit + scoring) — two cheap narrow
+    * scans rather than a corpus-sized materialization. */
+  def dsirSelection(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documentsDistributed(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        (col("doc_id") % DsirTargetMod === 0).as("is_target"),
+        split(col("text"), " +").as("toks")
+      )
+    val bigrams = zip_with(
+      slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+      slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b)
+    )
+    val feats = docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("is_target"),
+        explode(concat(col("toks"), bigrams)).as("feat")
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("is_target"),
+        (graft.functions.Fingerprints.fp8(concat(lit("dsir:"), col("feat"))) % DsirBuckets).as("b")
+      )
+    val model = feats
+      .groupBy("b")
+      .agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("cr")
+      )
+    val tot = model.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    // add-1/2 smoothed log-prob in floored micros, target minus raw
+    def lpm(c: Column, n: Column): Column =
+      floor(log((c.cast(DoubleType) + lit(0.5)) / (n.cast(DoubleType) + lit(0.5 * DsirBuckets))) * lit(1e6))
+    val lr = model
+      .crossJoin(broadcast(tot))
+      .select(col("b"), (lpm(col("ct"), col("nt")) - lpm(col("cr"), col("nr"))).cast(LongType).as("lr_micro"))
+    val scored = feats
+      .filter(!col("is_target"))
+      .join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr_micro")).as("score_micro"))
+    scored
+      .agg(
+        graft.plans.TopKAggregate
+          .topK(
+            struct(col("score_micro"), col("doc_id"), col("source"), col("n_feats")),
+            DsirTopK,
+            reversed = Seq(false, true)
+          )
+          .as("top")
+      )
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        (col("pos") + 1).cast(LongType).as("rnk"),
+        col("t.doc_id").as("doc_id"),
+        col("t.source").as("source"),
+        col("t.n_feats").as("n_feats"),
+        col("t.score_micro").as("score_micro")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_dsir_selection"   -> (dsirSelection _),
     "q115_shard_drift"      -> (shardDrift _),
     "q102_packed_export"    -> (packedShardExport _),
     "q94_mix_allocation"    -> (mixAllocation _),
@@ -757,6 +862,45 @@ object TrainingPrep extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q121_dsir_selection" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, doc_id % $DsirTargetMod = 0 AS is_target,
+         |    regexp_split_to_array(text, ' +') AS toks
+         |  FROM documents
+         |),
+         |u AS (
+         |  SELECT doc_id, source, is_target, toks[i] AS feat
+         |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+         |  UNION ALL
+         |  SELECT doc_id, source, is_target, toks[i] || ' ' || toks[i + 1] AS feat
+         |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+         |),
+         |f AS (
+         |  SELECT doc_id, source, is_target,
+         |    ${graft.functions.Fingerprints.fp8Sql("'dsir:' || feat")} % $DsirBuckets AS b
+         |  FROM u
+         |),
+         |m AS (
+         |  SELECT b,
+         |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         |    sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+         |  FROM f GROUP BY 1
+         |),
+         |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM m),
+         |lr AS (
+         |  SELECT b, CAST(
+         |      floor(ln((CAST(ct AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + ${0.5 * DsirBuckets})) * 1e6)
+         |    - floor(ln((CAST(cr AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + ${0.5 * DsirBuckets})) * 1e6)
+         |    AS BIGINT) AS lr_micro
+         |  FROM m, tot
+         |),
+         |sc AS (
+         |  SELECT doc_id, source, count(*) AS n_feats, sum(lr_micro) AS score_micro
+         |  FROM f JOIN lr USING (b) WHERE NOT is_target GROUP BY 1, 2
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rnk,
+         |  doc_id, source, CAST(n_feats AS BIGINT) AS n_feats, CAST(score_micro AS BIGINT) AS score_micro
+         |FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT $DsirTopK""".stripMargin,
     "q115_shard_drift" ->
       s"""WITH pd AS (
          |  SELECT

@@ -85,6 +85,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "assignment argmax fell back to a window")
   }
 
+  test("q121 DSIR exchanges are skinny (no text/feature strings) and the model broadcasts") {
+    val plan      = finalPlan(graft.operators.TrainingPrep.dsirSelection(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(
+      exchanges.forall(e => !e.contains("text") && !e.contains("toks") && !e.contains("feat#")),
+      s"text/feature strings ride a shuffle:\n${exchanges.mkString("\n")}"
+    )
+    assert(plan.contains("BroadcastHashJoin"), "log-ratio model join is not a broadcast")
+  }
+
   test("q39 embedding-LSH pair exchange is skinny (ids only, no vectors)") {
     val plan      = finalPlan(graft.operators.FuzzyDedup.embeddingPairsLsh(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList

@@ -64,6 +64,32 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(e1 != e3)
   }
 
+  test("q121: DSIR selects the raw docs that look like the target distribution") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsir").toFile.getAbsolutePath
+    // target set = doc_id % 89 == 0 → ids 0 and 89 in this fixture
+    val targetText = "alpha beta gamma alpha beta gamma"
+    val likeTarget = "alpha beta gamma beta alpha gamma" // shares unigrams + 2 bigrams
+    val offTarget  = "zeta eta theta iota kappa lambda"  // disjoint vocabulary
+    val docs =
+      Seq((0L, targetText, "en", "t", 10L), (89L, targetText, "en", "t", 10L)) ++
+        Seq(1L, 2L, 3L).map(i => (i, likeTarget, "en", "s", 10L)) ++
+        (4L to 40L).map(i => (i, offTarget, "en", "s", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").write.parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.TrainingPrep
+      .dsirSelection(spark, tmp)
+      .select(col("rnk"), col("doc_id"), col("score_micro"))
+      .as[(Long, Long, Long)]
+      .collect()
+      .sortBy(_._1)
+    // the three target-alike docs outrank every off-distribution doc, with
+    // the doc_id-asc tie-break among their identical scores
+    assert(out.take(3).map(_._2).toSeq == Seq(1L, 2L, 3L), s"selection order: ${out.toSeq}")
+    assert(out(0)._3 == out(2)._3 && out(2)._3 > out(3)._3, "no strict score gap to off-distribution docs")
+    // the target docs themselves are never selected (they define the model)
+    assert(!out.map(_._2).exists(id => id % graft.operators.TrainingPrep.DsirTargetMod == 0))
+  }
+
   test("q108: strip accounting closes on the gate corpus; planted header strips exactly") {
     // accounting invariants on the (per-round regenerated) gate corpus
     val rows = graft.operators.Dedup.boilerplateStrip(spark, "/root/testdata/sf0.01").collect()
