@@ -650,7 +650,108 @@ object FuzzyDedup extends QueryModule {
       .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_vec_id"))
   }
 
+  /** Token k-gram size for [[winnowing]] (3-token grams, the corpus-wide
+    * shingle width used everywhere else). */
+  val WinK = 3
+
+  /** Winnowing window, in consecutive k-gram hashes. Detection guarantee:
+    * any shared token run of ≥ [[WinW]] + [[WinK]] − 1 tokens is caught. */
+  val WinW = 8
+
+  /** Per-doc winnowing sketch (q122's first pass, public for the guarantee
+    * spec): k-gram hashes → min of each [[WinW]]-hash window → distinct
+    * selected hashes. Docs shorter than [[WinK]] tokens sketch empty; docs
+    * with fewer than [[WinW]] k-grams select the single global min (the
+    * j = 1 window clips to the available hashes). */
+  def winnowSketchTable(s: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val kgramHashes = when(size(toks) < WinK, array().cast("array<bigint>")).otherwise(
+      transform(
+        sequence(lit(1), size(toks) - (WinK - 1)),
+        i =>
+          graft.functions.Fingerprints
+            .fp15(concat(lit("win:"), concat_ws(" ", slice(toks, i, lit(WinK)))))
+      )
+    )
+    val mins = when(size(col("hs")) === 0, array().cast("array<bigint>")).otherwise(
+      array_distinct(
+        transform(
+          sequence(lit(1), greatest(size(col("hs")) - (WinW - 1), lit(1))),
+          j => array_min(slice(col("hs"), j, lit(WinW)))
+        )
+      )
+    )
+    Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " +").as("toks"))
+      .withColumn("hs", kgramHashes)
+      .select(col("doc_id"), col("source"), size(col("hs")).as("m"), mins.as("mins"))
+  }
+
+  /** q122: winnowing fingerprint sketch (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003 — the MOSS algorithm): hash every [[WinK]]-token gram, slide a
+    * [[WinW]]-hash window, keep each window's MIN hash. The selected
+    * "minimizers" are a content-defined sketch with expected density
+    * 2/(w+1) and a hard guarantee: two documents sharing any run of
+    * ≥ w+k−1 tokens MUST share a minimizer — the property plain sampled
+    * shingles (q33 MinHash) can't give, and the reason winnowing is the
+    * plagiarism-detection standard. q36 hashes the whole doc (exact-dup
+    * only); q120's CDC cuts chunks for storage dedup; this selects
+    * overlap-guaranteeing fingerprints for match DETECTION.
+    *
+    * The query reports, per source: docs, k-gram positions, selected
+    * minimizers, corpus-wide duplicated minimizers (df ≥ 2), and the
+    * floor-micros density/duplication rates — density_ppm ≈ 222 222
+    * (2/(w+1) for w = 8) is the theory check, dup_ppm the cross-doc
+    * overlap signal.
+    *
+    * Scale shape: selection is ENTIRELY map-side array HOFs — tokens and
+    * hashes never leave their scan task (the per-doc cost is O(m·w)
+    * comparisons in codegen; a monotonic-deque mapPartitions would be
+    * O(m) but falls out of codegen — at w = 8 the constant-factor HOF
+    * wins). The exchanges carry skinny (doc_id, long) minimizer rows: one
+    * df partial aggregate over the minimizer vocabulary and one
+    * |sources|-row report aggregate. Text never shuffles. */
+  def winnowing(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = winnowSketchTable(s, dir).localCheckpoint()
+    val occ    = perDoc.select(col("doc_id"), col("source"), explode(col("mins")).as("h"))
+    val dfreq  = occ.groupBy("h").agg(count(lit(1)).as("df"))
+    val agg = occ
+      .join(dfreq, Seq("h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_minimizers"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_minimizers")
+      )
+    perDoc
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("m").cast(LongType)).as("n_positions"))
+      .join(agg, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_positions"),
+        coalesce(col("n_minimizers"), lit(0L)).as("n_minimizers"),
+        coalesce(col("n_dup_minimizers"), lit(0L)).as("n_dup_minimizers"),
+        when(col("n_positions") === 0, 0L)
+          .otherwise(
+            floor(col("n_minimizers").cast(DoubleType) / col("n_positions").cast(DoubleType) * lit(1e6))
+          )
+          .cast(LongType)
+          .as("density_ppm"),
+        when(coalesce(col("n_minimizers"), lit(0L)) === 0, 0L)
+          .otherwise(
+            floor(
+              col("n_dup_minimizers").cast(DoubleType) / col("n_minimizers").cast(DoubleType) * lit(1e6)
+            )
+          )
+          .cast(LongType)
+          .as("dup_ppm")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_winnowing"          -> (winnowing _),
     "q38_dedup_clusters"      -> (dedupClusters _),
     "q76_embedding_clusters"  -> (embeddingClusters _),
     "q33_dedup_minhash_lsh"   -> ((s, d) => minhashLsh(s, d)),
@@ -733,6 +834,45 @@ object FuzzyDedup extends QueryModule {
        |pairs AS (SELECT id_a, id_b FROM verified WHERE round(inter / union_n, 6) >= 0.3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q122_winnowing" ->
+      s"""WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, ' +') AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id, source, i AS pos,
+         |    ${graft.functions.Fingerprints.fp15Sql(
+          "'win:' || toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]"
+        )} AS h
+         |  FROM t, unnest(generate_series(1, len(toks) - ${WinK - 1})) AS g(i)
+         |),
+         |w AS (
+         |  SELECT doc_id, source, pos,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS wmin,
+         |    count(*) OVER (PARTITION BY doc_id) AS m
+         |  FROM h
+         |),
+         |sel AS (
+         |  SELECT DISTINCT doc_id, source, wmin AS h
+         |  FROM w WHERE pos <= greatest(m - ${WinW - 1}, 1)
+         |),
+         |dfq AS (SELECT h, count(*) AS df FROM sel GROUP BY 1),
+         |agg AS (
+         |  SELECT source, count(*) AS n_min,
+         |    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM sel JOIN dfq USING (h) GROUP BY 1
+         |),
+         |base AS (SELECT source, count(*) AS n_docs FROM t GROUP BY 1),
+         |p AS (SELECT source, count(*) AS n_positions FROM h GROUP BY 1)
+         |SELECT b.source AS source, CAST(b.n_docs AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(p.n_positions, 0) AS BIGINT) AS n_positions,
+         |  CAST(COALESCE(a.n_min, 0) AS BIGINT) AS n_minimizers,
+         |  CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_minimizers,
+         |  CAST(CASE WHEN COALESCE(p.n_positions, 0) = 0 THEN 0
+         |    ELSE floor(CAST(a.n_min AS DOUBLE) / CAST(p.n_positions AS DOUBLE) * 1e6)
+         |  END AS BIGINT) AS density_ppm,
+         |  CAST(CASE WHEN COALESCE(a.n_min, 0) = 0 THEN 0
+         |    ELSE floor(CAST(a.n_dup AS DOUBLE) / CAST(a.n_min AS DOUBLE) * 1e6)
+         |  END AS BIGINT) AS dup_ppm
+         |FROM base b LEFT JOIN p USING (source) LEFT JOIN agg a ON b.source = a.source""".stripMargin,
     "q113_near_contamination" ->
       s"""WITH $shinglesSqlCte,
          |$minhashSigSql,

@@ -95,6 +95,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "log-ratio model join is not a broadcast")
   }
 
+  test("q122 winnowing exchanges are skinny (no tokens/hash arrays)") {
+    val plan      = finalPlan(graft.operators.FuzzyDedup.winnowing(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(
+      exchanges.forall(e => !e.contains("text") && !e.contains("toks") && !e.contains("hs#") && !e.contains("mins")),
+      s"token/hash arrays ride a shuffle:\n${exchanges.mkString("\n")}"
+    )
+  }
+
   test("q39 embedding-LSH pair exchange is skinny (ids only, no vectors)") {
     val plan      = finalPlan(graft.operators.FuzzyDedup.embeddingPairsLsh(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList

@@ -90,6 +90,60 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(!out.map(_._2).exists(id => id % graft.operators.TrainingPrep.DsirTargetMod == 0))
   }
 
+  test("q122: winnowing guarantee — docs sharing a >= w+k-1 token run share a minimizer") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-winnow").toFile.getAbsolutePath
+    // shared run of exactly WinW + WinK - 1 = 10 tokens, disjoint elsewhere
+    val shared = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"apple banana cherry date elderberry $shared fig grape", "en", "s", 10L),
+      (2L, s"umber violet walnut xigua yam $shared zebra quince", "en", "s", 10L),
+      (3L, "one two three four five six seven eight nine ten eleven", "en", "s", 10L)
+    )
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").write.parquet(s"$tmp/documents.parquet")
+    val sk = graft.operators.FuzzyDedup
+      .winnowSketchTable(spark, tmp)
+      .select(col("doc_id"), col("mins"))
+      .as[(Long, Seq[Long])]
+      .collect()
+      .toMap
+    assert(
+      sk(1L).toSet.intersect(sk(2L).toSet).nonEmpty,
+      s"SIGMOD-03 guarantee violated: no shared minimizer for a ${graft.operators.FuzzyDedup.WinW + graft.operators.FuzzyDedup.WinK - 1}-token shared run"
+    )
+    assert(sk(3L).toSet.intersect(sk(1L).toSet).isEmpty, "disjoint docs share a minimizer (hash collision?)")
+  }
+
+  test("q122: sketch density tracks 2/(w+1) on near-random tokens; sketch is shift-robust") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-winnow2").toFile.getAbsolutePath
+    // 2000 distinct tokens -> k-gram hashes are effectively uniform
+    val body = (1 to 2000).map(i => s"t${i * 7919 % 65536}x$i").mkString(" ")
+    val docs = Seq(
+      (1L, body, "en", "s", 10L),
+      (2L, s"pre1 pre2 pre3 pre4 pre5 $body", "en", "s", 10L) // shifted by 5 tokens
+    )
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").write.parquet(s"$tmp/documents.parquet")
+    val sk = graft.operators.FuzzyDedup
+      .winnowSketchTable(spark, tmp)
+      .select(col("doc_id"), col("m"), col("mins"))
+      .as[(Long, Int, Seq[Long])]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3.toSet))
+      .toMap
+    val (m1, s1) = sk(1L)
+    val density  = s1.size.toDouble / m1
+    assert(
+      density > 0.15 && density < 0.30,
+      s"density $density strays from 2/(w+1) = ${2.0 / (graft.operators.FuzzyDedup.WinW + 1)}"
+    )
+    // content-defined selection: a 5-token prefix insertion leaves the
+    // downstream minimizers intact (only seam windows change)
+    val (_, s2) = sk(2L)
+    val jac     = s1.intersect(s2).size.toDouble / s1.union(s2).size
+    assert(jac >= 0.9, s"prefix insertion rewrote the sketch (jaccard $jac) — selection is not content-defined")
+  }
+
   test("q108: strip accounting closes on the gate corpus; planted header strips exactly") {
     // accounting invariants on the (per-round regenerated) gate corpus
     val rows = graft.operators.Dedup.boilerplateStrip(spark, "/root/testdata/sf0.01").collect()
