@@ -343,7 +343,81 @@ object Similarity extends QueryModule {
       .withColumn("mean_micro", floor(col("sum_micro").cast(DoubleType) / col("n")).cast(LongType))
   }
 
+  /** q123: exact quantized covariance / Gram moments for PCA (the
+    * distributed half of big-data PCA): per dimension pair (i ≤ j), the
+    * exact second-moment sum Σ qᵢqⱼ over micro-quantized coordinates,
+    * the per-dim linear sums, and the derived centered covariance. The
+    * eigensolve then runs DRIVER-SIDE on this d(d+1)/2-row model — the
+    * standard decomposition (compute moments distributed, eigensolve the
+    * tiny matrix locally; the power-iteration spec recovers a planted
+    * dominant direction from exactly this output). Whitening, PCA
+    * dim-reduction, and OOD detection all start from this table.
+    *
+    * Exactness (q70/q100 discipline): coordinates are floored to integer
+    * micros, so Σ qᵢqⱼ is an exact LONG sum — order/partitioning cannot
+    * drift it, and the covariance derives via one identical IEEE chain.
+    * Overflow headroom: |qᵢqⱼ| ≈ 10¹²·|x|², so the LONG sum is exact to
+    * ~9·10⁶ unit-scale vectors per pair; a 100 TB corpus drops to
+    * milli-quantization (10⁶× headroom) or per-shard moment tables
+    * (moments ADD — shard tables fold exactly).
+    *
+    * Scale shape: vectors never shuffle — the d²/2 products per row are
+    * a map-side explode in codegen, partial-aggregated to ≤ 2080 rows
+    * per partition before the ONLY corpus-driven exchange; the per-dim
+    * linear moments are a 64-row side table that broadcasts back. */
+  def pcaCovariance(s: SparkSession, dir: String): DataFrame = {
+    val q = transform(
+      col("embedding"),
+      x => floor(x.cast(DoubleType) * lit(DriftScale)).cast(LongType)
+    )
+    val pairStructs = flatten(
+      transform(
+        sequence(lit(1), lit(64)),
+        i =>
+          transform(
+            sequence(i, lit(64)),
+            j =>
+              struct(
+                i.cast(LongType).as("dim_i"),
+                j.cast(LongType).as("dim_j"),
+                (element_at(col("q"), i) * element_at(col("q"), j)).as("xy")
+              )
+          )
+      )
+    )
+    val pairs = Tables
+      .embeddingsDistributed(s, dir)
+      .select(q.as("q"))
+      .select(explode(pairStructs).as("p"))
+      .select(col("p.dim_i"), col("p.dim_j"), col("p.xy"))
+      .groupBy("dim_i", "dim_j")
+      .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"))
+    val mom = Tables
+      .embeddingsDistributed(s, dir)
+      .select(posexplode(q).as(Seq("dim0", "qm")))
+      .select((col("dim0") + 1).cast(LongType).as("dim"), col("qm"))
+      .groupBy("dim")
+      .agg(sum(col("qm")).as("sm"))
+    pairs
+      .join(broadcast(mom.select(col("dim").as("dim_i"), col("sm").as("sx"))), Seq("dim_i"))
+      .join(broadcast(mom.select(col("dim").as("dim_j"), col("sm").as("sy"))), Seq("dim_j"))
+      .select(
+        col("dim_i"),
+        col("dim_j"),
+        col("n"),
+        col("sxy"),
+        col("sx"),
+        col("sy"),
+        floor(
+          (col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sy").cast(DoubleType) / col("n").cast(DoubleType)) /
+            col("n").cast(DoubleType)
+        ).cast(LongType).as("cov_p12")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_pca_covariance" -> (pcaCovariance _),
     "q60_knn_brute" -> (knnBrute _),
     "q61_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
     "q62_ivf_knn"   -> (ivfKnn _),
@@ -365,6 +439,29 @@ object Similarity extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q123_pca_covariance" ->
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * $DriftScale) AS BIGINT)) AS q
+         |  FROM embeddings
+         |),
+         |p AS (
+         |  SELECT i AS dim_i, j AS dim_j, q[i] * q[j] AS xy
+         |  FROM q, unnest(generate_series(1, 64)) AS gi(i), unnest(generate_series(1, 64)) AS gj(j)
+         |  WHERE j >= i
+         |),
+         |pa AS (SELECT dim_i, dim_j, count(*) AS n, sum(xy) AS sxy FROM p GROUP BY 1, 2),
+         |m AS (
+         |  SELECT i AS dim, sum(q[i]) AS sm
+         |  FROM q, unnest(generate_series(1, 64)) AS gi(i) GROUP BY 1
+         |)
+         |SELECT CAST(pa.dim_i AS BIGINT) AS dim_i, CAST(pa.dim_j AS BIGINT) AS dim_j,
+         |  CAST(pa.n AS BIGINT) AS n, CAST(pa.sxy AS BIGINT) AS sxy,
+         |  CAST(mi.sm AS BIGINT) AS sx, CAST(mj.sm AS BIGINT) AS sy,
+         |  CAST(floor((CAST(pa.sxy AS DOUBLE)
+         |    - CAST(mi.sm AS DOUBLE) * CAST(mj.sm AS DOUBLE) / CAST(pa.n AS DOUBLE))
+         |    / CAST(pa.n AS DOUBLE)) AS BIGINT) AS cov_p12
+         |FROM pa JOIN m mi ON pa.dim_i = mi.dim JOIN m mj ON pa.dim_j = mj.dim""".stripMargin,
     "q100_embedding_drift" ->
       """WITH e AS (
         |  SELECT label, i AS dim,

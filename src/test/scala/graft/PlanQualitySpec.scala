@@ -104,6 +104,17 @@ class PlanQualitySpec extends AnyFunSuite {
     )
   }
 
+  test("q123 covariance exchanges carry moment rows, never vectors") {
+    val plan      = finalPlan(graft.operators.Similarity.pcaCovariance(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(
+      exchanges.forall(e => !e.contains("embedding") && !e.contains("q#")),
+      s"vectors ride a shuffle:\n${exchanges.mkString("\n")}"
+    )
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), "moment aggregate not map-side partial")
+    assert(plan.contains("BroadcastHashJoin"), "per-dim linear moments do not broadcast")
+  }
+
   test("q39 embedding-LSH pair exchange is skinny (ids only, no vectors)") {
     val plan      = finalPlan(graft.operators.FuzzyDedup.embeddingPairsLsh(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList

@@ -144,6 +144,41 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(jac >= 0.9, s"prefix insertion rewrote the sketch (jaccard $jac) — selection is not content-defined")
   }
 
+  test("q123: PCA from the covariance table — power iteration recovers a planted dominant direction") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pca").toFile.getAbsolutePath
+    val d   = 64
+    // planted direction: alternating ±1/8 (unit norm); data = t·u + tiny
+    // per-row noise in a fixed orthogonal direction
+    val u = Array.tabulate(d)(i => if (i % 2 == 0) 0.125 else -0.125)
+    val w = Array.tabulate(d)(i => if (i % 2 == 0) 0.125 else 0.125) // ⟂ u
+    val rows = (0 until 200).map { k =>
+      val t   = (k * 17 % 200) / 100.0 - 1.0
+      val eps = ((k * 31 % 100) / 100.0 - 0.5) * 0.05
+      (k.toLong, Array.tabulate(d)(i => (t * u(i) + eps * w(i)).toFloat).toSeq, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label").write.parquet(s"$tmp/embeddings.parquet")
+    val cov = Array.ofDim[Double](d, d)
+    graft.operators.Similarity
+      .pcaCovariance(spark, tmp)
+      .select(col("dim_i"), col("dim_j"), col("cov_p12"))
+      .as[(Long, Long, Long)]
+      .collect()
+      .foreach { case (i, j, c) =>
+        cov(i.toInt - 1)(j.toInt - 1) = c.toDouble
+        cov(j.toInt - 1)(i.toInt - 1) = c.toDouble
+      }
+    // driver-side eigensolve on the 2080-entry model — the point of q123
+    var v = Array.fill(d)(1.0)
+    (0 until 100).foreach { _ =>
+      val nv  = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(nv.map(x => x * x).sum)
+      v = nv.map(_ / nrm)
+    }
+    val cos = math.abs((0 until d).map(i => v(i) * u(i)).sum) // u is unit
+    assert(cos > 0.99, s"dominant eigenvector strays from the planted direction: |cos| = $cos")
+  }
+
   test("q108: strip accounting closes on the gate corpus; planted header strips exactly") {
     // accounting invariants on the (per-round regenerated) gate corpus
     val rows = graft.operators.Dedup.boilerplateStrip(spark, "/root/testdata/sf0.01").collect()
