@@ -53,4 +53,26 @@ object Layout {
   /** Read a partitioned dataset back. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Drop a managed table AND clear its warehouse location: a location left
+    * by a PREVIOUS session (Verify/Bench run their own JVMs with fresh derby
+    * catalogs) is invisible to this catalog but still blocks saveAsTable
+    * with LOCATION_ALREADY_EXISTS. */
+  def resetTable(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = s.conf.get("spark.sql.warehouse.dir")
+    val root =
+      if (warehouse.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(warehouse))
+      else java.nio.file.Paths.get(warehouse)
+    val loc = root.resolve(table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files
+        .walk(loc)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator()
+        .asScala
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
 }

@@ -115,6 +115,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "per-dim linear moments do not broadcast")
   }
 
+  test("q124 co-bucketed join is exchange-free: layout replaces the shuffle") {
+    val plan = finalPlan(Analytics.bucketedJoin(spark, dir)).split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), s"no sort-merge join in:\n$plan")
+    assert(plan.contains("Bucketed: true"), "scans do not read the bucketed layout")
+    // the ONLY exchange is the |priorities|-row aggregate — neither fact
+    // table shuffles for the join (that is the entire point of the layout)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(
+      exchanges.size == 1 && exchanges.head.contains("o_orderpriority"),
+      s"join inputs shuffle despite co-bucketing:\n${exchanges.mkString("\n")}"
+    )
+  }
+
   test("q39 embedding-LSH pair exchange is skinny (ids only, no vectors)") {
     val plan      = finalPlan(graft.operators.FuzzyDedup.embeddingPairsLsh(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
