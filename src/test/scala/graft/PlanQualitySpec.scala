@@ -128,6 +128,20 @@ class PlanQualitySpec extends AnyFunSuite {
     )
   }
 
+  test("q125 refresh never rescans the corpus for the merge: delta scan + state table only") {
+    val df   = graft.operators.TrainingPrep.rollupMaintenance(spark, dir)
+    val plan = finalPlan(df).split("== Initial Plan ==").head
+    // the RETURNED refresh plan reads documents once (the delta side) and
+    // the |sources|-row state table once — a scratch-rebuild shape would
+    // show a second documents scan here
+    val docScans = plan.linesIterator.count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans == 1, s"expected exactly 1 documents scan in the refresh, got $docScans:\n$plan")
+    assert(
+      plan.linesIterator.exists(l => l.contains("FileScan parquet") && l.contains("g125_rollup")),
+      "merge does not read the persisted state table"
+    )
+  }
+
   test("q39 embedding-LSH pair exchange is skinny (ids only, no vectors)") {
     val plan      = finalPlan(graft.operators.FuzzyDedup.embeddingPairsLsh(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList

@@ -179,6 +179,46 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(cos > 0.99, s"dominant eigenvector strays from the planted direction: |cos| = $cos")
   }
 
+  test("q125: rollup fold equals scratch rebuild, including sources present on only one side") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rollup").toFile.getAbsolutePath
+    // source "old" exists only in the base; "new" arrives only in the delta
+    // (doc_id % 11 == 0); "both" spans the two
+    val docs = Seq(
+      (1L, "a b c", "en", "old", 5L),
+      (2L, "d e", "en", "both", 5L),
+      (11L, "f g h i", "en", "both", 5L),
+      (22L, "j", "en", "new", 5L),
+      (33L, "k l m", "en", "new", 5L)
+    )
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").write.parquet(s"$tmp/documents.parquet")
+    val merged = graft.operators.TrainingPrep
+      .rollupMaintenance(spark, tmp)
+      .select(col("source"), col("n_docs"), col("tokens"), col("cfp"), col("n_added"))
+      .as[(String, Long, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    assert(merged("old") == (("old", 1L, 3L, merged("old")._4, 0L)))
+    assert(merged("both") == (("both", 2L, 6L, merged("both")._4, 1L)))
+    assert(merged("new") == (("new", 2L, 4L, merged("new")._4, 2L)))
+    // the checksum folds commutatively: scratch recompute in-engine agrees
+    val scratch = spark.read
+      .parquet(s"$tmp/documents.parquet")
+      .select(
+        col("source"),
+        graft.functions.Fingerprints
+          .fp8(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+          .as("fp")
+      )
+      .groupBy("source")
+      .agg(sum(col("fp")).as("cfp"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    merged.foreach { case (src, row) => assert(row._4 == scratch(src), s"checksum drift for $src") }
+  }
+
   test("q108: strip accounting closes on the gate corpus; planted header strips exactly") {
     // accounting invariants on the (per-round regenerated) gate corpus
     val rows = graft.operators.Dedup.boilerplateStrip(spark, "/root/testdata/sf0.01").collect()
