@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.{Num, QueryModule, Tables}
 
@@ -390,7 +391,67 @@ object EventWindows extends QueryModule {
       .withColumn("null_frac", round(col("n_null").cast("double") / col("n_rows"), 6))
   }
 
+  /** q126: join-skew diagnosis — the report an engineer reads BEFORE
+    * reaching for q78's salted join or trusting AQE's skew split: the
+    * per-key row-count distribution of a join/groupBy key (here
+    * events.user_id), its exact p50/p99/max, the skew factor max/avg, the
+    * heaviest key, and the salt factor (⌈max/p50⌉) a salted repartition
+    * would need to level it. Run against both sides of a planned join,
+    * this is the capacity-planning artifact: skew_micro ≈ 10⁶ means
+    * uniform keys (pick plain hash join); a 100× factor means one task
+    * owns 100 partitions' work (salt, or pre-aggregate).
+    *
+    * Exact quantiles WITHOUT sorting the key table: the diagnosis
+    * aggregates counts-of-counts — the |distinct count values|-row
+    * histogram — and takes quantiles by running-sum rank over THAT. At
+    * any corpus size the histogram stays tiny (count values repeat), so
+    * the single-task window on it is the right plan, not a bottleneck;
+    * the corpus-sized work is one skinny (user_id) partial count agg.
+    * Max-key via one bounded-heap top-1 — no window over the key table.
+    * skew_micro = floor(max·n_keys/n_rows·10⁶) is one IEEE chain over
+    * exact LONGs, identical in DuckDB. */
+  def skewDiagnosis(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val coc = counts.groupBy("cnt").agg(count(lit(1)).as("freq"))
+    val w   = org.apache.spark.sql.expressions.Window.orderBy("cnt")
+    val cum = coc.withColumn("cum", sum(col("freq")).over(w))
+    val totals = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt")
+    )
+    val top = counts
+      .agg(graft.plans.TopKAggregate.topK(struct(col("cnt"), col("user_id")), 1, reversed = Seq(false, true)).as("t"))
+      .select(element_at(col("t"), 1).getField("user_id").as("top_key"))
+    def quantile(q: Double, name: String): DataFrame =
+      cum
+        .crossJoin(totals.select(col("n_keys").as("nk")))
+        .filter(col("cum") >= ceil(col("nk").cast(DoubleType) * lit(q)))
+        .agg(min(col("cnt")).as(name))
+    totals
+      .crossJoin(quantile(0.5, "p50_cnt"))
+      .crossJoin(quantile(0.99, "p99_cnt"))
+      .crossJoin(top)
+      .select(
+        col("n_keys"),
+        col("n_rows"),
+        col("max_cnt"),
+        col("p50_cnt"),
+        col("p99_cnt"),
+        col("top_key"),
+        floor(
+          col("max_cnt").cast(DoubleType) * col("n_keys").cast(DoubleType) /
+            col("n_rows").cast(DoubleType) * lit(1e6)
+        ).cast(LongType).as("skew_micro"),
+        ceil(col("max_cnt").cast(DoubleType) / col("p50_cnt").cast(DoubleType)).cast(LongType).as("salt_factor")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_skew_diagnosis"  -> (skewDiagnosis _),
     "q98_data_profile"     -> (dataProfile _),
     "q96_rate_anomaly"     -> (rateAnomaly _),
     "q95_cohort_retention" -> (cohortRetention _),
@@ -405,6 +466,22 @@ object EventWindows extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q126_skew_diagnosis" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |coc AS (SELECT cnt, count(*) AS freq FROM c GROUP BY 1),
+        |cum AS (SELECT cnt, sum(freq) OVER (ORDER BY cnt) AS cum FROM coc),
+        |t AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |        max(cnt) AS max_cnt FROM c),
+        |p50 AS (SELECT min(cnt) AS p50_cnt FROM cum, t
+        |        WHERE cum >= ceil(CAST(n_keys AS DOUBLE) * 0.5)),
+        |p99 AS (SELECT min(cnt) AS p99_cnt FROM cum, t
+        |        WHERE cum >= ceil(CAST(n_keys AS DOUBLE) * 0.99)),
+        |top AS (SELECT min(user_id) AS top_key FROM c, t WHERE c.cnt = t.max_cnt)
+        |SELECT n_keys, n_rows, max_cnt, p50_cnt, p99_cnt, top_key,
+        |  CAST(floor(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE) * 1e6) AS BIGINT) AS skew_micro,
+        |  CAST(ceil(CAST(max_cnt AS DOUBLE) / CAST(p50_cnt AS DOUBLE)) AS BIGINT) AS salt_factor
+        |FROM t, p50, p99, top""".stripMargin,
     "q98_data_profile" ->
       ProfileCols
         .map { c =>

@@ -142,6 +142,18 @@ class PlanQualitySpec extends AnyFunSuite {
     )
   }
 
+  test("q126 skew diagnosis shuffles only (user_id, cnt) — quantiles run on the count histogram") {
+    val plan      = finalPlan(graft.operators.EventWindows.skewDiagnosis(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(
+      exchanges.forall(e => !e.contains("props") && !e.contains("event_type") && !e.contains("value")),
+      s"event payload rides a shuffle:\n${exchanges.mkString("\n")}"
+    )
+    // the only Window is the running sum over the counts-of-counts
+    // histogram — never over the |keys| count table or the corpus
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), "key counting not map-side partial")
+  }
+
   test("q39 embedding-LSH pair exchange is skinny (ids only, no vectors)") {
     val plan      = finalPlan(graft.operators.FuzzyDedup.embeddingPairsLsh(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList

@@ -219,6 +219,23 @@ class Round6OpsSpec extends AnyFunSuite {
     merged.foreach { case (src, row) => assert(row._4 == scratch(src), s"checksum drift for $src") }
   }
 
+  test("q126: skew diagnosis — planted hot key yields exact quantiles, skew factor, salt factor") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-skew").toFile.getAbsolutePath
+    // user 1 owns 100 rows; users 2..11 own 10 each → n_keys=11, n_rows=200
+    val rows =
+      (1 to 100).map(i => (i.toLong, i.toLong * 1000000L, 1L, "view", 1.0, "{}")) ++
+        (2L to 11L).flatMap(u => (1 to 10).map(i => (u * 1000 + i, i.toLong * 1000000L, u, "view", 1.0, "{}")))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props").write.parquet(s"$tmp/events.parquet")
+    val r = graft.operators.EventWindows.skewDiagnosis(spark, tmp).collect().head
+    assert(r.getAs[Long]("n_keys") == 11L && r.getAs[Long]("n_rows") == 200L)
+    assert(r.getAs[Long]("max_cnt") == 100L && r.getAs[Long]("top_key") == 1L)
+    assert(r.getAs[Long]("p50_cnt") == 10L, "p50 must be the uniform-cohort count")
+    assert(r.getAs[Long]("p99_cnt") == 100L, "p99 rank (ceil(0.99*11)=11) must land on the hot key")
+    assert(r.getAs[Long]("skew_micro") == 5500000L, s"skew = 100*11/200 = 5.5x, got ${r.getAs[Long]("skew_micro")}")
+    assert(r.getAs[Long]("salt_factor") == 10L, "salt = ceil(max/p50)")
+  }
+
   test("q108: strip accounting closes on the gate corpus; planted header strips exactly") {
     // accounting invariants on the (per-round regenerated) gate corpus
     val rows = graft.operators.Dedup.boilerplateStrip(spark, "/root/testdata/sf0.01").collect()
