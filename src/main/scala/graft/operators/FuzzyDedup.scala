@@ -662,9 +662,28 @@ object FuzzyDedup extends QueryModule {
     * spec): k-gram hashes → min of each [[WinW]]-hash window → distinct
     * selected hashes. Docs shorter than [[WinK]] tokens sketch empty; docs
     * with fewer than [[WinW]] k-grams select the single global min (the
-    * j = 1 window clips to the available hashes). */
-  def winnowSketchTable(s: SparkSession, dir: String): DataFrame = {
-    val toks = col("toks")
+    * j = 1 window clips to the available hashes).
+    *
+    * Runs on the native [[graft.plans.WinnowMinimizers]] expression — one
+    * monotonic-deque pass per row, O(m) total, inside whole-stage codegen.
+    * [[winnowSketchHof]] is the HOF reference formulation (O(m·w)
+    * interpreted lambda evaluations), parity-pinned in
+    * ExpressionParitySpec and value-identical to the DuckDB oracle. */
+  def winnowSketchTable(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documentsDistributed(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        (greatest(size(split(col("text"), " +")) - (WinK - 1), lit(0))).as("m"),
+        graft.plans.TextHashExpressions.winnowMinimizers(col("text"), WinK, WinW).as("mins")
+      )
+
+  /** HOF reference formulation of the winnowing sketch columns — the
+    * oracle-shaped twin [[winnowSketchTable]]'s native expression is
+    * parity-pinned against. Returns (m, mins) over a text column. */
+  def winnowSketchHofCols(text: Column): (Column, Column) = {
+    val toks = split(text, " +")
     val kgramHashes = when(size(toks) < WinK, array().cast("array<bigint>")).otherwise(
       transform(
         sequence(lit(1), size(toks) - (WinK - 1)),
@@ -673,19 +692,15 @@ object FuzzyDedup extends QueryModule {
             .fp15(concat(lit("win:"), concat_ws(" ", slice(toks, i, lit(WinK)))))
       )
     )
-    val mins = when(size(col("hs")) === 0, array().cast("array<bigint>")).otherwise(
+    val mins = when(size(kgramHashes) === 0, array().cast("array<bigint>")).otherwise(
       array_distinct(
         transform(
-          sequence(lit(1), greatest(size(col("hs")) - (WinW - 1), lit(1))),
-          j => array_min(slice(col("hs"), j, lit(WinW)))
+          sequence(lit(1), greatest(size(kgramHashes) - (WinW - 1), lit(1))),
+          j => array_min(slice(kgramHashes, j, lit(WinW)))
         )
       )
     )
-    Tables
-      .documentsDistributed(s, dir)
-      .select(col("doc_id"), col("source"), split(col("text"), " +").as("toks"))
-      .withColumn("hs", kgramHashes)
-      .select(col("doc_id"), col("source"), size(col("hs")).as("m"), mins.as("mins"))
+    (greatest(size(toks) - (WinK - 1), lit(0)), mins)
   }
 
   /** q122: winnowing fingerprint sketch (Schleimer/Wilkerson/Aiken, SIGMOD
@@ -705,13 +720,16 @@ object FuzzyDedup extends QueryModule {
     * (2/(w+1) for w = 8) is the theory check, dup_ppm the cross-doc
     * overlap signal.
     *
-    * Scale shape: selection is ENTIRELY map-side array HOFs — tokens and
-    * hashes never leave their scan task (the per-doc cost is O(m·w)
-    * comparisons in codegen; a monotonic-deque mapPartitions would be
-    * O(m) but falls out of codegen — at w = 8 the constant-factor HOF
-    * wins). The exchanges carry skinny (doc_id, long) minimizer rows: one
-    * df partial aggregate over the minimizer vocabulary and one
-    * |sources|-row report aggregate. Text never shuffles. */
+    * Scale shape: selection is ENTIRELY map-side — the native
+    * [[graft.plans.WinnowMinimizers]] expression does tokenize + k-gram
+    * hash + monotonic-deque window-min in ONE O(m) pass per row, inside
+    * whole-stage codegen (not a mapPartitions, which would break the
+    * codegen span; not the HOF formulation, whose interpreted lambdas
+    * cost O(m·w) — parity-pinned in ExpressionParitySpec). Tokens and
+    * hashes never leave their scan task; the exchanges carry skinny
+    * (doc_id, long) minimizer rows: one df partial aggregate over the
+    * minimizer vocabulary and one |sources|-row report aggregate. Text
+    * never shuffles. */
   def winnowing(s: SparkSession, dir: String): DataFrame = {
     val perDoc = winnowSketchTable(s, dir).localCheckpoint()
     val occ    = perDoc.select(col("doc_id"), col("source"), explode(col("mins")).as("h"))

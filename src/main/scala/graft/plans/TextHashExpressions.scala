@@ -155,6 +155,61 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** WinnowMinimizers eval body: q122's minimizer selection in ONE pass —
+    * k-gram 60-bit hashes, then the min of each w-hash sliding window via a
+    * monotonic deque (amortized O(1) per window, vs the HOF formulation's
+    * O(w) `array_min(slice(...))` per window), distinct minimizers in
+    * first-window order. Hash = baseHash60("win:" + space-joined k-gram),
+    * identical to the fp15/concat_ws HOF chain and the DuckDB oracle.
+    * Fewer than w hashes ⇒ the single clipped window selects the global
+    * min; fewer than k tokens ⇒ empty sketch. */
+  def winnowMinimizers(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val t = tokens(s)
+    val m = t.length - (k - 1)
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val h  = new Array[Long](m)
+    val sb = new java.lang.StringBuilder()
+    var i  = 0
+    while (i < m) {
+      sb.setLength(0)
+      sb.append("win:")
+      var j = i
+      val e = i + k
+      while (j < e) {
+        if (j > i) sb.append(' ')
+        sb.append(t(j))
+        j += 1
+      }
+      h(i) = baseHash60(sb.toString)
+      i += 1
+    }
+    // monotonic deque of indices with increasing hash values; front = the
+    // current window's min. >= on push keeps the deque minimal.
+    val seen  = new java.util.LinkedHashSet[java.lang.Long]()
+    val deque = new java.util.ArrayDeque[Int]()
+    def push(idx: Int): Unit = {
+      while (!deque.isEmpty && h(deque.peekLast) >= h(idx)) deque.pollLast()
+      deque.addLast(idx)
+    }
+    val firstEnd = math.min(w, m)
+    i = 0
+    while (i < firstEnd) { push(i); i += 1 }
+    seen.add(h(deque.peekFirst))
+    var start = 1
+    val lastStart = m - w // window starts 1..lastStart all have full width
+    while (start <= lastStart) {
+      push(start + w - 1)
+      if (deque.peekFirst < start) deque.pollFirst()
+      seen.add(h(deque.peekFirst))
+      start += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it  = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** SimHash60 eval body. */
   def simhash60(s: UTF8String): Long = {
     import FuzzyDedup.SimhashBits
@@ -218,6 +273,19 @@ case class SpanFingerprints(child: Expression, width: Int) extends UnaryExpressi
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** text → ARRAY<LONG> of winnowing minimizers (q122): k-gram hashes +
+  * sliding-window min in one pass via a monotonic deque — O(m) total where
+  * the HOF formulation pays O(m·w) interpreted lambda evaluations. */
+case class WinnowMinimizers(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k > 0 && w > 0, s"winnowing needs k > 0 and w > 0, got k=$k w=$w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHash.winnowMinimizers(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.winnowMinimizers($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** text → 60-bit SimHash LONG over the whitespace token multiset. */
 case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -237,4 +305,6 @@ object TextHashExpressions {
     GraftBridge.column(SimHash60(GraftBridge.expression(text)))
   def spanFingerprints(text: Column, width: Int): Column =
     GraftBridge.column(SpanFingerprints(GraftBridge.expression(text), width))
+  def winnowMinimizers(text: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowMinimizers(GraftBridge.expression(text), k, w))
 }

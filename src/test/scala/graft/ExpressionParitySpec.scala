@@ -94,6 +94,41 @@ class ExpressionParitySpec extends AnyFunSuite {
       .foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2), s"input='${r.getString(0)}'"))
   }
 
+  test("WinnowMinimizers == HOF winnowing (corpus + edge cases)") {
+    import spark.implicits._
+    val (mHof, minsHof) = FuzzyDedup.winnowSketchHofCols(col("text"))
+    val corpusDiff = docs
+      .select(
+        graft.plans.TextHashExpressions
+          .winnowMinimizers(col("text"), FuzzyDedup.WinK, FuzzyDedup.WinW)
+          .as("a"),
+        minsHof.as("b")
+      )
+      .filter(not(col("a") === col("b")))
+      .count()
+    assert(corpusDiff == 0)
+    val k = FuzzyDedup.WinK
+    val w = FuzzyDedup.WinW
+    val edge = Seq(
+      "",                                          // 0 tokens → empty sketch
+      Seq.fill(k - 1)("t").mkString(" "),          // just under one k-gram
+      Seq.fill(k)("t").mkString(" "),              // exactly one k-gram
+      (1 to (k + w - 2)).map("t" + _).mkString(" "),  // < w hashes → single clipped window
+      (1 to (k + w - 1)).map("t" + _).mkString(" "),  // exactly w hashes
+      (1 to 40).map(i => "t" + (i % 7)).mkString(" "), // repeats → distinct dedup
+      "a  b   c " + (1 to 20).map("x" + _).mkString(" ") // whitespace runs
+    ).toDF("text")
+    edge
+      .select(
+        col("text"),
+        graft.plans.TextHashExpressions.winnowMinimizers(col("text"), k, w).as("a"),
+        minsHof.as("b"),
+        mHof.as("mh")
+      )
+      .collect()
+      .foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"input='${r.getString(0)}'"))
+  }
+
   test("SimHash60 == HOF simhash") {
     val hof = docs
       .withColumn("hs", transform(split(col("text"), " +"), t => FuzzyDedup.baseHash60(t)))
