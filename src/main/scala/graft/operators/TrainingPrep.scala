@@ -903,7 +903,58 @@ object TrainingPrep extends QueryModule {
       )
   }
 
+  /** k-anonymity threshold for [[kAnonymityAudit]] — groups smaller than
+    * this count as re-identification risk (the conventional k = 5). */
+  val AnonK = 5
+
+  /** Length-band width (chars) for the quasi-identifier tuple. */
+  val AnonBand = 500L
+
+  /** q127: k-anonymity release audit — before a corpus (or its metadata)
+    * ships, check how identifying its quasi-identifier combinations are:
+    * group by the quasi-id tuple (source, lang, length band) and report
+    * the dataset's actual k (the smallest group), how many groups and
+    * rows fall under [[AnonK]], and the at-risk ppm. A 1-row group means
+    * a row an attacker can single out by joining on public attributes —
+    * the Sweeney k-anonymity model, run as a distributed audit. q73
+    * scrubs direct identifiers (emails/IPs); this measures the INDIRECT
+    * identification surface that survives scrubbing.
+    *
+    * Scale shape: one partial aggregate on the skinny quasi-id tuple
+    * (text never leaves the scan — the band is arithmetic on n_chars);
+    * every release statistic then folds the |groups|-row table, and
+    * |groups| is bounded by the quasi-id cross product, not the corpus.
+    * Output is one row. */
+  def kAnonymityAudit(s: SparkSession, dir: String): DataFrame = {
+    val groups = Tables
+      .documentsDistributed(s, dir)
+      .select(
+        col("source"),
+        col("lang"),
+        call_function("div", col("n_chars").cast(LongType), lit(AnonBand)).as("band")
+      )
+      .groupBy("source", "lang", "band")
+      .agg(count(lit(1)).as("g"))
+    groups.agg(
+      sum(col("g")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      min(col("g")).as("k_anonymity"),
+      sum(when(col("g") < AnonK, 1L).otherwise(0L)).as("small_groups"),
+      sum(when(col("g") < AnonK, col("g")).otherwise(0L)).as("rows_at_risk")
+    ).select(
+      col("n_rows"),
+      col("n_groups"),
+      col("k_anonymity"),
+      col("small_groups"),
+      col("rows_at_risk"),
+      floor(col("rows_at_risk").cast(DoubleType) / col("n_rows").cast(DoubleType) * lit(1e6))
+        .cast(LongType)
+        .as("risk_ppm")
+    )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_k_anonymity"      -> (kAnonymityAudit _),
     "q125_rollup_maintenance" -> (rollupMaintenance _),
     "q121_dsir_selection"   -> (dsirSelection _),
     "q115_shard_drift"      -> (shardDrift _),
@@ -928,6 +979,18 @@ object TrainingPrep extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q127_k_anonymity" ->
+      s"""WITH g AS (
+         |  SELECT source, lang, n_chars // $AnonBand AS band, count(*) AS g
+         |  FROM documents GROUP BY 1, 2, 3
+         |)
+         |SELECT CAST(sum(g) AS BIGINT) AS n_rows, count(*) AS n_groups,
+         |  min(g) AS k_anonymity,
+         |  CAST(sum(CASE WHEN g < $AnonK THEN 1 ELSE 0 END) AS BIGINT) AS small_groups,
+         |  CAST(sum(CASE WHEN g < $AnonK THEN g ELSE 0 END) AS BIGINT) AS rows_at_risk,
+         |  CAST(floor(CAST(sum(CASE WHEN g < $AnonK THEN g ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(g) AS DOUBLE) * 1e6) AS BIGINT) AS risk_ppm
+         |FROM g""".stripMargin,
     "q125_rollup_maintenance" ->
       s"""SELECT source, count(*) AS n_docs,
          |  CAST(sum(len(regexp_split_to_array(text, ' +'))) AS BIGINT) AS tokens,

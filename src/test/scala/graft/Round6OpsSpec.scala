@@ -236,6 +236,23 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("salt_factor") == 10L, "salt = ceil(max/p50)")
   }
 
+  test("q127: k-anonymity audit — planted singleton drives k to 1 and counts at-risk rows exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kanon").toFile.getAbsolutePath
+    // quasi-id = (source, lang, n_chars // 500): one singleton group (the
+    // "de" doc), one group of 3 (< k=5), one group of 6 (safe)
+    val docs =
+      Seq((100L, "x", "de", "s1", 700L)) ++
+        (1L to 3L).map(i => (i, "x", "en", "s1", 100L)) ++
+        (11L to 16L).map(i => (i, "x", "en", "s2", 100L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").write.parquet(s"$tmp/documents.parquet")
+    val r = graft.operators.TrainingPrep.kAnonymityAudit(spark, tmp).collect().head
+    assert(r.getAs[Long]("n_rows") == 10L && r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("k_anonymity") == 1L, "the singleton must set the dataset's k")
+    assert(r.getAs[Long]("small_groups") == 2L && r.getAs[Long]("rows_at_risk") == 4L)
+    assert(r.getAs[Long]("risk_ppm") == 400000L)
+  }
+
   test("q108: strip accounting closes on the gate corpus; planted header strips exactly") {
     // accounting invariants on the (per-round regenerated) gate corpus
     val rows = graft.operators.Dedup.boilerplateStrip(spark, "/root/testdata/sf0.01").collect()
