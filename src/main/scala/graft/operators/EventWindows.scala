@@ -450,7 +450,46 @@ object EventWindows extends QueryModule {
       )
   }
 
+  /** Paths reported by [[journeyPaths]]. */
+  val PathTopK = 10
+
+  /** q128: user-journey path mining — the funnel-DISCOVERY step before
+    * q92's funnel measurement: q92 measures a KNOWN view→click→purchase
+    * ordering; this finds which 3-step orderings actually dominate, by
+    * counting every user's consecutive event-type trigram (event-time
+    * order, event_id tiebreak — q82's determinism) and ranking the global
+    * top-[[PathTopK]]. q82's Markov pairs lose the 3-step structure
+    * (A→B and B→C don't imply A→B→C mass); paths restore it.
+    *
+    * Scale shape: the per-user lead() window shuffles skinny
+    * (user_id, us, event_id, type) rows — the same exchange every
+    * sessionization already pays, with user_id distributing evenly. The
+    * path-count aggregate is partial on |event_types|³-bounded keys, and
+    * the final ranking is the bounded heap (≤ k per partition), no sort. */
+  def journeyPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        graft.plans.TopKAggregate
+          .topK(struct(col("n"), col("path")), PathTopK, reversed = Seq(false, true))
+          .as("top")
+      )
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast(LongType).as("rnk"), col("t.path").as("path"), col("t.n").as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_journey_paths"   -> (journeyPaths _),
     "q126_skew_diagnosis"  -> (skewDiagnosis _),
     "q98_data_profile"     -> (dataProfile _),
     "q96_rate_anomaly"     -> (rateAnomaly _),
@@ -466,6 +505,21 @@ object EventWindows extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q128_journey_paths" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events
+         |),
+         |tri AS (
+         |  SELECT event_type || '>' || t2 || '>' || t3 AS path FROM (
+         |    SELECT event_type,
+         |      lead(event_type, 1) OVER w AS t2,
+         |      lead(event_type, 2) OVER w AS t3
+         |    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         |  ) WHERE t3 IS NOT NULL
+         |),
+         |c AS (SELECT path, count(*) AS n FROM tri GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS BIGINT) AS rnk, path, n
+         |FROM c ORDER BY n DESC, path ASC LIMIT $PathTopK""".stripMargin,
     "q126_skew_diagnosis" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
         |coc AS (SELECT cnt, count(*) AS freq FROM c GROUP BY 1),

@@ -253,6 +253,33 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("risk_ppm") == 400000L)
   }
 
+  test("q128: journey paths — overlapping trigrams counted per start, event-time order, tiebreaks pinned") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-paths").toFile.getAbsolutePath
+    // user 1: v c p v c p → paths v>c>p(2), c>p>v(1), p>v>c(1)
+    // user 2: v c p       → v>c>p(1)
+    // same-timestamp pair for user 3 resolves by event_id: a then b then c
+    val rows = Seq(
+      (1L, 1000000L, 1L, "view"), (2L, 2000000L, 1L, "click"), (3L, 3000000L, 1L, "purchase"),
+      (4L, 4000000L, 1L, "view"), (5L, 5000000L, 1L, "click"), (6L, 6000000L, 1L, "purchase"),
+      (7L, 1000000L, 2L, "view"), (8L, 2000000L, 2L, "click"), (9L, 3000000L, 2L, "purchase"),
+      (10L, 1000000L, 3L, "a"), (11L, 1000000L, 3L, "b"), (12L, 1000000L, 3L, "c")
+    ).map { case (id, ts, u, t) => (id, ts, u, t, 1.0, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props").write.parquet(s"$tmp/events.parquet")
+    val out = graft.operators.EventWindows
+      .journeyPaths(spark, tmp)
+      .select(col("rnk"), col("path"), col("n"))
+      .as[(Long, String, Long)]
+      .collect()
+      .sortBy(_._1)
+    assert(out.head == ((1L, "view>click>purchase", 3L)), s"top path wrong: ${out.head}")
+    val byPath = out.map(r => r._2 -> r._3).toMap
+    assert(byPath("click>purchase>view") == 1L && byPath("purchase>view>click") == 1L)
+    assert(byPath("a>b>c") == 1L, "same-timestamp ordering must resolve by event_id")
+    // rank ties (n=1) break path-ascending — pinned in both engines
+    assert(out.filter(_._3 == 1L).map(_._2).toSeq == out.filter(_._3 == 1L).map(_._2).sorted.toSeq)
+  }
+
   test("q108: strip accounting closes on the gate corpus; planted header strips exactly") {
     // accounting invariants on the (per-round regenerated) gate corpus
     val rows = graft.operators.Dedup.boilerplateStrip(spark, "/root/testdata/sf0.01").collect()
