@@ -625,7 +625,75 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** Vocabulary cap for [[sourceDivergence]]: top terms by global count. */
+  val DivergenceVocab = 200
+
+  /** q131: cross-source distribution divergence — how lexically different
+    * are the corpus' sources from each other? For every source pair,
+    * squared Hellinger distance between their unigram distributions over
+    * the global top-[[DivergenceVocab]] vocabulary. This is the "is this
+    * new crawl actually new data, or the same distribution again" audit a
+    * mixing plan (q94) should consult: H² ≈ 0 means a source adds volume,
+    * not diversity.
+    *
+    * Hellinger over the transcendental-free subset: probabilities are two
+    * long-to-double casts and one IEEE division, and `sqrt` is correctly
+    * rounded by IEEE-754 decree in both engines (unlike ln/exp, which are
+    * libm-dependent) — so per-term values are bit-identical between Spark
+    * and DuckDB, and the floor-to-e12 fixed-point sum is exactly
+    * associative. OOV mass beyond the vocab cap is dropped and
+    * probabilities renormalized over the cap (declared semantics; the cap
+    * is what bounds every post-scan table).
+    *
+    * Scale shape: pass 1 aggregates global term counts — map-side combine
+    * shrinks the exchange to per-partition vocab — and TakeOrdered collects
+    * only the top-V (driver holds V=200 strings, a bounded model). Pass 2
+    * filters tokens to the vocab MAP-SIDE (isin on 200 literals, inside
+    * codegen, before any exchange) so the (source, term) aggregate moves
+    * candidate rows only. Everything after is V·|sources|-sized: the pair
+    * grid is a broadcast self-join, output |sources|² rows. */
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables
+      .documentsDistributed(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+    val vocab: Array[String] = tok
+      .groupBy("w")
+      .agg(count(lit(1)).as("total"))
+      .orderBy(col("total").desc, col("w"))
+      .limit(DivergenceVocab)
+      .select("w")
+      .collect()
+      .map(_.getString(0))
+    val counts = tok
+      .filter(col("w").isin(vocab.toSeq: _*))
+      .groupBy("source", "w")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("source").agg(sum(col("cnt")).as("tot"))
+    val grid = broadcast(vocab.toSeq.toDF("w")).crossJoin(broadcast(totals))
+    val p = grid
+      .join(counts, Seq("source", "w"), "left")
+      .select(
+        col("source"),
+        col("w"),
+        (coalesce(col("cnt"), lit(0L)).cast(DoubleType) / col("tot").cast(DoubleType)).as("p")
+      )
+    val a    = p.select(col("source").as("src_a"), col("w"), col("p").as("pa"))
+    val b    = p.select(col("source").as("src_b"), col("w"), col("p").as("pb"))
+    val diff = sqrt(col("pa")) - sqrt(col("pb"))
+    a.join(b, Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .withColumn("term_e12", floor(diff * diff * lit(1e12)).cast(LongType))
+      .groupBy("src_a", "src_b")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(when(col("pa") > 0 && col("pb") > 0, 1L).otherwise(0L)).as("shared_terms"),
+        sum(col("term_e12")).as("h2_e12")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_source_divergence" -> (sourceDivergence _),
     "q103_bm25_retrieval" -> (bm25Retrieval _),
     "q97_pmi_pairs"       -> (pmiPairs _),
     "q72_gopher_rules"    -> (gopherRules _),
@@ -648,6 +716,31 @@ object TextAnalysis extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q131_source_divergence" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(regexp_split_to_array(text, ' +')) AS w FROM documents
+         |),
+         |v AS (
+         |  SELECT w FROM (SELECT w, count(*) AS total FROM tok GROUP BY 1)
+         |  ORDER BY total DESC, w LIMIT $DivergenceVocab
+         |),
+         |sc AS (
+         |  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok WHERE w IN (SELECT w FROM v) GROUP BY 1, 2
+         |),
+         |st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot FROM sc GROUP BY 1),
+         |p AS (
+         |  SELECT st.source, v.w,
+         |    CAST(COALESCE(sc.cnt, 0) AS DOUBLE) / CAST(st.tot AS DOUBLE) AS p
+         |  FROM v CROSS JOIN st
+         |  LEFT JOIN sc ON sc.source = st.source AND sc.w = v.w
+         |)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  count(*) AS n_terms,
+         |  CAST(sum(CASE WHEN a.p > 0 AND b.p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS shared_terms,
+         |  CAST(sum(CAST(floor((sqrt(a.p) - sqrt(b.p)) * (sqrt(a.p) - sqrt(b.p)) * 1e12) AS BIGINT)) AS BIGINT) AS h2_e12
+         |FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
     "q110_hashed_classifier" ->
       """WITH d AS (SELECT source, regexp_split_to_array(text, ' +') AS t FROM documents),
         |f AS (

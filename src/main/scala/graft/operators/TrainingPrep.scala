@@ -953,7 +953,135 @@ object TrainingPrep extends QueryModule {
     )
   }
 
+  /** Selection budget for [[tokenBudgetSelect]], as a percent of corpus
+    * tokens. */
+  val BudgetPct = 60L
+
+  /** Density-ppm band width for [[tokenBudgetSelect]]'s two-phase global
+    * running sum — density lives in [0, 1e6] ppm, so ≤ 21 bands. */
+  val DensityBand = 50000L
+
+  /** q129: token-budget corpus selection — the curation step that turns
+    * "we can afford B training tokens" into a concrete document set:
+    * rank every doc by a quality-density score (here distinct-token ratio
+    * in ppm — a repetition-penalizing proxy; any per-doc long score slots
+    * in), then take docs in density order until the global running token
+    * sum crosses the budget ([[BudgetPct]]% of corpus tokens). Greedy by
+    * density is the exact knapsack relaxation when docs are small against
+    * the budget — the standard corpus-curation shape.
+    *
+    * The global running sum is the scale hazard: a naive
+    * `Window.orderBy(density)` with no partition funnels the corpus
+    * through ONE task. Two-phase instead (q88's pattern, keyed by value
+    * band rather than hash prefix): density bands partition the ordered
+    * domain (band = density // [[DensityBand]], so band order IS density
+    * order), a per-band window computes within-band running sums in
+    * parallel, and the ≤ 21 per-band token totals fold into band offsets
+    * driver-side — a bounded model, like q70's centroids. Output is
+    * per-source accounting (|sources| rows). */
+  def tokenBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val toksCol = TextAnalysis.tokens(col("text"))
+    val d = Tables
+      .documentsDistributed(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(toksCol).cast(LongType).as("toks"),
+        size(array_distinct(toksCol)).cast(LongType).as("dtoks")
+      )
+      .withColumn(
+        "density",
+        call_function("div", col("dtoks") * lit(1000000L), col("toks"))
+      )
+      .withColumn("band", call_function("div", col("density"), lit(DensityBand)))
+    // Bounded collect: ≤ 21 (band, token-total) rows — the "model" from
+    // which the budget and the per-band offsets both derive.
+    val bandTotals: Array[(Long, Long)] = d
+      .groupBy("band")
+      .agg(sum(col("toks")).as("btoks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1) // descending band = descending density
+    val total  = bandTotals.map(_._2).sum
+    val budget = total * BudgetPct / 100L
+    val offsets = bandTotals
+      .scanLeft((0L, 0L)) { case ((_, acc), (band, btoks)) => (band, acc + btoks) }
+      .sliding(2)
+      .collect { case Array((_, prev), (band, _)) => (band, prev) }
+      .toSeq
+    import s.implicits._
+    val offsetDf = offsets.toDF("band", "offset")
+    val wIn      = Window.partitionBy("band").orderBy(col("density").desc, col("doc_id"))
+    val within   = sum(col("toks")).over(wIn.rowsBetween(Window.unboundedPreceding, 0))
+    d.withColumn("wcum", within)
+      .join(broadcast(offsetDf), Seq("band"))
+      .withColumn("cum", col("offset") + col("wcum"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("tokens"),
+        sum(when(col("cum") <= budget, 1L).otherwise(0L)).as("sel_docs"),
+        sum(when(col("cum") <= budget, col("toks")).otherwise(0L)).as("sel_tokens")
+      )
+  }
+
+  /** q130: group-aware train/val/test split with a leakage audit. Naive
+    * per-doc hash splitting leaks: two exact duplicates of one document
+    * land in train AND test, so held-out loss silently measures
+    * memorization. The fix is splitting by GROUP — hash the dedup group's
+    * representative (min doc_id per content fingerprint), so every member
+    * of a duplicate group lands in the same split by construction. This
+    * audit quantifies the difference on the same corpus: groups/docs that
+    * naive splitting scatters across splits, and the (provably zero)
+    * leakage of the group-aware scheme — computed, not asserted, so the
+    * output proves the property. Split is 8/1/1 by fp8 mod 10, the
+    * engine-wide deterministic sampling hash.
+    *
+    * Scale shape: text is touched once in the scan (md5 fingerprint);
+    * every exchange after carries (fp, doc_id, small longs) only. The
+    * group table is corpus-sized (one row per distinct fingerprint) so the
+    * doc←group rejoin is a skinny shuffle join on fp, not a broadcast.
+    * Output is one row. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Fingerprints
+    val f = Tables
+      .documentsDistributed(s, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp"),
+        (Fingerprints.fp8(col("doc_id").cast(StringType)) % 10).as("nsplit")
+      )
+    val g = f
+      .groupBy("fp")
+      .agg(
+        min(col("doc_id")).as("rep"),
+        count(lit(1)).as("n"),
+        countDistinct(col("nsplit")).as("nsplits")
+      )
+      .withColumn("gsplit", Fingerprints.fp8(col("rep").cast(StringType)) % 10)
+    val docs = f.join(g.select(col("fp"), col("gsplit")), Seq("fp"))
+    val groupAgg = g.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_groups"),
+      sum(when(col("nsplits") > 1, 1L).otherwise(0L)).as("naive_leaked_groups"),
+      sum(when(col("nsplits") > 1, col("n")).otherwise(0L)).as("naive_leaked_docs")
+    )
+    val grpLeak = docs
+      .groupBy("fp")
+      .agg(countDistinct(col("gsplit")).as("gs"))
+      .agg(sum(when(col("gs") > 1, 1L).otherwise(0L)).as("group_leaked_groups"))
+    val docAgg = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("gsplit") < 8, 1L).otherwise(0L)).as("train_docs"),
+      sum(when(col("gsplit") === 8, 1L).otherwise(0L)).as("val_docs"),
+      sum(when(col("gsplit") === 9, 1L).otherwise(0L)).as("test_docs")
+    )
+    docAgg.crossJoin(groupAgg).crossJoin(grpLeak)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_token_budget"     -> (tokenBudgetSelect _),
+    "q130_split_leakage"    -> (splitLeakage _),
     "q127_k_anonymity"      -> (kAnonymityAudit _),
     "q125_rollup_maintenance" -> (rollupMaintenance _),
     "q121_dsir_selection"   -> (dsirSelection _),
@@ -979,6 +1107,61 @@ object TrainingPrep extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q129_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS toks,
+         |    CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS BIGINT) AS dtoks
+         |  FROM documents
+         |),
+         |e AS (SELECT *, (dtoks * 1000000) // toks AS density FROM d),
+         |r AS (
+         |  SELECT *, sum(toks) OVER (
+         |    ORDER BY density DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM e
+         |),
+         |b AS (SELECT (sum(toks) * $BudgetPct) // 100 AS budget FROM d)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS tokens,
+         |  CAST(sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT) AS sel_docs,
+         |  CAST(sum(CASE WHEN cum <= budget THEN toks ELSE 0 END) AS BIGINT) AS sel_tokens
+         |FROM r, b GROUP BY 1""".stripMargin,
+    "q130_split_leakage" -> {
+      import graft.functions.Fingerprints
+      s"""WITH f AS (
+         |  SELECT doc_id, md5(text) AS fp,
+         |    ${Fingerprints.fp8Sql("CAST(doc_id AS VARCHAR)")} % 10 AS nsplit
+         |  FROM documents
+         |),
+         |g AS (
+         |  SELECT fp, min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT nsplit) AS BIGINT) AS nsplits
+         |  FROM f GROUP BY 1
+         |),
+         |g2 AS (SELECT *, ${Fingerprints.fp8Sql("CAST(rep AS VARCHAR)")} % 10 AS gsplit FROM g),
+         |d AS (SELECT f.doc_id, g2.fp, g2.gsplit FROM f JOIN g2 USING (fp)),
+         |ga AS (
+         |  SELECT count(*) AS n_groups,
+         |    CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+         |    CAST(sum(CASE WHEN nsplits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS naive_leaked_groups,
+         |    CAST(sum(CASE WHEN nsplits > 1 THEN n ELSE 0 END) AS BIGINT) AS naive_leaked_docs
+         |  FROM g2
+         |),
+         |gl AS (
+         |  SELECT CAST(sum(CASE WHEN gs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS group_leaked_groups
+         |  FROM (SELECT fp, count(DISTINCT gsplit) AS gs FROM d GROUP BY 1)
+         |),
+         |da AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN gsplit < 8 THEN 1 ELSE 0 END) AS BIGINT) AS train_docs,
+         |    CAST(sum(CASE WHEN gsplit = 8 THEN 1 ELSE 0 END) AS BIGINT) AS val_docs,
+         |    CAST(sum(CASE WHEN gsplit = 9 THEN 1 ELSE 0 END) AS BIGINT) AS test_docs
+         |  FROM d
+         |)
+         |SELECT da.*, ga.*, gl.* FROM da, ga, gl""".stripMargin
+    },
     "q127_k_anonymity" ->
       s"""WITH g AS (
          |  SELECT source, lang, n_chars // $AnonBand AS band, count(*) AS g

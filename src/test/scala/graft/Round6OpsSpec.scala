@@ -644,4 +644,110 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(rows.map(r => r.getAs[Long]("n_owned") + r.getAs[Long]("n_stripped")).sum == dupOcc71,
       "q116 dup-occurrence total diverges from q71's")
   }
+
+  test("q129: banded two-phase running sum equals the naive global greedy on a planted corpus") {
+    import spark.implicits._
+    // Densities span five 50k-ppm bands, so band offsets actually compose:
+    // a doc of n words with d distinct has density d*1e6/n (integer div).
+    def doc(id: Long, src: String, distinct: Int, total: Int): (Long, String, String, String, Long) = {
+      val words = (0 until total).map(i => s"w${id}_${i % distinct}")
+      val t     = words.mkString(" ")
+      (id, t, "en", src, t.length.toLong)
+    }
+    val rows = Seq(
+      doc(1L, "s0", 10, 10),  // density 1_000_000, band 20
+      doc(2L, "s1", 9, 12),   //         750_000,  band 15
+      doc(3L, "s0", 5, 10),   //         500_000,  band 10
+      doc(4L, "s1", 5, 15),   //         333_333,  band 6
+      doc(5L, "s0", 5, 20),   //         250_000,  band 5
+      doc(6L, "s1", 2, 20)    //         100_000,  band 2
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft-q129").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Independent oracle: naive global sort by (density desc, doc_id) with a
+    // sequential running sum — the plan shape q129 exists to AVOID at scale.
+    val scored = rows.map { case (id, t, _, src, _) =>
+      val ws   = t.split(" +")
+      val toks = ws.length.toLong
+      (id, src, toks, ws.distinct.length.toLong * 1000000L / toks)
+    }
+    val total  = scored.map(_._3).sum
+    val budget = total * graft.operators.TrainingPrep.BudgetPct / 100L
+    var cum    = 0L
+    val expected = scored.sortBy { case (id, _, _, dens) => (-dens, id) }.map { case (id, src, toks, _) =>
+      cum += toks
+      (id, src, toks, cum <= budget)
+    }
+    val expBySrc = expected.groupBy(_._2).map { case (src, ds) =>
+      src -> (ds.count(_._4).toLong, ds.filter(_._4).map(_._3).sum)
+    }
+    val got = graft.operators.TrainingPrep.tokenBudgetSelect(spark, dir).collect()
+    assert(got.map(_.getAs[String]("source")).toSet == Set("s0", "s1"))
+    got.foreach { r =>
+      val (selDocs, selToks) = expBySrc(r.getAs[String]("source"))
+      assert(r.getAs[Long]("sel_docs") == selDocs && r.getAs[Long]("sel_tokens") == selToks,
+        s"banded selection diverges from the naive global greedy: $r expected ($selDocs, $selToks)")
+    }
+    // the budget must actually bind: not everything selected, nothing over budget
+    assert(got.map(_.getAs[Long]("sel_tokens")).sum <= budget)
+    assert(got.map(_.getAs[Long]("sel_docs")).sum < rows.size)
+  }
+
+  test("q130: group-aware split has provably zero leakage; naive split scatters planted duplicates") {
+    import spark.implicits._
+    // 30 duplicate pairs with ids spread across the hash space: each pair
+    // lands in one naive split with prob 0.1, so P(zero naive leakage) =
+    // 1e-30 — and fp8 is deterministic, so the assertion is stable.
+    val pairs = (0 until 30).flatMap { g =>
+      val t = s"dup group $g payload " + ("x" * (g % 7))
+      Seq((1000L + g, t), (5000L + 31L * g, t))
+    }
+    val singles = (0 until 40).map(i => (9000L + i, s"unique doc $i"))
+    val dir     = java.nio.file.Files.createTempDirectory("graft-q130").toString
+    (pairs ++ singles)
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.TrainingPrep.splitLeakage(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 100L && r.getAs[Long]("n_groups") == 70L)
+    assert(r.getAs[Long]("dup_groups") == 30L)
+    assert(r.getAs[Long]("group_leaked_groups") == 0L,
+      "group-aware split leaked — the whole point of splitting by representative")
+    assert(r.getAs[Long]("naive_leaked_groups") > 0L,
+      "fixture lost its point: naive per-doc split kept every duplicate pair together")
+    assert(r.getAs[Long]("naive_leaked_docs") >= 2L * r.getAs[Long]("naive_leaked_groups"))
+    assert(r.getAs[Long]("train_docs") + r.getAs[Long]("val_docs") + r.getAs[Long]("test_docs") ==
+      r.getAs[Long]("n_docs"))
+  }
+
+  test("q131: Hellinger² is 0 for identical sources, ≈2 for disjoint ones, and pairs are ordered") {
+    import spark.implicits._
+    // Sources A and B share an identical unigram distribution; C is
+    // vocabulary-disjoint. 40 distinct terms total — all inside the
+    // top-200 vocab cap, so no OOV renormalization muddies the bounds.
+    def corpus(src: String, prefix: String): Seq[(String, String)] =
+      (0 until 10).map(i => (src, (0 to i).map(j => s"${prefix}$j").mkString(" ")))
+    val rows = (corpus("a", "t") ++ corpus("b", "t") ++ corpus("c", "z")).zipWithIndex
+      .map { case ((src, t), i) => (i.toLong, t, "en", src, t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-q131").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.sourceDivergence(spark, dir).collect()
+    assert(out.length == 3, s"expected 3 source pairs, got ${out.length}")
+    out.foreach(r => assert(r.getAs[String]("src_a") < r.getAs[String]("src_b")))
+    val byPair = out.map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) -> r).toMap
+    assert(byPair(("a", "b")).getAs[Long]("h2_e12") == 0L,
+      "identical distributions must have exactly zero Hellinger² under floor-e12")
+    assert(byPair(("a", "b")).getAs[Long]("shared_terms") == 10L)
+    Seq(("a", "c"), ("b", "c")).foreach { k =>
+      val r  = byPair(k)
+      val h2 = r.getAs[Long]("h2_e12")
+      assert(r.getAs[Long]("shared_terms") == 0L)
+      // disjoint supports: H² = Σpa + Σpc = 2 exactly; per-term floor loses
+      // strictly less than 1e-12 each over n_terms terms
+      assert(h2 > 2000000000000L - r.getAs[Long]("n_terms") && h2 <= 2000000000000L,
+        s"disjoint-support H² out of bounds: $h2")
+    }
+  }
 }
