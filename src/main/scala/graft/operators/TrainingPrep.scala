@@ -1079,7 +1079,165 @@ object TrainingPrep extends QueryModule {
     docAgg.crossJoin(groupAgg).crossJoin(grpLeak)
   }
 
+  /** Anneal-reserve size for [[curriculumOrder]], percent of corpus docs. */
+  val AnnealPct = 25L
+
+  /** q55's two-phase md5-prefix rank generalized to any skinny doc_id
+    * table and an order-domain salt: rank in (md5(salt ∥ doc_id), doc_id)
+    * order with 16^prefixLen parallel sort tasks + a broadcast of per-shard
+    * count offsets — never a global single-task sort. Distinct salts give
+    * statistically independent orders (the per-phase reshuffle below). */
+  private def md5PrefixRank(docs: DataFrame, salt: String, prefixLen: Int = OrderPrefixLen): DataFrame = {
+    val h = md5(concat(lit(salt), col("doc_id").cast(StringType)))
+    val d = docs.select(col("doc_id"), h.as("h"), substring(h, 1, prefixLen).as("shard"))
+    val wIn    = Window.partitionBy("shard").orderBy("h", "doc_id")
+    val within = row_number().over(wIn).cast(LongType) - lit(1L)
+    val wSh    = Window.orderBy("shard")
+    val offsets = d
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "offset",
+        coalesce(sum(col("n")).over(wSh.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      )
+      .select("shard", "offset")
+    d.withColumn("within", within)
+      .join(broadcast(offsets), Seq("shard"))
+      .select(col("doc_id"), (col("offset") + col("within")).as("idx"))
+  }
+
+  /** q132: quality-annealed curriculum schedule — the two-phase training
+    * order labs actually run: a main phase over the WHOLE corpus in
+    * deterministic-shuffle order, then an anneal phase that replays only
+    * the top-[[AnnealPct]]% of docs by quality density (distinct-token
+    * ratio — any per-doc long score slots in), freshly reshuffled. Ending
+    * training on the highest-quality slice is the standard anneal recipe;
+    * this emits the exact (doc_id, phase, pos) schedule a data loader
+    * consumes, so the order is reproducible and auditable.
+    *
+    * Both scale hazards of the naive formulation are removed: the anneal
+    * CUT (a global quality rank) uses q129's density-band two-phase rank
+    * (per-band row_numbers in parallel, ≤ 21 band-count offsets folded
+    * driver-side), and each phase's ORDER uses q55's md5-prefix two-phase
+    * rank — the anneal phase salted so its shuffle is independent of the
+    * main phase's. No task ever sees a globally ordered corpus; every
+    * exchange carries (doc_id, hash) pairs. */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val toksCol = TextAnalysis.tokens(col("text"))
+    val d = Tables
+      .documentsDistributed(s, dir)
+      .select(
+        col("doc_id"),
+        size(toksCol).cast(LongType).as("toks"),
+        size(array_distinct(toksCol)).cast(LongType).as("dtoks")
+      )
+      .withColumn(
+        "density",
+        call_function("div", col("dtoks") * lit(1000000L), col("toks"))
+      )
+      .withColumn("band", call_function("div", col("density"), lit(DensityBand)))
+    // bounded collect: ≤ 21 (band, count) rows — the anneal-cut model
+    val bandCounts: Array[(Long, Long)] = d
+      .groupBy("band")
+      .agg(count(lit(1)).as("bn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val n       = bandCounts.map(_._2).sum
+    val annealN = n * AnnealPct / 100L
+    val offsets = bandCounts
+      .scanLeft((0L, 0L)) { case ((_, acc), (band, bn)) => (band, acc + bn) }
+      .sliding(2)
+      .collect { case Array((_, prev), (band, _)) => (band, prev) }
+      .toSeq
+    import s.implicits._
+    val offsetDf = offsets.toDF("band", "boff")
+    val wIn      = Window.partitionBy("band").orderBy(col("density").desc, col("doc_id"))
+    val drank    = row_number().over(wIn).cast(LongType) - lit(1L)
+    val reserve = d
+      .withColumn("dwithin", drank)
+      .join(broadcast(offsetDf), Seq("band"))
+      .filter(col("boff") + col("dwithin") < annealN)
+      .select("doc_id")
+    val main = md5PrefixRank(d.select("doc_id"), "")
+      .select(col("doc_id"), lit("main").as("phase"), col("idx").as("pos"))
+    val ann = md5PrefixRank(reserve, "a:")
+      .select(col("doc_id"), lit("anneal").as("phase"), (lit(n) + col("idx")).as("pos"))
+    main.unionByName(ann)
+  }
+
+  /** Every doc_id ≡ 0 (mod this) is on [[deletionPropagation]]'s delete
+    * list — the gate's deterministic stand-in for a real id list. */
+  val DeleteMod = 13L
+
+  /** q133: deletion propagation audit — the right-to-be-forgotten /
+    * takedown costing pass: given a delete list, what does removal
+    * actually touch across the DERIVED artifacts a pipeline has already
+    * built from the corpus? Reports, in one row: raw docs and tokens
+    * deleted; q57 chunk rows purged (arithmetic — ceil(toks/chunk) per
+    * deleted doc, no explode); q46 packed bins TOUCHED plus the surviving
+    * docs/tokens in them (the collateral re-export bill — a bin with one
+    * deleted doc must be rewritten whole); and the exact-dup group impact
+    * (groups fully orphaned vs groups whose min-doc_id representative —
+    * the identity q107/q130 key on — was deleted while members survive,
+    * forcing re-representation). Production callers join a real id list;
+    * the gate derives it as doc_id % [[DeleteMod]].
+    *
+    * Scale shape: text is touched once (md5 + token count in the scan);
+    * group accounting runs on skinny (fp, id, longs) rows; bin accounting
+    * reuses q46's two-phase packing (no global window) and folds
+    * |bins|-row tables. Output is one row. */
+  def deletionPropagation(s: SparkSession, dir: String): DataFrame = {
+    val deleted = (col("doc_id") % DeleteMod === 0).cast(LongType)
+    val f = Tables
+      .documentsDistributed(s, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp"),
+        size(split(col("text"), " +")).cast(LongType).as("toks")
+      )
+      .withColumn("del", deleted)
+    val docAgg = f.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("del")).as("n_deleted"),
+      sum(when(col("del") === 1L, col("toks")).otherwise(0L)).as("deleted_tokens"),
+      sum(
+        when(
+          col("del") === 1L,
+          call_function("div", col("toks") + lit(ChunkTokens - 1), lit(ChunkTokens))
+        ).otherwise(0L)
+      ).as("chunk_rows_purged")
+    )
+    val groups = f
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"), sum(col("del")).as("nd"), min(col("doc_id")).as("rep"))
+    val grpAgg = groups.agg(
+      sum(when(col("nd") === col("n"), 1L).otherwise(0L)).as("groups_orphaned"),
+      sum(
+        when(col("nd") > 0 && col("nd") < col("n") && col("rep") % DeleteMod === 0, 1L)
+          .otherwise(0L)
+      ).as("groups_losing_rep")
+    )
+    val bins = sequencePacking(s, dir)
+      .withColumn("del", deleted)
+      .groupBy("lang", "bin_id")
+      .agg(
+        count(lit(1)).as("bn"),
+        sum(col("del")).as("bd"),
+        sum(when(col("del") === 0L, col("n_tokens")).otherwise(0L)).as("surv_toks")
+      )
+    val binAgg = bins.agg(
+      count(lit(1)).as("bins_total"),
+      sum(when(col("bd") > 0, 1L).otherwise(0L)).as("bins_touched"),
+      sum(when(col("bd") > 0, col("bn") - col("bd")).otherwise(0L)).as("collateral_docs"),
+      sum(when(col("bd") > 0, col("surv_toks")).otherwise(0L)).as("collateral_tokens")
+    )
+    docAgg.crossJoin(grpAgg).crossJoin(binAgg)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_curriculum_order" -> (curriculumOrder _),
+    "q133_deletion_audit"   -> (deletionPropagation _),
     "q129_token_budget"     -> (tokenBudgetSelect _),
     "q130_split_leakage"    -> (splitLeakage _),
     "q127_k_anonymity"      -> (kAnonymityAudit _),
@@ -1107,6 +1265,75 @@ object TrainingPrep extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q132_curriculum_order" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS toks,
+         |    CAST(len(list_distinct(regexp_split_to_array(text, ' +'))) AS BIGINT) AS dtoks
+         |  FROM documents
+         |),
+         |e AS (SELECT doc_id, (dtoks * 1000000) // toks AS density FROM d),
+         |r AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY density DESC, doc_id) - 1 AS drank
+         |  FROM e
+         |),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM d),
+         |res AS (SELECT doc_id FROM r, n WHERE drank < (c * $AnnealPct) // 100),
+         |m AS (
+         |  SELECT doc_id, 'main' AS phase,
+         |    CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+         |  FROM d
+         |),
+         |a AS (
+         |  SELECT doc_id, 'anneal' AS phase,
+         |    CAST((SELECT c FROM n)
+         |      + row_number() OVER (ORDER BY md5('a:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+         |  FROM res
+         |)
+         |SELECT * FROM m UNION ALL SELECT * FROM a""".stripMargin,
+    "q133_deletion_audit" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, md5(text) AS fp,
+         |    CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS toks,
+         |    CASE WHEN doc_id % $DeleteMod = 0 THEN 1 ELSE 0 END AS del
+         |  FROM documents
+         |),
+         |da AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(del) AS BIGINT) AS n_deleted,
+         |    CAST(sum(CASE WHEN del = 1 THEN toks ELSE 0 END) AS BIGINT) AS deleted_tokens,
+         |    CAST(sum(CASE WHEN del = 1 THEN (toks + ${ChunkTokens - 1}) // $ChunkTokens ELSE 0 END) AS BIGINT) AS chunk_rows_purged
+         |  FROM f
+         |),
+         |g AS (SELECT fp, count(*) AS n, sum(del) AS nd, min(doc_id) AS rep FROM f GROUP BY 1),
+         |ga AS (
+         |  SELECT CAST(sum(CASE WHEN nd = n THEN 1 ELSE 0 END) AS BIGINT) AS groups_orphaned,
+         |    CAST(sum(CASE WHEN nd > 0 AND nd < n AND rep % $DeleteMod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS groups_losing_rep
+         |  FROM g
+         |),
+         |p AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(floor(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $TokenBudget) AS BIGINT) AS bin_id
+         |  FROM (
+         |    SELECT doc_id, lang, CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n_tokens
+         |    FROM documents
+         |  )
+         |),
+         |b AS (
+         |  SELECT lang, bin_id, count(*) AS bn,
+         |    sum(CASE WHEN doc_id % $DeleteMod = 0 THEN 1 ELSE 0 END) AS bd,
+         |    sum(CASE WHEN doc_id % $DeleteMod <> 0 THEN n_tokens ELSE 0 END) AS surv
+         |  FROM p GROUP BY 1, 2
+         |),
+         |ba AS (
+         |  SELECT count(*) AS bins_total,
+         |    CAST(sum(CASE WHEN bd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bins_touched,
+         |    CAST(sum(CASE WHEN bd > 0 THEN bn - bd ELSE 0 END) AS BIGINT) AS collateral_docs,
+         |    CAST(sum(CASE WHEN bd > 0 THEN surv ELSE 0 END) AS BIGINT) AS collateral_tokens
+         |  FROM b
+         |)
+         |SELECT da.*, ga.*, ba.* FROM da, ga, ba""".stripMargin,
     "q129_token_budget" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,

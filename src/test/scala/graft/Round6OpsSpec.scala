@@ -721,6 +721,69 @@ class Round6OpsSpec extends AnyFunSuite {
       r.getAs[Long]("n_docs"))
   }
 
+  test("q132: schedule is a main-phase permutation plus a top-density anneal replay") {
+    import spark.implicits._
+    // 8 docs, distinct densities spanning bands; anneal = top 25% = 2 docs.
+    def doc(id: Long, distinct: Int, total: Int): (Long, String, String, String, Long) = {
+      val t = (0 until total).map(i => s"w${id}_${i % distinct}").mkString(" ")
+      (id, t, "en", "s0", t.length.toLong)
+    }
+    val rows = Seq(
+      doc(1L, 10, 10), doc(2L, 9, 12), doc(3L, 5, 10), doc(4L, 5, 15),
+      doc(5L, 5, 20), doc(6L, 2, 20), doc(7L, 3, 20), doc(8L, 4, 20)
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft-q132").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out  = graft.operators.TrainingPrep.curriculumOrder(spark, dir).collect()
+    val main = out.filter(_.getAs[String]("phase") == "main")
+    val ann  = out.filter(_.getAs[String]("phase") == "anneal")
+    assert(main.length == 8 && main.map(_.getAs[Long]("pos")).sorted.toSeq == (0L to 7L))
+    assert(ann.length == 2 && ann.map(_.getAs[Long]("pos")).sorted.toSeq == Seq(8L, 9L))
+    // independent cut oracle: top-2 by (density desc, doc_id) computed naively
+    val expectedReserve = rows
+      .map { case (id, t, _, _, _) =>
+        val ws = t.split(" +"); (id, ws.distinct.length.toLong * 1000000L / ws.length)
+      }
+      .sortBy { case (id, dens) => (-dens, id) }
+      .take(2).map(_._1).toSet
+    assert(ann.map(_.getAs[Long]("doc_id")).toSet == expectedReserve,
+      "anneal reserve is not the top-density slice")
+    // the anneal docs also train in the main phase (replay, not exclusion)
+    assert(expectedReserve.subsetOf(main.map(_.getAs[Long]("doc_id")).toSet))
+  }
+
+  test("q133: per-artifact deletion costs attribute exactly on a planted corpus") {
+    import spark.implicits._
+    // delete list = ids % 13 == 0: docs 13 and 26. Group structure:
+    // {13,14} same text (rep 13 deleted, member survives -> loses rep),
+    // {26} alone (orphaned), {1,2} same text untouched, 40/41 unique fill.
+    // lang split puts every deleted doc in "en"; "xx" bins stay untouched.
+    val rows = Seq(
+      (13L, "shared alpha text", "en"), (14L, "shared alpha text", "en"),
+      (26L, "lonely beta " + Seq.fill(40)("tok").mkString(" "), "en"),
+      (1L, "shared gamma", "en"), (2L, "shared gamma", "en"),
+      (40L, "plain doc one", "en"),
+      (41L, "other lang doc", "xx"), (42L, "other lang doc two", "xx")
+    ).map { case (id, t, l) => (id, t, l, "s0", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-q133").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.TrainingPrep.deletionPropagation(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 8L && r.getAs[Long]("n_deleted") == 2L)
+    assert(r.getAs[Long]("deleted_tokens") == 3L + 42L) // doc13: 3 toks, doc26: 42
+    // chunks of 32: doc13 -> 1, doc26 -> ceil(42/32) = 2
+    assert(r.getAs[Long]("chunk_rows_purged") == 3L)
+    assert(r.getAs[Long]("groups_orphaned") == 1L, "doc 26's singleton group must orphan")
+    assert(r.getAs[Long]("groups_losing_rep") == 1L, "group {13,14} must lose its representative")
+    // all docs fit bin 0 of their lang: en bin touched, xx bin untouched
+    assert(r.getAs[Long]("bins_total") == 2L && r.getAs[Long]("bins_touched") == 1L)
+    assert(r.getAs[Long]("collateral_docs") == 4L) // en survivors: 14, 1, 2, 40
+    val survToks = Seq("shared alpha text", "shared gamma", "shared gamma", "plain doc one")
+      .map(_.split(" +").length.toLong).sum
+    assert(r.getAs[Long]("collateral_tokens") == survToks)
+  }
+
   test("q131: Hellinger² is 0 for identical sources, ≈2 for disjoint ones, and pairs are ordered") {
     import spark.implicits._
     // Sources A and B share an identical unigram distribution; C is
