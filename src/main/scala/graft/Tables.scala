@@ -64,17 +64,46 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
   /** `events` with `ts` surfaced as both a raw ns-epoch long (`ts_ns`) and a
-    * microsecond-precision TIMESTAMP (`ts`). Requires the engine-wide
-    * nanosAsLong conf, set once in [[GraftSession.builder]] — setting it
-    * here as a read side effect would silently change how OTHER readers in
-    * the same session see nanos-timestamp parquet.
+    * microsecond-precision TIMESTAMP (`ts`), whatever the file's physical
+    * type — see [[normalizeEvents]].
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEvents(s.read.parquet(s"$d/events.parquet"))
+
+  /** Normalize a raw `events` scan to the engine shape
+    * `(event_id, ts_ns, user_id, event_type, value, props, ts)` where
+    * `ts_ns` is the raw ns-epoch LONG and `ts` a µs-precision TIMESTAMP.
+    *
+    * The upstream generator has shipped `ts` as parquet TIMESTAMP(NANOS)
+    * (read as a ns LONG under the engine-wide nanosAsLong conf, set once in
+    * [[GraftSession.builder]]) and as TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ); both sources of truth must land on the same shape, so
+    * every consumer — batch, streaming, oracle — sees one contract. The
+    * NTZ→LTZ cast is instant-preserving because the session timezone is
+    * pinned to UTC, matching DuckDB's naive-as-UTC read of the same file.
+    */
+  private[graft] def normalizeEvents(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = s.read.parquet(s"$d/events.parquet")
-    raw
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(call_function("div", col("ts_ns"), lit(1000L))))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(call_function("div", col("ts_ns"), lit(1000L))))
+      case TimestampNTZType | TimestampType =>
+        val t = col("ts").cast(TimestampType)
+        raw.select(
+          col("event_id"),
+          (unix_micros(t) * lit(1000L)).as("ts_ns"),
+          col("user_id"),
+          col("event_type"),
+          col("value"),
+          col("props"),
+          t.as("ts")
+        )
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts physical type: $other")
+    }
   }
 
   /** All table names this engine serves. */

@@ -20,30 +20,23 @@ import graft.Num
   */
 object EventStream {
 
-  /** Parquet-file streaming schema: `ts` arrives as raw ns-epoch LONG
-    * (nanosAsLong, see graft.Tables.events). */
-  val EventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)
-  ))
-
   /** File-based event stream from a directory of parquet (each new file is
     * a micro-batch — the standard replayable file source).
     * `maxFilesPerTrigger = Some(1)` forces one file per micro-batch, which
     * lets tests advance the watermark BETWEEN files and exercise the
-    * late-data drop path (a single-batch run never drops anything). */
+    * late-data drop path (a single-batch run never drops anything).
+    *
+    * The file source needs an explicit schema; `ts` has shipped both as a
+    * raw ns-epoch LONG (TIMESTAMP(NANOS) under nanosAsLong, part of the
+    * GraftSession contract) and as TIMESTAMP(MICROS), so the schema is
+    * probed from the files already present and the result normalized to the
+    * engine's event shape by [[graft.Tables.normalizeEvents]] — identical to
+    * the batch loader, which is what the batch/stream parity pins rely on. */
   def fromParquet(spark: SparkSession, path: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    // nanosAsLong is part of the GraftSession contract (set in the builder)
-    val reader = spark.readStream.schema(EventSchema)
+    val fileSchema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(fileSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
-    reader
-      .parquet(path)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(call_function("div", col("ts_ns"), lit(1000L))))
+    graft.Tables.normalizeEvents(reader.parquet(path))
   }
 
   /** Tumbling 1-hour counts with a 1-hour watermark — streaming equivalent
