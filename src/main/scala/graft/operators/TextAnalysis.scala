@@ -692,7 +692,71 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** Hashed-feature space for [[miFeatures]] — same hashing trick as the
+    * q110 classifier (the hash IS the feature id; no vocabulary table). */
+  val MiHashDim = 4096L
+  /** Top features reported by [[miFeatures]]. */
+  val MiTopK = 25
+
+  /** Mutual-information feature selection (q135) — which hashed token
+    * features carry signal about the `lang` label. This is the feature-
+    * audit step in front of any hashed linear model (q110): MI(f; y) over
+    * document-level presence ranks the hash buckets a classifier should
+    * trust, and near-zero MI across the board means the feature space (or
+    * the hash width) is wrong BEFORE anyone trains on 100 TB.
+    *
+    * Per feature f and label y, with document counts n_fy / n_f / n_y / N,
+    * the presence part of MI: Σ_y (n_fy/N) · ln(N·n_fy / (n_f·n_y)).
+    *
+    * Scale shape: per-doc features are distinct-ed IN-CORE
+    * (array_distinct before explode — no (doc, feature) shuffle ever
+    * exists), so the only corpus-sized work is one narrow pass feeding a
+    * map-side-partial groupBy(feature, lang) of ≤ [[MiHashDim]]·|langs|
+    * rows; every join after that is model-sized. Determinism: each (f, y)
+    * term is ONE IEEE chain floored to integer micros (q103's log
+    * discipline), so per-feature MI is an exact long sum; ranking is the
+    * bounded-heap top-[[MiTopK]] on (mi_micros DESC, feature ASC). */
+  def miFeatures(s: SparkSession, dir: String): DataFrame = {
+    val feats = array_distinct(
+      transform(tokens(col("text")), t => graft.functions.Fingerprints.fp8(t) % MiHashDim)
+    )
+    val nfy = Tables
+      .documentsDistributed(s, dir)
+      .select(col("lang"), explode(feats).as("feature"))
+      .groupBy("feature", "lang")
+      .agg(count(lit(1)).as("n_fy"))
+    val nf  = nfy.groupBy("feature").agg(sum(col("n_fy")).as("n_f"))
+    val ny  = Tables.documents(s, dir).groupBy("lang").agg(count(lit(1)).as("n_y"))
+    val tot = Tables.documents(s, dir).agg(count(lit(1)).as("n_tot"))
+    val term = (col("n_fy").cast(DoubleType) / col("n_tot")) *
+      log(col("n_tot").cast(DoubleType) * col("n_fy") / (col("n_f") * col("n_y")))
+    val mi = nfy
+      .join(broadcast(ny), Seq("lang"))
+      .join(nf, Seq("feature"))
+      .crossJoin(broadcast(tot))
+      .select(col("feature"), col("n_f"), floor(term * lit(1000000.0)).cast(LongType).as("tm"))
+      .groupBy("feature")
+      .agg(min(col("n_f")).as("n_docs"), sum(col("tm")).as("mi_micros"))
+    mi.agg(
+        graft.plans.TopKAggregate
+          .topK(
+            struct(col("mi_micros"), col("feature"), col("n_docs")),
+            MiTopK,
+            reversed = Seq(false, true) // mi_micros DESC, feature ASC
+          )
+          .as("top")
+      )
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("t.feature").as("feature"),
+        col("t.n_docs").as("n_docs"),
+        col("t.mi_micros").as("mi_micros"),
+        (col("pos") + 1).cast(LongType).as("rnk")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_mi_features"       -> (miFeatures _),
     "q131_source_divergence" -> (sourceDivergence _),
     "q103_bm25_retrieval" -> (bm25Retrieval _),
     "q97_pmi_pairs"       -> (pmiPairs _),
@@ -716,6 +780,37 @@ object TextAnalysis extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q135_mi_features" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    unnest(list_distinct(list_transform(regexp_split_to_array(text, ' +'),
+         |      t -> ${graft.functions.Fingerprints.fp8Sql("t")} % $MiHashDim))) AS feature
+         |  FROM documents
+         |),
+         |nfy AS (SELECT feature, lang, CAST(count(*) AS BIGINT) AS n_fy FROM d GROUP BY 1, 2),
+         |nf  AS (SELECT feature, CAST(sum(n_fy) AS BIGINT) AS n_f FROM nfy GROUP BY 1),
+         |ny  AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_y FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents),
+         |terms AS (
+         |  SELECT nfy.feature, nf.n_f,
+         |    CAST(floor((CAST(nfy.n_fy AS DOUBLE) / t.n_tot) *
+         |               ln(CAST(t.n_tot AS DOUBLE) * nfy.n_fy / (nf.n_f * ny.n_y)) *
+         |               1000000.0) AS BIGINT) AS tm
+         |  FROM nfy
+         |  JOIN nf USING (feature)
+         |  JOIN ny USING (lang)
+         |  CROSS JOIN tot t
+         |),
+         |mi AS (
+         |  SELECT feature, CAST(min(n_f) AS BIGINT) AS n_docs,
+         |         CAST(sum(tm) AS BIGINT) AS mi_micros
+         |  FROM terms GROUP BY 1
+         |)
+         |SELECT feature, n_docs, mi_micros, rnk FROM (
+         |  SELECT feature, n_docs, mi_micros,
+         |    CAST(row_number() OVER (ORDER BY mi_micros DESC, feature) AS BIGINT) AS rnk
+         |  FROM mi
+         |) WHERE rnk <= $MiTopK""".stripMargin,
     "q131_source_divergence" ->
       s"""WITH tok AS (
          |  SELECT source, unnest(regexp_split_to_array(text, ' +')) AS w FROM documents

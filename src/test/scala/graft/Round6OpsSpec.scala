@@ -813,4 +813,79 @@ class Round6OpsSpec extends AnyFunSuite {
         s"disjoint-support H² out of bounds: $h2")
     }
   }
+
+  test("q134: planted triangles — K3 counted once per corner, square counts zero, dups/self-loops ignored") {
+    import spark.implicits._
+    // triangle {1,2,3} with pendant 4—1; square 5-6-7-8 (no triangle);
+    // reversed duplicate (2,1), exact duplicate (1,2), self-loop (9,9)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 2L), (4L, 1L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L), (9L, 9L)
+    ).toDF("src", "dst")
+    val out = graft.operators.GraphOps.triangleStatsOver(edges).collect()
+    val byNode = out.map(r => r.getAs[Long]("node") -> r).toMap
+    assert(!byNode.contains(9L), "a self-loop-only node has no undirected edge")
+    Seq(1L, 2L, 3L).foreach(n => assert(byNode(n).getAs[Long]("triangles") == 1L))
+    Seq(4L, 5L, 6L, 7L, 8L).foreach(n => assert(byNode(n).getAs[Long]("triangles") == 0L))
+    // node 1: degree 3 (2, 3, 4), one triangle → cc = 2·1/(3·2) = 1/3
+    assert(byNode(1L).getAs[Long]("degree") == 3L)
+    assert(byNode(1L).getAs[Long]("cc_ppm") == 333333L)
+    // nodes 2, 3: degree 2, closed wedge → cc = 1 exactly
+    Seq(2L, 3L).foreach(n => assert(byNode(n).getAs[Long]("cc_ppm") == 1000000L))
+    // degree-1 pendant: cc defined as 0, not a division by zero
+    assert(byNode(4L).getAs[Long]("cc_ppm") == 0L)
+  }
+
+  test("q134: K4 — every wedge closes; 4 triangles, 3 per node, cc = 1") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val k4 = (for { a <- nodes; b <- nodes if a < b } yield (a, b)).toDF("src", "dst")
+    val out = graft.operators.GraphOps.triangleStatsOver(k4).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getAs[Long]("degree") == 3L)
+      assert(r.getAs[Long]("triangles") == 3L)
+      assert(r.getAs[Long]("cc_ppm") == 1000000L)
+    }
+    // global count = Σ per-node / 3
+    assert(out.map(_.getAs[Long]("triangles")).sum / 3 == 4L)
+  }
+
+  test("q135: MI feature selection — perfectly discriminative tokens rank top, uniform token scores zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mi").toString
+    // 2 en docs carry "aaa", 2 fr docs carry "bbb"; "ccc" appears in all 4
+    val rows = Seq(
+      (1L, "aaa ccc", "en", "s", 7L),
+      (2L, "aaa ccc", "en", "s", 7L),
+      (3L, "bbb ccc", "fr", "s", 7L),
+      (4L, "bbb ccc", "fr", "s", 7L)
+    )
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val feat = Seq("aaa", "bbb", "ccc")
+      .toDF("t")
+      .select(
+        col("t"),
+        (graft.functions.Fingerprints.fp8(col("t")) % graft.operators.TextAnalysis.MiHashDim)
+          .as("f")
+      )
+      .collect()
+      .map(r => r.getAs[String]("t") -> r.getAs[Long]("f"))
+      .toMap
+    val out  = graft.operators.TextAnalysis.miFeatures(spark, dir).collect()
+    val byF  = out.map(r => r.getAs[Long]("feature") -> r).toMap
+    // MI(aaa) = MI(bbb) = (2/4)·ln(4·2/(2·2)) = ln(2)/2 → 346573 micros
+    Seq("aaa", "bbb").foreach { t =>
+      assert(byF(feat(t)).getAs[Long]("mi_micros") == 346573L, s"MI of $t")
+      assert(byF(feat(t)).getAs[Long]("n_docs") == 2L)
+    }
+    // ccc is label-independent: every (f, y) term is exactly ln(1) = 0
+    assert(byF(feat("ccc")).getAs[Long]("mi_micros") == 0L)
+    // ranking: the two discriminative features are ranks 1-2 (tie broken by
+    // feature id ascending), the uniform one ranks below them
+    val topTwo = out.filter(r => r.getAs[Long]("rnk") <= 2L).map(_.getAs[Long]("feature")).toSet
+    assert(topTwo == Set(feat("aaa"), feat("bbb")))
+    assert(byF(feat("ccc")).getAs[Long]("rnk") > 2L)
+  }
 }
