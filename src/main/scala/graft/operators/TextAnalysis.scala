@@ -582,7 +582,11 @@ object TextAnalysis extends QueryModule {
     * integer micros (q59's log discipline), so the score SUM over a
     * query's terms is an exact long sum — float summation order never
     * matters. */
-  def bm25Retrieval(s: SparkSession, dir: String): DataFrame = {
+  /** Per-(query, candidate-doc) score table shared by q103 and q136: the
+    * BM25 floor-micros sum plus the inputs (Σtf, dl) the second ranker
+    * needs. Candidates = docs matching ≥ 1 query term — identical for
+    * both rankers, so q136's rank fusion never sees a one-sided rank. */
+  private def retrievalScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val termSet = RetrievalQueries.flatMap(_._2).distinct
     val docs = Tables
@@ -602,13 +606,17 @@ object TextAnalysis extends QueryModule {
     val denom = col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / avgdl)
     val contribMicro =
       floor(idf * (col("tf") * lit(Bm25K1 + 1.0)) / denom * lit(1000000.0)).cast(LongType)
-    val scores = qt
+    qt
       .join(tf, Seq("w"))
       .join(df, Seq("w"))
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"), contribMicro.as("cm"))
+      .select(col("query_id"), col("doc_id"), contribMicro.as("cm"), col("tf"), col("dl"))
       .groupBy("query_id", "doc_id")
-      .agg(sum(col("cm")).as("score_micro"))
+      .agg(sum(col("cm")).as("score_micro"), sum(col("tf")).as("tf_sum"), min(col("dl")).as("dl"))
+  }
+
+  def bm25Retrieval(s: SparkSession, dir: String): DataFrame = {
+    val scores = retrievalScores(s, dir).select("query_id", "doc_id", "score_micro")
     scores
       .groupBy("query_id")
       .agg(
@@ -622,6 +630,73 @@ object TextAnalysis extends QueryModule {
         (col("pos") + 1).cast(LongType).as("rnk"),
         col("t.doc_id").as("doc_id"),
         col("t.score_micro").as("score_micro")
+      )
+  }
+
+  /** RRF smoothing constant — the standard k=60 from Cormack et al. */
+  val RrfK = 60L
+  /** Fused results per query reported by [[rankFusion]]. */
+  val FusionTopK = 10
+
+  /** Reciprocal-rank fusion (q136) — the hybrid-retrieval combiner: fuse
+    * two rankers' orderings of the same candidate set without comparing
+    * their incompatible score scales. Production hybrid search fuses a
+    * lexical ranking with a dense/ANN one; here both rankers are lexical
+    * over the shared [[retrievalScores]] candidates (BM25, and
+    * length-normalized term density Σtf/dl — the scale-free signal BM25's
+    * saturation deliberately dampens), which exercises the identical
+    * fusion shape with disagreeing orderings.
+    *
+    * RRF(d) = Σ_r 1/(k + rank_r(d)) with k = [[RrfK]], scaled to micros as
+    * exact integer division 10⁶ div (k + rank) — the whole operator is
+    * integer arithmetic end to end; ties break by doc_id on every
+    * ordering, so ranks, fusion sums and the final top-k are all
+    * cross-engine exact with NO floor-boundary exposure at all.
+    *
+    * Scale shape: ranks are per-query `row_number` windows over the
+    * CANDIDATE table (query-bounded by the term prefilter — thousands of
+    * rows per query, parallel across queries), never over the corpus; the
+    * final cut is the bounded-heap top-[[FusionTopK]]. */
+  def rankFusion(s: SparkSession, dir: String): DataFrame = {
+    val scores = retrievalScores(s, dir)
+      .withColumn(
+        "ql_micro",
+        floor(col("tf_sum").cast(DoubleType) / col("dl") * lit(1000000.0)).cast(LongType)
+      )
+    val byQuery = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+    val ranked = scores
+      .withColumn(
+        "rank_bm25",
+        row_number().over(byQuery.orderBy(col("score_micro").desc, col("doc_id"))).cast(LongType)
+      )
+      .withColumn(
+        "rank_ql",
+        row_number().over(byQuery.orderBy(col("ql_micro").desc, col("doc_id"))).cast(LongType)
+      )
+      .withColumn(
+        "rrf_micros",
+        call_function("div", lit(1000000L), lit(RrfK) + col("rank_bm25")) +
+          call_function("div", lit(1000000L), lit(RrfK) + col("rank_ql"))
+      )
+    ranked
+      .groupBy("query_id")
+      .agg(
+        graft.plans.TopKAggregate
+          .topK(
+            struct(col("rrf_micros"), col("doc_id"), col("rank_bm25"), col("rank_ql")),
+            FusionTopK,
+            reversed = Seq(false, true) // rrf DESC, doc_id ASC
+          )
+          .as("top")
+      )
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast(LongType).as("rnk"),
+        col("t.doc_id").as("doc_id"),
+        col("t.rank_bm25").as("rank_bm25"),
+        col("t.rank_ql").as("rank_ql"),
+        col("t.rrf_micros").as("rrf_micros")
       )
   }
 
@@ -756,6 +831,7 @@ object TextAnalysis extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_rank_fusion"       -> (rankFusion _),
     "q135_mi_features"       -> (miFeatures _),
     "q131_source_divergence" -> (sourceDivergence _),
     "q103_bm25_retrieval" -> (bm25Retrieval _),
@@ -780,6 +856,55 @@ object TextAnalysis extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q136_rank_fusion" -> {
+      val termList = RetrievalQueries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+      val qtValues =
+        RetrievalQueries.flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS w FROM d) WHERE w IN ($termList) GROUP BY 1, 2
+         |),
+         |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |qt(query_id, w) AS (VALUES $qtValues),
+         |c AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    CAST(floor(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |        * (tf.tf * ($Bm25K1 + 1.0))
+         |        / (tf.tf + $Bm25K1 * ((1.0 - $Bm25B) + $Bm25B * dl.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+         |        * 1000000.0) AS BIGINT) AS cm,
+         |    tf.tf, dl.dl
+         |  FROM qt JOIN tf ON qt.w = tf.w JOIN df ON tf.w = df.w JOIN dl ON tf.doc_id = dl.doc_id, st
+         |),
+         |sc AS (
+         |  SELECT query_id, doc_id, CAST(sum(cm) AS BIGINT) AS score_micro,
+         |         CAST(sum(tf) AS BIGINT) AS tf_sum, CAST(min(dl) AS BIGINT) AS dl
+         |  FROM c GROUP BY 1, 2
+         |),
+         |s2 AS (
+         |  SELECT query_id, doc_id, score_micro,
+         |    CAST(floor(CAST(tf_sum AS DOUBLE) / dl * 1000000.0) AS BIGINT) AS ql_micro
+         |  FROM sc
+         |),
+         |r AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank_bm25,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY ql_micro DESC, doc_id) AS BIGINT) AS rank_ql
+         |  FROM s2
+         |),
+         |f AS (
+         |  SELECT query_id, doc_id, rank_bm25, rank_ql,
+         |    1000000 // ($RrfK + rank_bm25) + 1000000 // ($RrfK + rank_ql) AS rrf_micros
+         |  FROM r
+         |)
+         |SELECT query_id, rnk, doc_id, rank_bm25, rank_ql, rrf_micros FROM (
+         |  SELECT query_id, doc_id, rank_bm25, rank_ql, rrf_micros,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_micros DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM f
+         |) WHERE rnk <= $FusionTopK""".stripMargin
+    },
     "q135_mi_features" ->
       s"""WITH d AS (
          |  SELECT lang,

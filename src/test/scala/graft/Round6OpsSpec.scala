@@ -888,4 +888,44 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(topTwo == Set(feat("aaa"), feat("bbb")))
     assert(byF(feat("ccc")).getAs[Long]("rnk") > 2L)
   }
+
+  test("q136: RRF fusion — integer identity, candidate parity, QL ordering on a planted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rrf").toString
+    val filler = Seq.fill(16)("filler").mkString(" ")
+    // q2 = {window, agg}: doc 1 dense (QL 1.0), doc 3 half (0.5), doc 2
+    // diluted (4/20 = 0.2); doc 4 matches nothing and must appear nowhere
+    val rows = Seq(
+      (1L, "window agg", "en", "s", 10L),
+      (2L, s"window window window window $filler", "en", "s", 40L),
+      (3L, "agg filler", "en", "s", 10L),
+      (4L, "nothing here", "en", "s", 12L)
+    )
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.rankFusion(spark, dir).collect()
+    val k   = graft.operators.TextAnalysis.RrfK
+    assert(!out.exists(_.getAs[Long]("doc_id") == 4L), "no-match doc must not be a candidate")
+    out.foreach { r =>
+      // the fused score IS the integer identity — nothing else
+      val expect = 1000000L / (k + r.getAs[Long]("rank_bm25")) +
+        1000000L / (k + r.getAs[Long]("rank_ql"))
+      assert(r.getAs[Long]("rrf_micros") == expect)
+    }
+    val q2 = out.filter(_.getAs[String]("query_id") == "q2")
+    assert(q2.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L),
+      "both rankers share the matched-candidate set")
+    val qlRank = q2.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_ql")).toMap
+    assert(qlRank(1L) == 1L && qlRank(3L) == 2L && qlRank(2L) == 3L,
+      s"QL = tf_sum/dl must rank density 1.0 > 0.5 > 0.2, got $qlRank")
+    // fused output is rank-contiguous and ordered by (rrf DESC, doc_id ASC)
+    val ordered = q2.sortBy(_.getAs[Long]("rnk"))
+    assert(ordered.map(_.getAs[Long]("rnk")).toSeq == (1L to q2.length).toSeq)
+    ordered.sliding(2).foreach {
+      case Array(a, b) =>
+        val (ra, rb) = (a.getAs[Long]("rrf_micros"), b.getAs[Long]("rrf_micros"))
+        assert(ra > rb || (ra == rb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+      case _ =>
+    }
+  }
 }
