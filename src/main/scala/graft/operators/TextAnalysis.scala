@@ -275,7 +275,7 @@ object TextAnalysis extends QueryModule {
     * sort, no one-task window funnel. Ordering: count desc, bigram desc
     * (struct natural order; documented tie-break, mirrored in the oracle).
     */
-  private def bigramsOf(textCol: Column): Column = {
+  private[graft] def bigramsOf(textCol: Column): Column = {
     val toks = tokens(textCol)
     zip_with(
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),

@@ -39,6 +39,27 @@ object DocStream {
   def fromParquet(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(DocSchema).parquet(path)
 
+  /** Streaming heavy-hitters — q67's SpaceSaving sketch as STREAMING
+    * aggregation state: the micro-batch planner keeps the serialized
+    * O(capacity) sketch buffer in the state store and merges each batch's
+    * partials into it, so the running top-bigram estimate is queryable
+    * after every trigger while state stays CONSTANT-SIZE however long the
+    * stream runs — the property that makes sketches the only viable
+    * "global top-k over an unbounded stream" shape (exact counts grow with
+    * the vocabulary; watermarks can't bound a global top-k).
+    *
+    * Emit in complete mode. SpaceSaving results are merge-order dependent
+    * at the margins, so cross-plan parity is the GUARANTEE (cnt ≥ true ≥
+    * cnt − err for tracked items; every item above total/capacity tracked)
+    * — exactly what q67 pins for batch and StreamingSpec re-pins for this
+    * stream against batch-exact counts. */
+  def heavyHitterSketch(docs: DataFrame, capacity: Int = graft.operators.TextAnalysis.HhCapacity): DataFrame =
+    docs
+      .select(explode(graft.operators.TextAnalysis.bigramsOf(col("text"))).as("bigram"))
+      .agg(graft.plans.HeavyHitters.spaceSaving(col("bigram"), capacity).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item").as("item"), col("h.cnt").as("cnt"), col("h.err").as("err"))
+
   /** Streaming exact dedup — batch q30's semantics on a stream: narrow md5
     * fingerprint, keep the first document per fingerprint. Exact parity
     * with the batch result, at the cost of state that grows with the

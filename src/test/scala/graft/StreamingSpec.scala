@@ -504,4 +504,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamedCurve.exists(r => r(3).asInstanceOf[Long] < r(1).asInstanceOf[Long] + r(2).asInstanceOf[Long]))
     } finally q.stop()
   }
+
+  test("streaming heavy-hitter sketch: SpaceSaving guarantees hold vs batch-exact counts") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    val q = DocStream
+      .heavyHitterSketch(DocStream.fromParquet(spark, docStreamDir))
+      .writeStream
+      .outputMode("complete") // sketch state merges across micro-batches
+      .format("memory")
+      .queryName("stream_hh")
+      .start()
+    try {
+      q.processAllAvailable()
+      val hh = spark
+        .table("stream_hh")
+        .collect()
+        .map(r => r.getAs[String]("item") -> (r.getAs[Long]("cnt"), r.getAs[Long]("err")))
+        .toMap
+      assert(hh.nonEmpty && hh.size <= graft.operators.TextAnalysis.HhCapacity)
+      val exact = spark.read
+        .parquet(s"$dir/documents.parquet")
+        .select(explode(graft.operators.TextAnalysis.bigramsOf(col("text"))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getAs[String]("bigram") -> r.getAs[Long]("n"))
+        .toMap
+      val total = exact.values.sum
+      val bound = total.toDouble / graft.operators.TextAnalysis.HhCapacity
+      // coverage: anything above total/capacity must be tracked by the
+      // stream's sketch, no matter how the micro-batches sliced it
+      exact.filter(_._2 > bound).foreach { case (bg, n) =>
+        assert(hh.contains(bg), s"heavy bigram '$bg' (n=$n > $bound) untracked")
+      }
+      // sandwich: cnt >= true >= cnt - err for every tracked item
+      hh.foreach { case (item, (cnt, err)) =>
+        val truth = exact.getOrElse(item, 0L)
+        assert(cnt >= truth && cnt - err <= truth,
+          s"sandwich violated for '$item': cnt=$cnt err=$err true=$truth")
+      }
+    } finally q.stop()
+  }
 }
