@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -138,10 +138,7 @@ object GraphOps extends QueryModule {
 
   /** The operator proper over any (src, dst) edge set. */
   def triangleStatsOver(edgeDf: DataFrame): DataFrame = {
-    val und = edgeDf
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+    val und = undirected(edgeDf)
     val deg = und
       .select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
@@ -197,9 +194,109 @@ object GraphOps extends QueryModule {
       )
   }
 
+  /** Delta fraction selector for [[triangleDelta]] — undirected edges whose
+    * fp8 lands on this residue (≈10%) arrive as the "new" batch. */
+  val EdgeDeltaMod = 10L
+
+  /** Canonical undirected distinct edge set of any (src, dst) edge list. */
+  private def undirected(edgeDf: DataFrame): DataFrame =
+    edgeDf
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
+  /** q137: INCREMENTAL triangle maintenance — q125's O(delta) refresh
+    * discipline applied to q134's triangle count. A standing graph metric
+    * (fraud rings, link-farm density, community cohesion) cannot recount
+    * the whole graph per edge batch; the arriving batch must pay only for
+    * what it touches. Each NEW triangle contains ≥ 1 delta edge; counting
+    * it exactly once without inclusion-exclusion uses the closing-edge
+    * attribution: order delta edges lexicographically (base edges rank
+    * below all deltas), and charge each new triangle to its HIGHEST delta
+    * edge. An edge (a, b) then closes the triangles {a, b, c} where both
+    * side edges (a, c), (b, c) are base-or-earlier-delta — two
+    * delta×adjacency joins, cost O(|Δ| · d̄), independent of |G|'s
+    * triangle count. The all-three-edges-new triangle is counted once (by
+    * its lexicographic max), which is exactly the case naive per-edge
+    * common-neighbor counting triple-counts.
+    *
+    * The oracle proves the increment against a DIFFERENT algorithm: two
+    * scratch q134-style counts (base, base∪delta) diffed — the same
+    * rebuild-equivalence contract q125 pins for rollups. touched_nodes
+    * (nodes whose local count changed) comes from the per-node diff on the
+    * oracle side vs the distinct corners of closed triangles on the
+    * engine side. */
+  def triangleDelta(s: SparkSession, dir: String): DataFrame = {
+    val und  = undirected(edges(s, dir))
+    val part = graft.functions.Fingerprints
+      .fp8(concat(col("a").cast(StringType), lit(":"), col("b").cast(StringType))) % EdgeDeltaMod
+    triangleDeltaOver(und.filter(part < EdgeDeltaMod - 1), und.filter(part === EdgeDeltaMod - 1))
+  }
+
+  /** The operator proper over canonical (a, b) base and delta edge sets
+    * (disjoint, a < b, distinct).
+    *
+    * Plan shape (the part that makes it O(delta) in practice, not just on
+    * paper): the DELTA side broadcasts — it is small by the incremental
+    * premise — so candidate enumeration STREAMS the adjacency through the
+    * broadcast hash in one codegen pass; the side-edge verification then
+    * probes the adjacency again as a broadcast build pre-shrunk to edges
+    * leaving a delta endpoint (a no-op on the saturated test fold, a huge
+    * cut on a real sparse graph; the 100 TB analog is q106's bucketed
+    * index probe). Candidates never hit an exchange, and both output
+    * aggregates fold in ONE pass over the closed-triangle corners. */
+  def triangleDeltaOver(base: DataFrame, delta: DataFrame): DataFrame = {
+    // Adjacency of base ∪ delta in both directions, each row carrying its
+    // canonical (lo, hi) pair + delta flag so the "allowed before (da, db)"
+    // predicate is a pure column comparison — no rank materialization.
+    val tagged = base
+      .withColumn("is_delta", lit(false))
+      .unionByName(delta.withColumn("is_delta", lit(true)))
+    val adj = tagged
+      .select(col("a").as("x"), col("b").as("y"), col("a").as("lo"), col("b").as("hi"), col("is_delta"))
+      .unionByName(
+        tagged.select(col("b").as("x"), col("a").as("y"), col("a").as("lo"), col("b").as("hi"), col("is_delta"))
+      )
+    val d = delta.select(col("a").as("da"), col("b").as("db"))
+    def allowedBefore(lo: Column, hi: Column, del: Column) =
+      !del || (lo < col("da")) || (lo === col("da") && hi < col("db"))
+    // Candidates c adjacent to da: adjacency streams, delta broadcasts.
+    val viaA = adj
+      .join(
+        broadcast(d),
+        col("x") === col("da") && col("y") =!= col("db") &&
+          allowedBefore(col("lo"), col("hi"), col("is_delta"))
+      )
+      .select(col("da"), col("db"), col("y").as("c"))
+    // Verify the (db, c) side edge. Build side: adjacency restricted to
+    // edges leaving a delta endpoint — still broadcastable at gate scale;
+    // on a real graph this is the bucketed-index probe (q106).
+    val adj2 = adj
+      .join(broadcast(d.select(col("db")).distinct()), col("x") === col("db"), "leftsemi")
+      .select(col("x").as("x2"), col("y").as("y2"), col("lo").as("lo2"), col("hi").as("hi2"), col("is_delta").as("del2"))
+    val closed = viaA
+      .join(
+        broadcast(adj2),
+        col("x2") === col("db") && col("y2") === col("c") &&
+          allowedBefore(col("lo2"), col("hi2"), col("del2"))
+      )
+      .select(col("da"), col("db"), col("c"))
+    // One pass over the corners yields both outputs: 3 rows per triangle,
+    // so tri_added = corners/3 exactly; touched = distinct corner nodes.
+    val corners = closed.select(explode(array(col("da"), col("db"), col("c"))).as("node"))
+    corners
+      .agg(
+        call_function("div", count(lit(1)), lit(3L)).as("tri_added"),
+        countDistinct(col("node")).as("touched_nodes")
+      )
+      .crossJoin(delta.agg(count(lit(1)).as("n_delta_edges")))
+      .select("n_delta_edges", "tri_added", "touched_nodes")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q77_pagerank"       -> ((s, d) => pageRank(s, d)),
-    "q134_triangle_count" -> (triangleStats _)
+    "q77_pagerank"        -> ((s, d) => pageRank(s, d)),
+    "q134_triangle_count" -> (triangleStats _),
+    "q137_triangle_delta" -> (triangleDelta _)
   )
 
   /** The oracle unrolls the same integer iterations as CTEs (q70's
@@ -214,7 +311,60 @@ object GraphOps extends QueryModule {
        |  GROUP BY e.dst
        |) m ON n.node = m.node""".stripMargin
 
+  /** q134's orientation/wedge CTE chain over an arbitrary (a, b) edge CTE,
+    * name-prefixed so q137's oracle can instantiate it twice (base, full)
+    * in one statement. */
+  private def triCtes(edgeSrc: String, p: String): String =
+    s"""${p}deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS node FROM $edgeSrc UNION ALL SELECT b FROM $edgeSrc) GROUP BY 1
+       |),
+       |${p}ori AS (
+       |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |              THEN u.a ELSE u.b END AS u,
+       |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |              THEN u.b ELSE u.a END AS v,
+       |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |              THEN db.deg ELSE da.deg END AS vdeg
+       |  FROM $edgeSrc u
+       |  JOIN ${p}deg da ON u.a = da.node
+       |  JOIN ${p}deg db ON u.b = db.node
+       |),
+       |${p}tri AS (
+       |  SELECT w1.u AS u, w1.v AS x, w2.v AS y
+       |  FROM ${p}ori w1
+       |  JOIN ${p}ori w2 ON w1.u = w2.u
+       |   AND (w1.vdeg < w2.vdeg OR (w1.vdeg = w2.vdeg AND w1.v < w2.v))
+       |  JOIN ${p}ori e ON e.u = w1.v AND e.v = w2.v
+       |),
+       |${p}pn AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS triangles
+       |  FROM (SELECT u AS node FROM ${p}tri
+       |        UNION ALL SELECT x FROM ${p}tri
+       |        UNION ALL SELECT y FROM ${p}tri) GROUP BY 1
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q137_triangle_delta" -> {
+      val hashPart = graft.functions.Fingerprints
+        .fp8Sql("CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)") + s" % $EdgeDeltaMod"
+      s"""WITH und AS (
+         |  SELECT DISTINCT least(user_id, event_id % $NodeMod) AS a,
+         |                  greatest(user_id, event_id % $NodeMod) AS b
+         |  FROM events WHERE user_id <> event_id % $NodeMod
+         |),
+         |tag AS (SELECT a, b, $hashPart AS part FROM und),
+         |base AS (SELECT a, b FROM tag WHERE part < ${EdgeDeltaMod - 1}),
+         |${triCtes("base", "b")},
+         |${triCtes("und", "f")}
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM tag WHERE part = ${EdgeDeltaMod - 1}) AS n_delta_edges,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ftri)
+         |    - (SELECT CAST(count(*) AS BIGINT) FROM btri) AS tri_added,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM fpn f LEFT JOIN bpn bb ON f.node = bb.node
+         |   WHERE COALESCE(bb.triangles, 0) <> f.triangles) AS touched_nodes""".stripMargin
+    },
     "q134_triangle_count" ->
       s"""WITH und AS (
          |  SELECT DISTINCT least(user_id, event_id % $NodeMod) AS a,

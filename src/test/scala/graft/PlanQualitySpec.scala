@@ -532,4 +532,42 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges.head.contains("source"), s"exchange not on source: ${exchanges.head}")
     assert(plan.contains("partial_"), "per-source aggregate not map-side partial")
   }
+
+  test("q134 triangle count: every exchange carries longs only — no adjacency list ever materializes") {
+    val plan      = finalPlan(graft.operators.GraphOps.triangleStats(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty)
+    // the rows on every exchange are (u/v/x/y/node, deg) longs; a
+    // collect_list/array column on an exchange would mean a per-node
+    // neighbor list got built — the hub-explosion shape orientation avoids
+    assert(
+      exchanges.forall(e => !e.contains("collect") && !e.contains("array")),
+      s"adjacency-list-shaped exchange:\n${exchanges.mkString("\n")}"
+    )
+    assert(!plan.contains("CartesianProduct"), "wedge enumeration must be a hash join, not a cross")
+  }
+
+  test("q135 MI features: no (doc, feature) exchange — per-doc distinct happens in-core") {
+    val plan      = finalPlan(graft.operators.TextAnalysis.miFeatures(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty)
+    assert(
+      exchanges.forall(e => !e.contains("text") && !e.contains("doc_id")),
+      s"corpus text or per-doc rows ride a shuffle:\n${exchanges.mkString("\n")}"
+    )
+    assert(plan.contains("partial_"), "(feature, lang) aggregate not map-side partial")
+  }
+
+  test("q136 rank fusion: ranking windows partition by query_id, text never shuffles") {
+    val plan      = finalPlan(graft.operators.TextAnalysis.rankFusion(spark, dir))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(
+      exchanges.forall(e => !e.contains("text")),
+      s"corpus text rides a shuffle:\n${exchanges.mkString("\n")}"
+    )
+    // the only windows are the per-query candidate rankings
+    val windows = plan.linesIterator.filter(_.contains("Window")).toList
+    assert(windows.nonEmpty && windows.forall(w => !w.contains("Window [") || w.contains("query_id")),
+      s"window not partitioned by query_id:\n${windows.mkString("\n")}")
+  }
 }

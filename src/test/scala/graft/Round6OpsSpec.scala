@@ -889,6 +889,33 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(byF(feat("ccc")).getAs[Long]("rnk") > 2L)
   }
 
+  test("q137: triangle delta — closing-edge attribution counts 1/2/3-new-edge triangles exactly once") {
+    import spark.implicits._
+    // base: path 1-2-3; lone edge 20-21; delta: (1,3) closes the base path
+    // (ONE new edge); (21,22)+(20,22) close a triangle with TWO new edges;
+    // (10,11)+(11,12)+(10,12) form an all-new triangle (THREE new edges —
+    // the case naive per-edge common-neighbor counting triple-counts);
+    // (30,31) closes nothing
+    val base  = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("a", "b")
+    val delta = Seq((1L, 3L), (21L, 22L), (20L, 22L), (10L, 11L), (11L, 12L), (10L, 12L), (30L, 31L))
+      .toDF("a", "b")
+    val out = graft.operators.GraphOps.triangleDeltaOver(base, delta).head()
+    assert(out.getAs[Long]("n_delta_edges") == 7L)
+    assert(out.getAs[Long]("tri_added") == 3L,
+      "expected exactly one count per new triangle regardless of how many of its edges are new")
+    assert(out.getAs[Long]("touched_nodes") == 9L) // {1,2,3} ∪ {20,21,22} ∪ {10,11,12}
+  }
+
+  test("q137: delta against an empty batch adds nothing; base-only triangles never recount") {
+    import spark.implicits._
+    val base  = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b") // base already closed
+    val delta = Seq.empty[(Long, Long)].toDF("a", "b")
+    val out   = graft.operators.GraphOps.triangleDeltaOver(base, delta).head()
+    assert(out.getAs[Long]("n_delta_edges") == 0L)
+    assert(out.getAs[Long]("tri_added") == 0L)
+    assert(out.getAs[Long]("touched_nodes") == 0L)
+  }
+
   test("q136: RRF fusion — integer identity, candidate parity, QL ordering on a planted corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rrf").toString
