@@ -906,6 +906,43 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("touched_nodes") == 9L) // {1,2,3} ∪ {20,21,22} ∪ {10,11,12}
   }
 
+  test("q137 telescopes: summed batch deltas equal the scratch count of the final graph") {
+    import spark.implicits._
+    // the real interaction graph in 4 hash-split batches, folded through
+    // triangleDeltaOver exactly as a streaming foreachBatch sink would
+    // (sf0.01: the sf0.001 fold is triangle-free, which would be vacuous)
+    val und = graft.operators.GraphOps
+      .edges(spark, "/root/testdata/sf0.01")
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .withColumn(
+        "part",
+        graft.functions.Fingerprints
+          .fp8(concat(col("a").cast("string"), lit(":"), col("b").cast("string"))) % 4
+      )
+      .cache()
+    try {
+      var accum = Seq.empty[(Long, Long)].toDF("a", "b")
+      var summed = 0L
+      (0L to 3L).foreach { k =>
+        val batch = und.filter(col("part") === k).select("a", "b")
+        summed += graft.operators.GraphOps
+          .triangleDeltaOver(accum, batch)
+          .head()
+          .getAs[Long]("tri_added")
+        accum = accum.unionByName(batch)
+      }
+      val scratch = graft.operators.GraphOps
+        .triangleStatsOver(und.select(col("a").as("src"), col("b").as("dst")))
+        .agg(org.apache.spark.sql.functions.sum(col("triangles")).as("s"))
+        .head()
+          .getAs[Long]("s") / 3
+      assert(summed == scratch, s"telescoped $summed != scratch $scratch")
+      assert(scratch > 0L, "vacuous: the sf0.001 graph has no triangles")
+    } finally und.unpersist()
+  }
+
   test("q137: delta against an empty batch adds nothing; base-only triangles never recount") {
     import spark.implicits._
     val base  = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b") // base already closed
