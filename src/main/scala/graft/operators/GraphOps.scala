@@ -136,17 +136,21 @@ object GraphOps extends QueryModule {
   def triangleStats(s: SparkSession, dir: String): DataFrame =
     triangleStatsOver(edges(s, dir))
 
-  /** The operator proper over any (src, dst) edge set. */
-  def triangleStatsOver(edgeDf: DataFrame): DataFrame = {
-    val und = undirected(edgeDf)
+  /** Orientation of [[undirected]] edges, lower→higher in (deg, id) order,
+    * each row carrying the head's degree so the wedge self-join can order
+    * its two heads WITHOUT another degree lookup. Returned alongside the
+    * degree table. The oriented table is REPARTITIONED across the session's
+    * cores: it is tiny (one row per edge, three longs) so AQE coalesces it
+    * to few partitions, but it feeds an EXPANDING self-join — without the
+    * fan-out the Σoutdeg² wedge stream would run on one task (a dense fold
+    * at 10× showed exactly that: wall ≈ cpu). The repartition moves edge
+    * rows, never wedges. */
+  private def orientedOf(und: DataFrame): (DataFrame, DataFrame) = {
     val deg = und
       .select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node")
       .agg(count(lit(1)).as("deg"))
-    // Orient each edge lower→higher in (deg, id) order; carry the head's
-    // degree so the wedge self-join can order its two heads WITHOUT another
-    // degree lookup.
     val aFirst = col("deg_a") < col("deg_b") ||
       (col("deg_a") === col("deg_b") && col("a") < col("b"))
     val oriented = und
@@ -157,24 +161,35 @@ object GraphOps extends QueryModule {
         when(aFirst, col("b")).otherwise(col("a")).as("v"),
         when(aFirst, col("deg_b")).otherwise(col("deg_a")).as("vdeg")
       )
+      .repartition(und.sparkSession.sparkContext.defaultParallelism)
+    (oriented, deg)
+  }
+
+  /** Oriented triangle enumeration: one row per triangle (u, x, y), each
+    * counted once at its lowest-(deg, id) corner. */
+  private def trianglesOf(oriented: DataFrame): DataFrame = {
     // Wedges at u, heads ordered by (deg, id) — each unordered head pair
-    // emitted once, halving the exchange vs the x =!= y formulation.
+    // emitted once, halving the stream vs the x =!= y formulation.
     val headOrder = col("xdeg") < col("ydeg") ||
       (col("xdeg") === col("ydeg") && col("x") < col("y"))
-    val wedges = oriented
+    oriented
       .select(col("u"), col("v").as("x"), col("vdeg").as("xdeg"))
       .join(oriented.select(col("u"), col("v").as("y"), col("vdeg").as("ydeg")), Seq("u"))
       .filter(headOrder)
-      .select("u", "x", "y")
-    // A wedge closes iff the oriented edge x→y exists (x before y in the
-    // orientation order by construction, so only one probe direction).
-    val tri = wedges
+      // a wedge closes iff the oriented edge x→y exists (x before y in the
+      // orientation order by construction, so only one probe direction)
       .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
       .select("u", "x", "y")
+  }
+
+  /** The operator proper over any (src, dst) edge set. */
+  def triangleStatsOver(edgeDf: DataFrame): DataFrame = {
+    val (oriented, deg) = orientedOf(undirected(edgeDf))
+    val tri = trianglesOf(oriented)
+    // one explode pass charges all three corners — a 3-way union would
+    // recompute the wedge join three times
     val perNode = tri
-      .select(col("u").as("node"))
-      .union(tri.select(col("x").as("node")))
-      .union(tri.select(col("y").as("node")))
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy("node")
       .agg(count(lit(1)).as("triangles"))
     deg
@@ -293,10 +308,86 @@ object GraphOps extends QueryModule {
       .select("n_delta_edges", "tri_added", "touched_nodes")
   }
 
+  /** Edges reported by [[edgeSimilarity]]. */
+  val EdgeSimTopK = 50
+
+  /** q138: structural edge similarity (shared-neighbor / SNN strength) —
+    * the edge-weighting step in front of community detection and
+    * link-farm screens: for each edge {a, b}, Jaccard overlap of the two
+    * endpoints' neighborhoods, |N(a)∩N(b)| / |N(a)∪N(b)∖{a,b}|. A strong
+    * edge lives inside a dense cluster; a zero-similarity edge is a
+    * bridge (or spam link) no triangle supports. SCAN-family clustering
+    * and edge-pruning pipelines consume exactly this table.
+    *
+    * |N(a)∩N(b)| per edge is the edge's TRIANGLE count — q134's oriented
+    * wedge machinery re-keyed by edge: each closed triangle charges its
+    * three canonical edges (one narrow 3-way projection, partial-agg'd),
+    * so the whole computation inherits orientation's Σoutdeg² bound; the
+    * union size is pure degree arithmetic (deg(a)+deg(b)−2−t). sim ships
+    * as exact integer ppm via floor division — no IEEE anywhere; ranking
+    * is the bounded-heap top-[[EdgeSimTopK]] on (sim DESC, a, b). */
+  def edgeSimilarity(s: SparkSession, dir: String): DataFrame =
+    edgeSimilarityOver(edges(s, dir))
+
+  /** The operator proper over any (src, dst) edge set. */
+  def edgeSimilarityOver(edgeDf: DataFrame): DataFrame = {
+    val und             = undirected(edgeDf)
+    val (oriented, deg) = orientedOf(und)
+    val tri             = trianglesOf(oriented)
+    // each triangle supports its three edges: ONE explode pass (a 3-way
+    // union would recompute the wedge join three times), canonical pairs,
+    // map-side partial count before the (a, b) exchange
+    def edgeOf(p: Column, q: Column) = struct(least(p, q).as("a"), greatest(p, q).as("b"))
+    val perEdge = tri
+      .select(
+        explode(
+          array(
+            edgeOf(col("u"), col("x")),
+            edgeOf(col("u"), col("y")),
+            edgeOf(col("x"), col("y"))
+          )
+        ).as("e")
+      )
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"))
+    val denom = col("deg_a") + col("deg_b") - lit(2L) - col("common")
+    val sim = und
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .join(perEdge, Seq("a", "b"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .withColumn(
+        "sim_ppm",
+        when(denom > 0, call_function("div", col("common") * lit(1000000L), denom)).otherwise(lit(0L))
+      )
+    sim
+      .agg(
+        graft.plans.TopKAggregate
+          .topK(
+            struct(col("sim_ppm"), col("a"), col("b"), col("common"), col("deg_a"), col("deg_b")),
+            EdgeSimTopK,
+            reversed = Seq(false, true, true) // sim DESC, a ASC, b ASC
+          )
+          .as("top")
+      )
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        (col("pos") + 1).cast(LongType).as("rnk"),
+        col("t.a").as("a"),
+        col("t.b").as("b"),
+        col("t.common").as("common"),
+        col("t.deg_a").as("deg_a"),
+        col("t.deg_b").as("deg_b"),
+        col("t.sim_ppm").as("sim_ppm")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_pagerank"        -> ((s, d) => pageRank(s, d)),
     "q134_triangle_count" -> (triangleStats _),
-    "q137_triangle_delta" -> (triangleDelta _)
+    "q137_triangle_delta" -> (triangleDelta _),
+    "q138_edge_similarity" -> (edgeSimilarity _)
   )
 
   /** The oracle unrolls the same integer iterations as CTEs (q70's
@@ -345,6 +436,37 @@ object GraphOps extends QueryModule {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q138_edge_similarity" ->
+      s"""WITH und AS (
+         |  SELECT DISTINCT least(user_id, event_id % $NodeMod) AS a,
+         |                  greatest(user_id, event_id % $NodeMod) AS b
+         |  FROM events WHERE user_id <> event_id % $NodeMod
+         |),
+         |${triCtes("und", "g")},
+         |pe AS (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS common FROM (
+         |    SELECT least(u, x) AS a, greatest(u, x) AS b FROM gtri
+         |    UNION ALL SELECT least(u, y), greatest(u, y) FROM gtri
+         |    UNION ALL SELECT least(x, y), greatest(x, y) FROM gtri
+         |  ) GROUP BY 1, 2
+         |),
+         |sim AS (
+         |  SELECT u.a, u.b, COALESCE(pe.common, 0) AS common,
+         |    da.deg AS deg_a, db.deg AS deg_b,
+         |    CASE WHEN da.deg + db.deg - 2 - COALESCE(pe.common, 0) > 0
+         |         THEN (COALESCE(pe.common, 0) * 1000000)
+         |              // (da.deg + db.deg - 2 - COALESCE(pe.common, 0))
+         |         ELSE 0 END AS sim_ppm
+         |  FROM und u
+         |  JOIN gdeg da ON u.a = da.node
+         |  JOIN gdeg db ON u.b = db.node
+         |  LEFT JOIN pe ON u.a = pe.a AND u.b = pe.b
+         |)
+         |SELECT rnk, a, b, common, deg_a, deg_b, sim_ppm FROM (
+         |  SELECT a, b, common, deg_a, deg_b, sim_ppm,
+         |    CAST(row_number() OVER (ORDER BY sim_ppm DESC, a, b) AS BIGINT) AS rnk
+         |  FROM sim
+         |) WHERE rnk <= $EdgeSimTopK""".stripMargin,
     "q137_triangle_delta" -> {
       val hashPart = graft.functions.Fingerprints
         .fp8Sql("CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)") + s" % $EdgeDeltaMod"

@@ -953,6 +953,35 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("touched_nodes") == 0L)
   }
 
+  test("q138: edge similarity — K4 edges score 1.0, bridge and square edges score 0") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val k4    = for { a <- nodes; b <- nodes if a < b } yield (a, b)
+    // K4 + a pendant bridge 4—5 + a disjoint square 10-11-12-13
+    val edges = (k4 ++ Seq((4L, 5L), (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L)))
+      .toDF("src", "dst")
+    val out  = graft.operators.GraphOps.edgeSimilarityOver(edges).collect()
+    val byE  = out.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r).toMap
+    // inside K4: common = 2, |N(a)∪N(b)∖{a,b}| = 3+3−2−2 = 2 → sim 1.0
+    // (edges at node 4 see deg 4 from the bridge: (1,4)/(2,4)/(3,4) differ)
+    Seq((1L, 2L), (1L, 3L), (2L, 3L)).foreach { e =>
+      assert(byE(e).getAs[Long]("common") == 2L)
+      assert(byE(e).getAs[Long]("sim_ppm") == 1000000L, s"pure-K4 edge $e")
+    }
+    // K4 edges touching the bridged node: 2 common of 3+4−2−2 = 3 union
+    Seq((1L, 4L), (2L, 4L), (3L, 4L)).foreach { e =>
+      assert(byE(e).getAs[Long]("sim_ppm") == 2000000L / 3L, s"bridged-K4 edge $e")
+    }
+    // the bridge itself and every square edge close no triangle
+    (Seq((4L, 5L), (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L))).foreach { e =>
+      assert(byE(e).getAs[Long]("common") == 0L && byE(e).getAs[Long]("sim_ppm") == 0L,
+        s"triangle-free edge $e must score 0")
+    }
+    // ranking: the three pure-K4 edges are ranks 1–3
+    assert(out.filter(_.getAs[Long]("rnk") <= 3L).map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("q136: RRF fusion — integer identity, candidate parity, QL ordering on a planted corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rrf").toString
