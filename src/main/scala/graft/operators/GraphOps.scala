@@ -383,11 +383,59 @@ object GraphOps extends QueryModule {
       )
   }
 
+  /** Core threshold and peel rounds for [[kCore]]. */
+  val CoreK      = 8
+  val CoreRounds = 8
+
+  /** q139: bounded-round k-core peel — the density-core extractor behind
+    * link-farm detection and community seeding: iteratively remove nodes
+    * with degree < k until the remainder is the k-core. Stopping after a
+    * FIXED [[CoreRounds]] rounds makes the semantics deterministic and
+    * cross-engine exact (the oracle unrolls the same rounds as CTEs —
+    * q77's pattern); the bounded result is a sound OVER-approximation of
+    * the true core (peeling only shrinks), and production runs the same
+    * per-round plan to fixpoint. Per round: one survivors⋈edges semi-join
+    * pair + one degree aggregate, every shuffled row (long, long);
+    * survivor sets localCheckpoint-ed to truncate lineage (q38/q77's
+    * loop discipline). */
+  def kCore(s: SparkSession, dir: String): DataFrame =
+    kCoreOver(edges(s, dir))
+
+  /** The operator proper; `k`/`rounds` parametrized for fixtures and
+    * production fixpoint callers. */
+  def kCoreOver(edgeDf: DataFrame, k: Int = CoreK, rounds: Int = CoreRounds): DataFrame = {
+    val und = undirected(edgeDf).cache()
+    try {
+      val fullDeg = und
+        .select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node")
+        .agg(count(lit(1)).as("deg"))
+      var surv = fullDeg.select("node").localCheckpoint()
+      for (_ <- 1 to rounds) {
+        val e = und
+          .join(surv.withColumnRenamed("node", "a"), Seq("a"), "leftsemi")
+          .join(surv.withColumnRenamed("node", "b"), Seq("b"), "leftsemi")
+        surv = e
+          .select(explode(array(col("a"), col("b"))).as("node"))
+          .groupBy("node")
+          .agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k)
+          .select("node")
+          .localCheckpoint()
+      }
+      fullDeg
+        .join(surv.withColumn("c", lit(1L)), Seq("node"), "left")
+        .select(col("node"), col("deg").as("degree"), coalesce(col("c"), lit(0L)).as("in_core"))
+        .localCheckpoint()
+    } finally und.unpersist()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_pagerank"        -> ((s, d) => pageRank(s, d)),
     "q134_triangle_count" -> (triangleStats _),
     "q137_triangle_delta" -> (triangleDelta _),
-    "q138_edge_similarity" -> (edgeSimilarity _)
+    "q138_edge_similarity" -> (edgeSimilarity _),
+    "q139_kcore"          -> (kCore _)
   )
 
   /** The oracle unrolls the same integer iterations as CTEs (q70's
@@ -436,6 +484,33 @@ object GraphOps extends QueryModule {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q139_kcore" -> {
+      // every survivor CTE is referenced twice by the next round's edge
+      // filter — without MATERIALIZED, CTE inlining makes the unrolled
+      // plan EXPONENTIAL in rounds (2⁸ copies of the whole scan chain;
+      // observed as fd exhaustion on the parquet file)
+      val rounds = (1 to CoreRounds).map { r =>
+        s"""e$r AS MATERIALIZED (SELECT u.a, u.b FROM und u
+           |  JOIN s${r - 1} x ON u.a = x.node JOIN s${r - 1} y ON u.b = y.node),
+           |d$r AS (SELECT node, count(*) AS d
+           |  FROM (SELECT a AS node FROM e$r UNION ALL SELECT b FROM e$r) GROUP BY 1),
+           |s$r AS MATERIALIZED (SELECT node FROM d$r WHERE d >= $CoreK)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH und AS MATERIALIZED (
+         |  SELECT DISTINCT least(user_id, event_id % $NodeMod) AS a,
+         |                  greatest(user_id, event_id % $NodeMod) AS b
+         |  FROM events WHERE user_id <> event_id % $NodeMod
+         |),
+         |deg0 AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1
+         |),
+         |s0 AS (SELECT node FROM deg0),
+         |$rounds
+         |SELECT g.node, g.deg AS degree,
+         |  CAST(CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core
+         |FROM deg0 g LEFT JOIN s$CoreRounds s ON g.node = s.node""".stripMargin
+    },
     "q138_edge_similarity" ->
       s"""WITH und AS (
          |  SELECT DISTINCT least(user_id, event_id % $NodeMod) AS a,
