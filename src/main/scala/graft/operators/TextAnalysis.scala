@@ -612,7 +612,44 @@ object TextAnalysis extends QueryModule {
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), contribMicro.as("cm"), col("tf"), col("dl"))
       .groupBy("query_id", "doc_id")
-      .agg(sum(col("cm")).as("score_micro"), sum(col("tf")).as("tf_sum"), min(col("dl")).as("dl"))
+      .agg(
+        sum(col("cm")).as("score_micro"),
+        sum(col("tf")).as("tf_sum"),
+        min(col("dl")).as("dl"),
+        count(lit(1)).as("n_terms_matched"),
+        min(col("tf")).as("min_tf")
+      )
+  }
+
+  /** [[retrievalScores]] with the three rankings q136/q140 consume:
+    * rank_bm25, rank_ql, and the fused rank_rrf (all per-query
+    * `row_number` windows over the query-bounded candidate table, ties by
+    * doc_id). */
+  private def rankedCandidates(s: SparkSession, dir: String): DataFrame = {
+    val scores = retrievalScores(s, dir)
+      .withColumn(
+        "ql_micro",
+        floor(col("tf_sum").cast(DoubleType) / col("dl") * lit(1000000.0)).cast(LongType)
+      )
+    val byQuery = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+    scores
+      .withColumn(
+        "rank_bm25",
+        row_number().over(byQuery.orderBy(col("score_micro").desc, col("doc_id"))).cast(LongType)
+      )
+      .withColumn(
+        "rank_ql",
+        row_number().over(byQuery.orderBy(col("ql_micro").desc, col("doc_id"))).cast(LongType)
+      )
+      .withColumn(
+        "rrf_micros",
+        call_function("div", lit(1000000L), lit(RrfK) + col("rank_bm25")) +
+          call_function("div", lit(1000000L), lit(RrfK) + col("rank_ql"))
+      )
+      .withColumn(
+        "rank_rrf",
+        row_number().over(byQuery.orderBy(col("rrf_micros").desc, col("doc_id"))).cast(LongType)
+      )
   }
 
   def bm25Retrieval(s: SparkSession, dir: String): DataFrame = {
@@ -658,26 +695,7 @@ object TextAnalysis extends QueryModule {
     * rows per query, parallel across queries), never over the corpus; the
     * final cut is the bounded-heap top-[[FusionTopK]]. */
   def rankFusion(s: SparkSession, dir: String): DataFrame = {
-    val scores = retrievalScores(s, dir)
-      .withColumn(
-        "ql_micro",
-        floor(col("tf_sum").cast(DoubleType) / col("dl") * lit(1000000.0)).cast(LongType)
-      )
-    val byQuery = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-    val ranked = scores
-      .withColumn(
-        "rank_bm25",
-        row_number().over(byQuery.orderBy(col("score_micro").desc, col("doc_id"))).cast(LongType)
-      )
-      .withColumn(
-        "rank_ql",
-        row_number().over(byQuery.orderBy(col("ql_micro").desc, col("doc_id"))).cast(LongType)
-      )
-      .withColumn(
-        "rrf_micros",
-        call_function("div", lit(1000000L), lit(RrfK) + col("rank_bm25")) +
-          call_function("div", lit(1000000L), lit(RrfK) + col("rank_ql"))
-      )
+    val ranked = rankedCandidates(s, dir)
     ranked
       .groupBy("query_id")
       .agg(
@@ -698,6 +716,85 @@ object TextAnalysis extends QueryModule {
         col("t.rank_ql").as("rank_ql"),
         col("t.rrf_micros").as("rrf_micros")
       )
+  }
+
+  /** NDCG cutoff for [[retrievalEval]]. */
+  val EvalK = 10
+  /** Relevance floor: every query term at least this often. Conjunctive
+    * containment alone matches hundreds of gate-corpus docs (every metric
+    * saturates at 1.0 — a vacuous eval); the tf floor cuts the label set
+    * to tens per query so the rankers actually differ from the ideal. */
+  val RelMinTf = 3L
+
+  /** Ideal-DCG lookup: idcg(m) = Σ_{i=1..min(m, [[EvalK]])} ⌊10⁶/ln(i+1)⌋,
+    * precomputed so BOTH engines consume the same integer constants (the
+    * per-hit gains use each engine's ln at runtime — the proven-parity
+    * floor-micros discipline; the ideal side needs no ln at all). */
+  private val IdcgTable: IndexedSeq[Long] =
+    (0 to EvalK).scanLeft(0L) { (acc, i) =>
+      if (i == 0) 0L else acc + math.floor(1000000.0 / math.log(i + 1.0)).toLong
+    }.drop(1).toIndexedSeq
+
+  /** Retrieval-quality eval (q140) — the metrics harness that closes the
+    * retrieval loop (q103 builds, q136 fuses, this measures): MRR and an
+    * ln-discounted NDCG@[[EvalK]] per (query, ranker) for the BM25 and
+    * fused RRF rankings. Relevance labels are deterministic pseudo-labels
+    * from the corpus itself — a doc is relevant to a query iff it matches
+    * ALL the query's terms, each at least [[RelMinTf]] times; production
+    * swaps in human labels with the same shape. ln-DCG differs from the textbook
+    * log₂ form by the constant ln 2 in every term, so the NDCG RATIO is
+    * the standard metric (up to micro-floor granularity) while needing
+    * only the ln whose cross-engine parity q44/q59/q103 already pin.
+    *
+    * Determinism: per-hit gains are ⌊10⁶/ln(rank+1)⌋ — one IEEE chain;
+    * MRR is exact integer division 10⁶ div first_relevant_rank; the ideal
+    * DCG is the precomputed [[IdcgTable]] constant injected into both
+    * engines; the final NDCG is integer division of two longs. Scale
+    * shape: everything runs on [[rankedCandidates]]'s query-bounded
+    * table; output is |queries|·2 rows. */
+  def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nTerms = RetrievalQueries.map { case (q, ts) => (q, ts.distinct.size.toLong) }
+      .toDF("query_id", "n_query_terms")
+    val cand = rankedCandidates(s, dir)
+      .join(broadcast(nTerms), Seq("query_id"))
+      .withColumn(
+        "rel",
+        (col("n_terms_matched") === col("n_query_terms") && col("min_tf") >= RelMinTf).cast(LongType)
+      )
+    val bySystem = cand
+      .select(col("query_id"), lit("bm25").as("system"), col("rank_bm25").as("rnk"), col("rel"))
+      .unionByName(
+        cand.select(col("query_id"), lit("rrf").as("system"), col("rank_rrf").as("rnk"), col("rel"))
+      )
+    val gain = floor(lit(1000000.0) / log(col("rnk").cast(DoubleType) + lit(1.0))).cast(LongType)
+    val idcgOf = element_at(
+      lit(IdcgTable.toArray),
+      (least(col("n_relevant"), lit(EvalK.toLong)) + 1).cast("int")
+    )
+    bySystem
+      .groupBy("query_id", "system")
+      .agg(
+        sum(col("rel")).as("n_relevant"),
+        min(when(col("rel") === 1L, col("rnk"))).as("first_rel_rank"),
+        sum(when(col("rel") === 1L && col("rnk") <= EvalK, gain).otherwise(lit(0L))).as("dcg_micros")
+      )
+      .withColumn(
+        "mrr_micros",
+        when(
+          col("first_rel_rank").isNotNull,
+          call_function("div", lit(1000000L), col("first_rel_rank"))
+        ).otherwise(lit(0L))
+      )
+      .withColumn("first_rel_rank", coalesce(col("first_rel_rank"), lit(0L)))
+      .withColumn(
+        "ndcg_micros",
+        when(
+          col("n_relevant") > 0,
+          call_function("div", col("dcg_micros") * lit(1000000L), idcgOf)
+        ).otherwise(lit(0L))
+      )
+      .select("query_id", "system", "n_relevant", "first_rel_rank", "mrr_micros", "dcg_micros", "ndcg_micros")
   }
 
   /** Vocabulary cap for [[sourceDivergence]]: top terms by global count. */
@@ -831,6 +928,7 @@ object TextAnalysis extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_retrieval_eval"    -> (retrievalEval _),
     "q136_rank_fusion"       -> (rankFusion _),
     "q135_mi_features"       -> (miFeatures _),
     "q131_source_divergence" -> (sourceDivergence _),
@@ -856,6 +954,86 @@ object TextAnalysis extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "q140_retrieval_eval" -> {
+      val termList = RetrievalQueries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+      val qtValues =
+        RetrievalQueries.flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }.mkString(", ")
+      val qnValues =
+        RetrievalQueries.map { case (q, ts) => s"('$q', ${ts.distinct.size})" }.mkString(", ")
+      val idcgCase = (1 to EvalK)
+        .map(m => s"WHEN $m THEN ${IdcgTable(m)}")
+        .mkString(" ")
+      s"""WITH d AS (SELECT doc_id, regexp_split_to_array(text, ' +') AS t FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS w FROM d) WHERE w IN ($termList) GROUP BY 1, 2
+         |),
+         |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |qt(query_id, w) AS (VALUES $qtValues),
+         |qn(query_id, nt) AS (VALUES $qnValues),
+         |c AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    CAST(floor(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |        * (tf.tf * ($Bm25K1 + 1.0))
+         |        / (tf.tf + $Bm25K1 * ((1.0 - $Bm25B) + $Bm25B * dl.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+         |        * 1000000.0) AS BIGINT) AS cm,
+         |    tf.tf, dl.dl
+         |  FROM qt JOIN tf ON qt.w = tf.w JOIN df ON tf.w = df.w JOIN dl ON tf.doc_id = dl.doc_id, st
+         |),
+         |sc AS (
+         |  SELECT query_id, doc_id, CAST(sum(cm) AS BIGINT) AS score_micro,
+         |         CAST(sum(tf) AS BIGINT) AS tf_sum, CAST(min(dl) AS BIGINT) AS dl,
+         |         CAST(count(*) AS BIGINT) AS nm, CAST(min(tf) AS BIGINT) AS mintf
+         |  FROM c GROUP BY 1, 2
+         |),
+         |s2 AS (
+         |  SELECT query_id, doc_id, nm, mintf, score_micro,
+         |    CAST(floor(CAST(tf_sum AS DOUBLE) / dl * 1000000.0) AS BIGINT) AS ql_micro
+         |  FROM sc
+         |),
+         |r AS (
+         |  SELECT query_id, doc_id, nm, mintf,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank_bm25,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY ql_micro DESC, doc_id) AS BIGINT) AS rank_ql
+         |  FROM s2
+         |),
+         |f AS (
+         |  SELECT query_id, doc_id, nm, mintf, rank_bm25,
+         |    1000000 // ($RrfK + rank_bm25) + 1000000 // ($RrfK + rank_ql) AS rrf_micros
+         |  FROM r
+         |),
+         |f2 AS (
+         |  SELECT f.query_id, doc_id, rank_bm25,
+         |    CAST(row_number() OVER (PARTITION BY f.query_id ORDER BY rrf_micros DESC, doc_id) AS BIGINT) AS rank_rrf,
+         |    CASE WHEN f.nm = qn.nt AND f.mintf >= $RelMinTf THEN 1 ELSE 0 END AS rel
+         |  FROM f JOIN qn ON f.query_id = qn.query_id
+         |),
+         |sys AS (
+         |  SELECT query_id, 'bm25' AS system, rank_bm25 AS rnk, rel FROM f2
+         |  UNION ALL
+         |  SELECT query_id, 'rrf', rank_rrf, rel FROM f2
+         |),
+         |m AS (
+         |  SELECT query_id, system,
+         |    CAST(sum(rel) AS BIGINT) AS n_relevant,
+         |    min(CASE WHEN rel = 1 THEN rnk END) AS fr,
+         |    CAST(sum(CASE WHEN rel = 1 AND rnk <= $EvalK
+         |             THEN CAST(floor(1000000.0 / ln(CAST(rnk + 1 AS DOUBLE))) AS BIGINT)
+         |             ELSE 0 END) AS BIGINT) AS dcg_micros
+         |  FROM sys GROUP BY 1, 2
+         |)
+         |SELECT query_id, system, n_relevant,
+         |  CAST(COALESCE(fr, 0) AS BIGINT) AS first_rel_rank,
+         |  CASE WHEN fr IS NOT NULL THEN 1000000 // fr ELSE 0 END AS mrr_micros,
+         |  dcg_micros,
+         |  CASE WHEN n_relevant > 0
+         |       THEN (dcg_micros * 1000000)
+         |            // (CASE least(n_relevant, $EvalK) $idcgCase END)
+         |       ELSE 0 END AS ndcg_micros
+         |FROM m""".stripMargin
+    },
     "q136_rank_fusion" -> {
       val termList = RetrievalQueries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
       val qtValues =

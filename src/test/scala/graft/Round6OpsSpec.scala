@@ -1004,6 +1004,41 @@ class Round6OpsSpec extends AnyFunSuite {
     Seq(1L, 2L, 3L, 4L).foreach(n => assert(three(n) == 0L, s"triangle node $n peels at k=3"))
   }
 
+  test("q140: retrieval eval — single-relevant corpus pins MRR/DCG/NDCG; zero-relevant query scores 0") {
+    import spark.implicits._
+    val dir    = java.nio.file.Files.createTempDirectory("graft_eval").toString
+    val filler = Seq.fill(4)("filler").mkString(" ")
+    // q2 = {window, agg}: doc 1 has every term 3× (the ONLY relevant doc),
+    // doc 2 matches both terms once (candidate, below the tf floor),
+    // doc 3 matches one term. q1 = {spark, hash, join}: doc 4 matches all
+    // three once — candidates but ZERO relevant. q3 has no candidates.
+    val rows = Seq(
+      (1L, "window window window agg agg agg", "en", "s", 33L),
+      (2L, s"window agg $filler", "en", "s", 30L),
+      (3L, s"window $filler", "en", "s", 26L),
+      (4L, "spark hash join", "en", "s", 15L)
+    )
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.retrievalEval(spark, dir).collect()
+    val byK = out.map(r => (r.getAs[String]("query_id"), r.getAs[String]("system")) -> r).toMap
+    assert(!byK.keySet.exists(_._1 == "q3"), "a query with no candidates emits no row")
+    Seq("bm25", "rrf").foreach { sys =>
+      val q2 = byK(("q2", sys))
+      assert(q2.getAs[Long]("n_relevant") == 1L)
+      // doc 1 dominates both rankers (highest tf AND highest density)
+      assert(q2.getAs[Long]("first_rel_rank") == 1L, s"$sys should rank the only relevant doc first")
+      assert(q2.getAs[Long]("mrr_micros") == 1000000L)
+      // dcg = ⌊10⁶/ln 2⌋; idcg(1) is the same constant → ndcg exactly 1.0
+      assert(q2.getAs[Long]("dcg_micros") == 1442695L)
+      assert(q2.getAs[Long]("ndcg_micros") == 1000000L)
+      val q1 = byK(("q1", sys))
+      assert(q1.getAs[Long]("n_relevant") == 0L)
+      assert(q1.getAs[Long]("first_rel_rank") == 0L && q1.getAs[Long]("mrr_micros") == 0L)
+      assert(q1.getAs[Long]("dcg_micros") == 0L && q1.getAs[Long]("ndcg_micros") == 0L)
+    }
+  }
+
   test("q136: RRF fusion — integer identity, candidate parity, QL ordering on a planted corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_rrf").toString
