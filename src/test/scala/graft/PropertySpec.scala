@@ -273,4 +273,80 @@ class PropertySpec extends AnyFunSuite {
     val rej = bad.toDF("z").select(isValidIsoUtc(col("z"))).collect()
     assert(rej.forall(!_.getBoolean(0)))
   }
+
+  /** Seeded random graphs checked against a plain-Scala brute-force
+    * reference (all (i<j<k) triples) — the oriented wedge machinery, edge
+    * charges and k-core peel must agree with O(n³) truth on graphs small
+    * enough to enumerate. */
+  private def randomGraphs: Seq[Set[(Long, Long)]] = {
+    val edgeGen = for {
+      a <- Gen.choose(0L, 17L)
+      b <- Gen.choose(0L, 17L)
+    } yield (math.min(a, b), math.max(a, b))
+    (1 to 6).map { i =>
+      Gen.listOfN(60, edgeGen).pureApply(Gen.Parameters.default, Seed(1000L + i))
+        .filter { case (a, b) => a != b }
+        .toSet
+    }
+  }
+
+  test("q134/q138: random graphs match the brute-force triangle reference") {
+    import spark.implicits._
+    randomGraphs.foreach { edges =>
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val eSet  = edges
+      def adjacent(x: Long, y: Long) = eSet.contains((math.min(x, y), math.max(x, y)))
+      val triples = for {
+        Seq(i, j, k) <- nodes.combinations(3).toSeq
+        if adjacent(i, j) && adjacent(j, k) && adjacent(i, k)
+      } yield (i, j, k)
+      val perNode = triples.flatMap(t => Seq(t._1, t._2, t._3)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val df  = edges.toSeq.toDF("src", "dst")
+      val got = graft.operators.GraphOps.triangleStatsOver(df).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("triangles")).toMap
+      nodes.foreach { n =>
+        assert(got.getOrElse(n, 0L) == perNode.getOrElse(n, 0L), s"node $n on edges=$eSet")
+      }
+      // q138: per-edge common-neighbor counts + [0, 1e6] bound
+      val perEdge = triples
+        .flatMap(t => Seq((t._1, t._2), (t._1, t._3), (t._2, t._3)))
+        .map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sim = graft.operators.GraphOps.edgeSimilarityOver(df).collect()
+      sim.foreach { r =>
+        val e = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+        assert(r.getAs[Long]("common") == perEdge.getOrElse(e, 0L), s"edge $e")
+        val p = r.getAs[Long]("sim_ppm")
+        assert(p >= 0L && p <= 1000000L, s"sim out of [0, 1e6] for $e")
+      }
+    }
+  }
+
+  test("q139: k-core nesting — the (k+1)-core is contained in the k-core; both match brute peel") {
+    import spark.implicits._
+    randomGraphs.take(3).foreach { edges =>
+      def brutePeel(k: Int): Set[Long] = {
+        var surv = edges.flatMap(e => Seq(e._1, e._2))
+        var changed = true
+        while (changed) {
+          val deg = edges.toSeq
+            .filter(e => surv(e._1) && surv(e._2))
+            .flatMap(e => Seq(e._1, e._2))
+            .groupBy(identity).view.mapValues(_.size).toMap
+          val next = surv.filter(n => deg.getOrElse(n, 0) >= k)
+          changed = next != surv
+          surv = next
+        }
+        surv
+      }
+      val df = edges.toSeq.toDF("src", "dst")
+      def engineCore(k: Int): Set[Long] =
+        graft.operators.GraphOps.kCoreOver(df, k = k, rounds = 24).collect()
+          .filter(_.getAs[Long]("in_core") == 1L).map(_.getAs[Long]("node")).toSet
+      val c2 = engineCore(2); val c3 = engineCore(3)
+      assert(c2 == brutePeel(2), s"2-core mismatch on $edges")
+      assert(c3 == brutePeel(3), s"3-core mismatch on $edges")
+      assert(c3.subsetOf(c2), "core nesting violated")
+    }
+  }
 }
