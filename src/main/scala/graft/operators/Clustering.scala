@@ -264,7 +264,81 @@ object Clustering extends QueryModule {
       .select("cid", "n_points", "n_pairs", "n_removed", "n_kept", "removed_d_sum")
   }
 
+  /** Clustering external-validity eval (q141) — q114 measures geometric
+    * cohesion (silhouette); this measures AGREEMENT WITH GROUND TRUTH:
+    * purity and normalized mutual information between q70's final
+    * assignment and the embeddings' label column — the eval that says
+    * whether the clusters mean anything, run before anyone uses them for
+    * SemDeDup-style pruning (q119) or curriculum grouping.
+    *
+    * Determinism: purity is exact integer division (Σ per-cluster modal
+    * mass ·10⁶ div N); MI and the two entropies follow q135's per-term
+    * floor-micros ln discipline (exact long sums); NMI = MI·10⁶ div
+    * ⌊√(H(C)·H(L))⌋ — the sqrt argument is an exact integer < 2⁵³ and
+    * IEEE sqrt is correctly rounded, so both engines agree bit-for-bit.
+    * Scale shape: one k-means fit (q70's loop) plus aggregates that never
+    * exceed k·|labels| rows; the output is a single row. */
+  def clusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val (emb, centroids) = fit(s, dir)
+    val assigned = emb
+      .withColumn("best", nearest(col("qv"), centroids))
+      .select(col("label"), col("best.c").as("cid"))
+    val ncl = assigned.groupBy("cid", "label").agg(count(lit(1)).as("n_cl"))
+    val nc  = ncl.groupBy("cid").agg(sum(col("n_cl")).as("n_c"))
+    val nl  = ncl.groupBy("label").agg(sum(col("n_cl")).as("n_l"))
+    val tot = assigned.agg(count(lit(1)).as("n"))
+    val pur = ncl
+      .groupBy("cid")
+      .agg(max(col("n_cl")).as("mx"))
+      .agg(sum(col("mx")).as("sum_mx"))
+    val iTerm = (col("n_cl").cast(DoubleType) / col("n")) *
+      log(col("n").cast(DoubleType) * col("n_cl") / (col("n_c") * col("n_l")))
+    val mi = ncl
+      .join(nc, Seq("cid"))
+      .join(nl, Seq("label"))
+      .crossJoin(broadcast(tot))
+      .select(floor(iTerm * lit(1000000.0)).cast(LongType).as("tm"))
+      .agg(sum(col("tm")).as("mi_micros"))
+    def entropy(df: DataFrame, cnt: String, out: String): DataFrame =
+      df.crossJoin(broadcast(tot))
+        .select(
+          floor(
+            (col(cnt).cast(DoubleType) / col("n")) *
+              log(col("n").cast(DoubleType) / col(cnt)) * lit(1000000.0)
+          ).cast(LongType).as("t")
+        )
+        .agg(sum(col("t")).as(out))
+    val counts = ncl.agg(
+      countDistinct(col("cid")).as("n_clusters"),
+      countDistinct(col("label")).as("n_labels")
+    )
+    tot
+      .crossJoin(counts)
+      .crossJoin(pur)
+      .crossJoin(mi)
+      .crossJoin(entropy(nc, "n_c", "hc_micros"))
+      .crossJoin(entropy(nl, "n_l", "hl_micros"))
+      .select(
+        col("n").as("n_points"),
+        col("n_clusters"),
+        col("n_labels"),
+        call_function("div", col("sum_mx") * lit(1000000L), col("n")).as("purity_micros"),
+        col("mi_micros"),
+        col("hc_micros"),
+        col("hl_micros"),
+        when(
+          col("hc_micros") > 0 && col("hl_micros") > 0,
+          call_function(
+            "div",
+            col("mi_micros") * lit(1000000L),
+            floor(sqrt((col("hc_micros") * col("hl_micros")).cast(DoubleType))).cast(LongType)
+          )
+        ).otherwise(lit(0L)).as("nmi_micros")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_cluster_purity" -> ((s, d) => clusterPurity(s, d)),
     "q70_kmeans" -> ((s, d) => kmeans(s, d)),
     "q114_cluster_quality" -> ((s, d) => clusterQuality(s, d)),
     "q119_semdedup" -> ((s, d) => semDedup(s, d))
@@ -297,6 +371,53 @@ object Clustering extends QueryModule {
        |) GROUP BY cid""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q141_cluster_purity" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0)) AS qv
+         |  FROM embeddings
+         |),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+         |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $K)
+         |),
+         |a1 AS (${assignSql("q", "c0")}),
+         |c1 AS (${updateSql("a1")}),
+         |a2 AS (${assignSql("q", "c1")}),
+         |c2 AS (${updateSql("a2")}),
+         |a3 AS (${assignSql("q", "c2")}),
+         |ncl AS (SELECT cid, label, CAST(count(*) AS BIGINT) AS n_cl FROM a3 GROUP BY 1, 2),
+         |nc  AS (SELECT cid, CAST(sum(n_cl) AS BIGINT) AS n_c FROM ncl GROUP BY 1),
+         |nl  AS (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l FROM ncl GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM a3),
+         |pur AS (SELECT CAST(sum(mx) AS BIGINT) AS sum_mx
+         |        FROM (SELECT cid, max(n_cl) AS mx FROM ncl GROUP BY 1)),
+         |mi AS (
+         |  SELECT CAST(sum(CAST(floor((CAST(ncl.n_cl AS DOUBLE) / t.n) *
+         |    ln(CAST(t.n AS DOUBLE) * ncl.n_cl / (nc.n_c * nl.n_l)) *
+         |    1000000.0) AS BIGINT)) AS BIGINT) AS mi_micros
+         |  FROM ncl JOIN nc USING (cid) JOIN nl USING (label) CROSS JOIN tot t
+         |),
+         |hc AS (
+         |  SELECT CAST(sum(CAST(floor((CAST(n_c AS DOUBLE) / t.n) *
+         |    ln(CAST(t.n AS DOUBLE) / n_c) * 1000000.0) AS BIGINT)) AS BIGINT) AS hc_micros
+         |  FROM nc CROSS JOIN tot t
+         |),
+         |hl AS (
+         |  SELECT CAST(sum(CAST(floor((CAST(n_l AS DOUBLE) / t.n) *
+         |    ln(CAST(t.n AS DOUBLE) / n_l) * 1000000.0) AS BIGINT)) AS BIGINT) AS hl_micros
+         |  FROM nl CROSS JOIN tot t
+         |)
+         |SELECT t.n AS n_points,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM nc) AS n_clusters,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM nl) AS n_labels,
+         |  (pur.sum_mx * 1000000) // t.n AS purity_micros,
+         |  mi.mi_micros, hc.hc_micros, hl.hl_micros,
+         |  CASE WHEN hc.hc_micros > 0 AND hl.hl_micros > 0
+         |       THEN (mi.mi_micros * 1000000)
+         |            // CAST(floor(sqrt(CAST(hc.hc_micros * hl.hl_micros AS DOUBLE))) AS BIGINT)
+         |       ELSE 0 END AS nmi_micros
+         |FROM tot t, pur, mi, hc, hl""".stripMargin,
     "q114_cluster_quality" ->
       s"""WITH q AS (
          |  SELECT vec_id, CAST(label AS BIGINT) AS label,

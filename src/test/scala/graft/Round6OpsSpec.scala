@@ -1004,6 +1004,38 @@ class Round6OpsSpec extends AnyFunSuite {
     Seq(1L, 2L, 3L, 4L).foreach(n => assert(three(n) == 0L, s"triangle node $n peels at k=3"))
   }
 
+  test("q141: cluster purity/NMI — well-separated planted groups score purity 1.0, refining clusters NMI < 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_purity").toString
+    // 3 groups of 10 vectors on far-apart axes (64-dim); vec_ids
+    // INTERLEAVE groups so q70's lowest-K init seeds every group (an
+    // all-one-group seed can leave two groups sharing a centroid after
+    // the fixed 2 iterations). Any k-means partition then REFINES the
+    // groups: every cluster label-pure, clusters may split labels (NMI
+    // strictly below 1).
+    val rows = for {
+      g <- 0 until 3
+      i <- 0 until 10
+    } yield {
+      val v = Array.fill(64)(0.001f * i)
+      v(g) = 10f + i * 0.01f
+      ((i * 3 + g).toLong, v.toSeq, g)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = graft.operators.Clustering.clusterPurity(spark, dir).head()
+    assert(r.getAs[Long]("n_points") == 30L && r.getAs[Long]("n_labels") == 3L)
+    assert(r.getAs[Long]("purity_micros") == 1000000L,
+      "every cluster must be label-pure on separated groups")
+    assert(r.getAs[Long]("mi_micros") > 0L && r.getAs[Long]("hc_micros") > 0L && r.getAs[Long]("hl_micros") > 0L)
+    val nmi = r.getAs[Long]("nmi_micros")
+    assert(nmi > 0L && nmi <= 1000001L, s"NMI out of (0, 1]: $nmi")
+    // pure refinement means MI ≈ H(labels): the floor-micros sums may
+    // differ by at most one micro per contributing term
+    assert(math.abs(r.getAs[Long]("mi_micros") - r.getAs[Long]("hl_micros")) <= 32L,
+      "refinement identity MI = H(L) violated beyond floor slack")
+  }
+
   test("q140: retrieval eval — single-relevant corpus pins MRR/DCG/NDCG; zero-relevant query scores 0") {
     import spark.implicits._
     val dir    = java.nio.file.Files.createTempDirectory("graft_eval").toString
