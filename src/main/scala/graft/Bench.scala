@@ -83,9 +83,29 @@ object Bench {
       s"duplicate short bench keys would silently collide in the JSON line: " +
         shortKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.mkString(", ")
     )
-    val qs     = json(results.map(r => shortKey(r._1) -> r._2))
     val total  = results.map(_._2).sum
     val cpuTot = results.map(_._3).sum
+    // Per-query precision/coverage degrades BEFORE the line outgrows the
+    // window: 3-decimals while it fits, then 2, then only the slowest
+    // queries plus an "omitted" count — the total and cpu columns (the
+    // cross-round signals) never degrade, and bench_detail.json always
+    // carries the full-precision per-query table.
+    def s2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def jsonWith(fmt: Double => String, kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    def lineWith(qs: String, omitted: Int): String = {
+      val om = if (omitted > 0) s""","omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_sec":${s3(cpuTot)},"reps":$reps,"queries":$qs$om,"sf":"$sfDir"}"""
+    }
+    val perQ = results.map(r => shortKey(r._1) -> r._2)
+    val candidates = Iterator(
+      lineWith(jsonWith(s3, perQ), 0),
+      lineWith(jsonWith(s2, perQ), 0)
+    ) ++ Iterator.from(1).map { step =>
+      val keep = math.max(10, perQ.size - step * 20)
+      val slowest = perQ.sortBy(-_._2).take(keep)
+      lineWith(jsonWith(s2, slowest), perQ.size - keep)
+    }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     val detail = results
       .map { r =>
@@ -97,16 +117,16 @@ object Bench {
       java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    val line =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_sec":${s3(cpuTot)},"reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     // the harness parses the JSON out of the LAST 2000 chars of output; an
     // overgrown line silently truncates into "parsed: null" (BENCH_r01-r03)
-    // — fail loudly here instead so the keys get shortened, not the data lost
-    require(
-      line.length <= 1900,
-      s"bench stdout line is ${line.length} chars (> 1900): the driver's 2000-char " +
-        "tail window would truncate it — shorten keys or drop precision"
-    )
+    // — degrade per-query detail until it fits, and fail loudly only if
+    // even the slowest-10 floor can't
+    val line = candidates.take(40).find(_.length <= 1900).getOrElse {
+      throw new IllegalStateException(
+        "bench stdout line exceeds 1900 chars even at the slowest-10 floor — " +
+          "the driver's 2000-char tail window would truncate it"
+      )
+    }
     println(line)
     spark.stop()
   }
