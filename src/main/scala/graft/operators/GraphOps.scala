@@ -430,7 +430,64 @@ object GraphOps extends QueryModule {
     } finally und.unpersist()
   }
 
+  /** q142: degree assortativity (Newman's r) — does the graph wire
+    * high-degree nodes to each other (social cores, r > 0) or to leaves
+    * (hub-and-spoke crawl frontiers and link farms, r < 0)? A one-number
+    * health metric for the interaction graph, read next to q134's
+    * clustering coefficients when deciding whether graph-derived
+    * authority (q77) is trustworthy.
+    *
+    * r = Pearson correlation of the endpoint-degree pairs over every edge
+    * counted in both directions. All five moment sums are EXACT BIGINTs
+    * (one skinny aggregate); the final ratio is computed in doubles —
+    * each operand is a deterministic BIGINT→DOUBLE rounding and the chain
+    * is one multiply/subtract/sqrt/divide sequence of IEEE ops, so both
+    * engines agree bit-for-bit, shipped floor-microed. Degree-regular
+    * graphs have zero variance: r is undefined → reported 0 (documented
+    * convention, matched in the oracle). */
+  def assortativity(s: SparkSession, dir: String): DataFrame =
+    assortativityOver(edges(s, dir))
+
+  /** The operator proper over any (src, dst) edge set. */
+  def assortativityOver(edgeDf: DataFrame): DataFrame = {
+    val und = undirected(edgeDf)
+    val deg = und
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+    val e2 = und
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+    val pairs = e2
+      .select(col("deg_a").as("x"), col("deg_b").as("y"))
+      .unionByName(e2.select(col("deg_b").as("x"), col("deg_a").as("y")))
+    val m = pairs.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy")
+    )
+    // moment magnitudes: deg ≤ √(2m), n = 2m → every product below stays
+    // well inside BIGINT at any SF this engine targets (n·sxy ≲ 10¹⁸ at
+    // the 10× replica's saturated fold)
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = sqrt(
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+        (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+    )
+    m.select(
+      call_function("div", col("n"), lit(2L)).as("n_edges"),
+      col("n").as("n_endpoint_pairs"),
+      when(den > 0, floor(num.cast(DoubleType) / den * lit(1000000.0)).cast(LongType))
+        .otherwise(lit(0L))
+        .as("assortativity_micros")
+    )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_assortativity"  -> (assortativity _),
     "q77_pagerank"        -> ((s, d) => pageRank(s, d)),
     "q134_triangle_count" -> (triangleStats _),
     "q137_triangle_delta" -> (triangleDelta _),
@@ -484,6 +541,39 @@ object GraphOps extends QueryModule {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q142_assortativity" ->
+      s"""WITH und AS (
+         |  SELECT DISTINCT least(user_id, event_id % $NodeMod) AS a,
+         |                  greatest(user_id, event_id % $NodeMod) AS b
+         |  FROM events WHERE user_id <> event_id % $NodeMod
+         |),
+         |deg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1
+         |),
+         |e2 AS (
+         |  SELECT da.deg AS deg_a, db.deg AS deg_b
+         |  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node
+         |),
+         |pairs AS (
+         |  SELECT deg_a AS x, deg_b AS y FROM e2
+         |  UNION ALL SELECT deg_b, deg_a FROM e2
+         |),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM pairs
+         |)
+         |SELECT n // 2 AS n_edges, n AS n_endpoint_pairs,
+         |  CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) > 0
+         |       THEN CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+         |            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+         |            * 1000000.0) AS BIGINT)
+         |       ELSE 0 END AS assortativity_micros
+         |FROM m""".stripMargin,
     "q139_kcore" -> {
       // every survivor CTE is referenced twice by the next round's edge
       // filter — without MATERIALIZED, CTE inlining makes the unrolled

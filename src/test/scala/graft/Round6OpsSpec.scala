@@ -1004,6 +1004,19 @@ class Round6OpsSpec extends AnyFunSuite {
     Seq(1L, 2L, 3L, 4L).foreach(n => assert(three(n) == 0L, s"triangle node $n peels at k=3"))
   }
 
+  test("q142: assortativity — a star is exactly −1, a regular graph reports the 0 convention") {
+    import spark.implicits._
+    // star: hub 0 with 4 leaves — perfect disassortativity, r = −1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val rs   = graft.operators.GraphOps.assortativityOver(star).head()
+    assert(rs.getAs[Long]("n_edges") == 4L && rs.getAs[Long]("n_endpoint_pairs") == 8L)
+    assert(rs.getAs[Long]("assortativity_micros") == -1000000L)
+    // K4 is degree-regular: zero variance → undefined → reported 0
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val k4    = (for { a <- nodes; b <- nodes if a < b } yield (a, b)).toDF("src", "dst")
+    assert(graft.operators.GraphOps.assortativityOver(k4).head().getAs[Long]("assortativity_micros") == 0L)
+  }
+
   test("q141: cluster purity/NMI — well-separated planted groups score purity 1.0, refining clusters NMI < 1") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_purity").toString
