@@ -98,10 +98,14 @@ object Bench {
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_sec":${s3(cpuTot)},"reps":$reps,"queries":$qs$om,"sf":"$sfDir"}"""
     }
     val perQ = results.map(r => shortKey(r._1) -> r._2)
+    // degrade steps derived from the query count so the slowest-10 floor is
+    // ALWAYS among the candidates no matter how large the registry grows
+    // (a fixed take(40) stopped reaching the floor past ~770 queries)
+    val floorStep = math.max(1, math.ceil((perQ.size - 10) / 20.0).toInt)
     val candidates = Iterator(
       lineWith(jsonWith(s3, perQ), 0),
       lineWith(jsonWith(s2, perQ), 0)
-    ) ++ Iterator.from(1).map { step =>
+    ) ++ Iterator.range(1, floorStep + 1).map { step =>
       val keep = math.max(10, perQ.size - step * 20)
       val slowest = perQ.sortBy(-_._2).take(keep)
       lineWith(jsonWith(s2, slowest), perQ.size - keep)
@@ -121,7 +125,7 @@ object Bench {
     // overgrown line silently truncates into "parsed: null" (BENCH_r01-r03)
     // — degrade per-query detail until it fits, and fail loudly only if
     // even the slowest-10 floor can't
-    val line = candidates.take(40).find(_.length <= 1900).getOrElse {
+    val line = candidates.find(_.length <= 1900).getOrElse {
       throw new IllegalStateException(
         "bench stdout line exceeds 1900 chars even at the slowest-10 floor — " +
           "the driver's 2000-char tail window would truncate it"

@@ -588,16 +588,15 @@ object Dedup extends QueryModule {
     * sketch algebra, not a second full pass — the same reason q14's HLL
     * exists, lifted to the rollup/cube shape.
     *
-    * Oracle discipline (q14's pairing): sketch estimates are not
-    * DuckDB-reproducible, so the hash-checked columns are the EXACT
-    * distinct counts plus an in-row `est_ok` flag asserting the estimate
-    * landed within 16% (HLL lgK=12 rsd ≈ 1.6%; 16% ≈ 10σ). The flag is a
-    * probabilistic assertion hash-checked against a literal 1, and the gate
-    * data regenerates per round, so the margin must make a tail-draw flake
-    * practically impossible (10σ ≈ 1e-23) while still failing loudly on a
-    * BROKEN sketch, which misses by orders of magnitude, not percent —
-    * DuckDB emits literal 1s, Spark must earn them. */
-  def sketchRollup(s: SparkSession, dir: String): DataFrame = {
+    * Oracle discipline (revised round 7): sketch estimates are not
+    * DuckDB-reproducible, so NOTHING probabilistic rides a hash-checked
+    * column. This full variant is the production artifact — exact counts
+    * plus the raw HLL estimate as data — and the [[SketchTol]] tolerance
+    * (HLL lgK=12 rsd ≈ 1.6%; 16% ≈ 10σ) is asserted in Round5OpsSpec on
+    * the estimate column, where a tail draw fails a test instead of a
+    * regenerated-data gate hash. The registered q81 projects the exact
+    * columns only (see [[sketchRollup]]), making the gate deterministic. */
+  def sketchRollupEst(s: SparkSession, dir: String): DataFrame = {
     // ONE corpus pass: narrow md5 → distinct (source, fp), materialized
     // (localCheckpoint) so BOTH consumers — per-source exact counts +
     // sketches, and the global exact count — read the vocabulary-sized
@@ -620,13 +619,11 @@ object Dedup extends QueryModule {
     val sourceRows = perSource.select(
       col("source").as("scope"),
       col("n_exact"),
-      (abs(hll_sketch_estimate(col("sk")) - col("n_exact")).cast(DoubleType) / col("n_exact") <= 0.16)
-        .cast(LongType)
-        .as("est_ok")
+      hll_sketch_estimate(col("sk")).cast(DoubleType).as("est_distinct")
     )
     // global = sketch UNION of the per-source sketches (no corpus rescan);
-    // the exact global distinct (for the flag) comes from the skinny
-    // distinct table, not the text
+    // the exact global distinct comes from the skinny distinct table, not
+    // the text
     val globalExact = sf.agg(countDistinct(col("fp")).as("n_exact"))
     val globalRow = perSource
       .agg(hll_union_agg(col("sk")).as("sk"))
@@ -634,21 +631,28 @@ object Dedup extends QueryModule {
       .select(
         lit("__all__").as("scope"),
         col("n_exact"),
-        (abs(hll_sketch_estimate(col("sk")) - col("n_exact")).cast(DoubleType) / col("n_exact") <= 0.16)
-          .cast(LongType)
-          .as("est_ok")
+        hll_sketch_estimate(col("sk")).cast(DoubleType).as("est_distinct")
       )
     sourceRows.unionByName(globalRow)
   }
 
-  /** est_ok tolerance for [[sourceOverlap]]: the intersection estimate
-    * composes THREE lgK=12 sketches (|A∩B| = |A|+|B|−|A∪B|), each rsd
-    * ≈1.6%, so its std vs the union size is ≤ 1.6%·√3 ≈ 2.8%. 25% ≈ 9σ:
-    * like q81's flag this is a probabilistic assertion hash-checked against
-    * a literal 1 on per-round regenerated data, so the margin is sized to
-    * make a tail-draw flake practically impossible even across ~200² pairs
-    * per round, while a broken sketch (off by orders of magnitude) still
-    * fails. */
+  /** Spec-asserted tolerance for [[sketchRollupEst]]'s estimate column:
+    * HLL lgK=12 rsd ≈ 1.6%, so 16% ≈ 10σ — loud on a broken sketch
+    * (orders of magnitude off), unreachable by an honest tail draw. */
+  val SketchTol = 0.16
+
+  /** Registered q81: the deterministic projection of [[sketchRollupEst]].
+    * Exact columns only — the estimate is exercised and tolerance-asserted
+    * in the spec, never hash-checked against regenerated gate data. */
+  def sketchRollup(s: SparkSession, dir: String): DataFrame =
+    sketchRollupEst(s, dir).select(col("scope"), col("n_exact"))
+
+  /** Spec-asserted tolerance for [[sourceOverlapEst]]'s intersection
+    * estimate: it composes THREE lgK=12 sketches (|A∩B| = |A|+|B|−|A∪B|),
+    * each rsd ≈1.6%, so its std vs the union size is ≤ 1.6%·√3 ≈ 2.8%.
+    * 25% ≈ 9σ — loud on a broken sketch, unreachable by an honest tail
+    * draw. Asserted in Round5OpsSpec, never hash-checked (round-7
+    * discipline: nothing probabilistic in gate columns). */
   val OverlapTol = 0.25
 
   /** Cross-source overlap matrix via sketch intersection (q90) — the
@@ -662,12 +666,14 @@ object Dedup extends QueryModule {
     * is sketch-sized work — independent of corpus size — which is why
     * every 100 TB dashboard computes overlap this way.
     *
-    * Oracle discipline (q14/q81): estimates are not DuckDB-reproducible,
-    * so the hash-checked columns are the EXACT per-pair counts (from the
-    * skinny distinct (source, fp) table — vocabulary-sized, text never
-    * shuffles) plus an in-row `est_ok` flag the Spark side must earn:
-    * |est_inter − n_inter| ≤ [[OverlapTol]] · n_union. */
-  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    * Oracle discipline (revised round 7, as q81): estimates are not
+    * DuckDB-reproducible, so this full variant emits the raw `est_inter`
+    * as data next to the EXACT per-pair counts (from the skinny distinct
+    * (source, fp) table — vocabulary-sized, text never shuffles); the
+    * |est_inter − n_inter| ≤ [[OverlapTol]] · n_union assertion lives in
+    * Round5OpsSpec. The registered q90 projects the exact columns only
+    * (see [[sourceOverlap]]) so the gate hash is deterministic. */
+  def sourceOverlapEst(s: SparkSession, dir: String): DataFrame = {
     // one corpus pass → skinny distinct (source, fp), two consumers
     // (per-source sketches+counts, exact pair intersections)
     val sf = Tables
@@ -702,12 +708,16 @@ object Dedup extends QueryModule {
         col("n_a"),
         col("n_b"),
         coalesce(col("n_inter"), lit(0L)).as("n_inter"),
-        (abs(col("est_inter") - coalesce(col("n_inter"), lit(0L))) <=
-          lit(OverlapTol) * (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))).cast(DoubleType))
-          .cast(LongType)
-          .as("est_ok")
+        col("est_inter").cast(DoubleType).as("est_inter")
       )
   }
+
+  /** Registered q90: the deterministic projection of [[sourceOverlapEst]]
+    * — exact pair counts only; the estimate is tolerance-asserted in the
+    * spec, never hash-checked against regenerated gate data. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapEst(s, dir).select(
+      col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_inter"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"     -> (exact _),
@@ -940,8 +950,7 @@ object Dedup extends QueryModule {
         |)
         |SELECT ca.source AS src_a, cb.source AS src_b,
         |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
-        |  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
-        |  CAST(1 AS BIGINT) AS est_ok
+        |  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter
         |FROM c ca JOIN c cb ON ca.source < cb.source
         |LEFT JOIN i ON i.src_a = ca.source AND i.src_b = cb.source""".stripMargin,
     "q81_sketch_rollup" ->
@@ -949,10 +958,10 @@ object Dedup extends QueryModule {
         |  SELECT source, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |  FROM documents
         |)
-        |SELECT source AS scope, count(DISTINCT fp) AS n_exact, CAST(1 AS BIGINT) AS est_ok
+        |SELECT source AS scope, count(DISTINCT fp) AS n_exact
         |FROM fp GROUP BY source
         |UNION ALL
-        |SELECT '__all__' AS scope, count(DISTINCT fp) AS n_exact, CAST(1 AS BIGINT) AS est_ok
+        |SELECT '__all__' AS scope, count(DISTINCT fp) AS n_exact
         |FROM fp""".stripMargin,
     "q32_dedup_jaccard" ->
       s"""WITH $shinglesSql,

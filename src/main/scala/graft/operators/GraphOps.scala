@@ -61,8 +61,23 @@ object GraphOps extends QueryModule {
     pageRankOver(edges(s, dir), iters)
 
   /** The operator proper, over any (src, dst) edge set — fixture-testable
-    * and the entry point for callers with a real edge table. */
-  def pageRankOver(edgeDf: DataFrame, iters: Int = Iters): DataFrame = {
+    * and the entry point for callers with a real edge table.
+    *
+    * `earlyStopWhenStable` breaks out of the power iteration as soon as a
+    * round reproduces the previous round's ranks exactly — sound because
+    * ranks are INTEGER (floor-scaled), so "unchanged" is an exact fixpoint
+    * and every further round is the identity; output is bit-identical to
+    * the fixed-round contract the oracle unrolls. Off in the registered
+    * query (the gate plan stays fixed-shape); a pure wall-time win in
+    * production, where convergence is uneven across a 1000-executor run
+    * and the stability probe is one cheap job over the skinny
+    * (node, rank) checkpoint. */
+  def pageRankOver(edgeDf: DataFrame, iters: Int = Iters, earlyStopWhenStable: Boolean = false): DataFrame =
+    pageRankRuns(edgeDf, iters, earlyStopWhenStable)._1
+
+  /** [[pageRankOver]] exposing the number of iterations executed, for
+    * specs pinning the early-exit. */
+  def pageRankRuns(edgeDf: DataFrame, iters: Int = Iters, earlyStopWhenStable: Boolean = false): (DataFrame, Int) = {
     // One pass builds the reusable graph artifacts; cache both — every
     // iteration re-reads them (cluster analog: a bucketed edge table).
     val e = edgeDf.cache()
@@ -76,14 +91,16 @@ object GraphOps extends QueryModule {
 
     try {
       var ranks = nodes.withColumn("rank", lit(RankScale))
-      for (_ <- 1 to iters) {
+      var it = 0
+      var stable = false
+      while (it < iters && !stable) {
         val contribs = e
           .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
           .join(outdeg, Seq("src"))
           .select(col("dst"), call_function("div", col("rank"), col("outdeg")).as("contrib"))
           .groupBy("dst")
           .agg(sum(col("contrib")).as("mass"))
-        ranks = nodes
+        val next = nodes
           .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
           .select(
             col("node"),
@@ -92,6 +109,15 @@ object GraphOps extends QueryModule {
               .as("rank")
           )
           .localCheckpoint() // truncate the per-round lineage (q38's pattern)
+        if (earlyStopWhenStable)
+          // exact-integer fixpoint probe on the skinny checkpoints — once a
+          // round is the identity, every later round is too
+          stable = next
+            .join(ranks.withColumnRenamed("rank", "prev_rank"), Seq("node"))
+            .filter(col("rank") =!= col("prev_rank"))
+            .isEmpty
+        ranks = next
+        it += 1
       }
       val out = ranks
         .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
@@ -105,7 +131,7 @@ object GraphOps extends QueryModule {
         // materialize the (nodes-sized) result before the finally releases
         // the caches it was built from
         .localCheckpoint()
-      out
+      (out, it)
     } finally {
       // release the loop's caches on EVERY path — an exception mid-iteration
       // would otherwise leak three cached DataFrames for the session lifetime
@@ -245,7 +271,7 @@ object GraphOps extends QueryModule {
     val und  = undirected(edges(s, dir))
     val part = graft.functions.Fingerprints
       .fp8(concat(col("a").cast(StringType), lit(":"), col("b").cast(StringType))) % EdgeDeltaMod
-    triangleDeltaOver(und.filter(part < EdgeDeltaMod - 1), und.filter(part === EdgeDeltaMod - 1))
+    triangleDeltaAuto(und.filter(part < EdgeDeltaMod - 1), und.filter(part === EdgeDeltaMod - 1))
   }
 
   /** The operator proper over canonical (a, b) base and delta edge sets
@@ -284,14 +310,20 @@ object GraphOps extends QueryModule {
       )
       .select(col("da"), col("db"), col("y").as("c"))
     // Verify the (db, c) side edge. Build side: adjacency restricted to
-    // edges leaving a delta endpoint — still broadcastable at gate scale;
-    // on a real graph this is the bucketed-index probe (q106).
+    // edges leaving a delta endpoint — on a real graph this is the
+    // bucketed-index probe (q106). NO broadcast hint here: adj2 scales
+    // with the HUB DEGREES of delta endpoints, not with |delta|, so a
+    // hub-heavy graph or a large batch can blow the driver's broadcast
+    // limit; only the delta side (small by the incremental premise,
+    // enforced by triangleDeltaAuto's dispatch) keeps its hint, and the
+    // planner — AQE at runtime — picks broadcast for adj2 when it IS
+    // small rather than being forced to.
     val adj2 = adj
       .join(broadcast(d.select(col("db")).distinct()), col("x") === col("db"), "leftsemi")
       .select(col("x").as("x2"), col("y").as("y2"), col("lo").as("lo2"), col("hi").as("hi2"), col("is_delta").as("del2"))
     val closed = viaA
       .join(
-        broadcast(adj2),
+        adj2,
         col("x2") === col("db") && col("y2") === col("c") &&
           allowedBefore(col("lo2"), col("hi2"), col("del2"))
       )
@@ -306,6 +338,79 @@ object GraphOps extends QueryModule {
       )
       .crossJoin(delta.agg(count(lit(1)).as("n_delta_edges")))
       .select("n_delta_edges", "tri_added", "touched_nodes")
+  }
+
+  /** Dispatch threshold for [[triangleDeltaAuto]] — incremental wins while
+    * its candidate mass (Σ deg over delta-edge endpoints: the adjacency
+    * rows the delta join streams AND the adj2 verify build) stays below
+    * [[ScratchCrossover]] × |E|; beyond that the increment re-derives a
+    * large share of the graph's wedges and a scratch diff is cheaper.
+    * The regimes sit orders of magnitude apart (SCALING.md: the dense 10×
+    * fold has mass/|E| ≈ 10², costing 71 cpu-s incremental vs 3.6 scratch;
+    * the sparse gate graph sits near 1), so the constant is coarse by
+    * design — any value in [4, 32] dispatches both measured folds
+    * correctly. */
+  val ScratchCrossover = 8.0
+
+  /** Per-node triangle counts of a canonical undirected edge set — q134's
+    * oriented enumeration reduced to (node, t). */
+  private def perNodeTriangles(und: DataFrame): DataFrame = {
+    val (oriented, _) = orientedOf(und)
+    trianglesOf(oriented)
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("t"))
+  }
+
+  /** Scratch twin of [[triangleDeltaOver]]: two q134-style per-node counts
+    * (base, base∪delta) diffed — the SAME rows, derived the way the q137
+    * oracle derives them. Equivalence argument: edges are only added, so a
+    * node's count changes iff it corners a new triangle (diff > 0 ⇔ corner
+    * of a closed triangle), and Σ diff = 3·tri_added exactly. */
+  def triangleDeltaScratch(base: DataFrame, delta: DataFrame): DataFrame = {
+    val b = perNodeTriangles(base).select(col("node"), col("t").as("t_base"))
+    val f = perNodeTriangles(base.unionByName(delta)).select(col("node"), col("t").as("t_full"))
+    // left join from full is total: a node with base triangles keeps ≥ that
+    // many in the superset graph, so it appears in f whenever it is in b
+    f.join(b, Seq("node"), "left")
+      .select((col("t_full") - coalesce(col("t_base"), lit(0L))).as("dt"))
+      .agg(
+        coalesce(call_function("div", sum(col("dt")), lit(3L)), lit(0L)).as("tri_added"),
+        count(when(col("dt") > 0, 1)).as("touched_nodes")
+      )
+      .crossJoin(delta.agg(count(lit(1)).as("n_delta_edges")))
+      .select("n_delta_edges", "tri_added", "touched_nodes")
+  }
+
+  /** Cost-based dispatch between [[triangleDeltaOver]] (sparse/small delta
+    * — the operator's design regime) and [[triangleDeltaScratch]] (dense
+    * or oversized delta, where the increment loses to a rebuild): makes
+    * the operator never-worse instead of documenting the crossover. Both
+    * branches produce IDENTICAL rows (the telescoping pin), so the oracle
+    * contract is branch-independent. The decision reads two scalars off
+    * skinny (long, long) tables — a degree sum over delta endpoints and
+    * the edge count; a production deployment maintains both as standing
+    * state next to the graph, paying nothing per batch. */
+  def triangleDeltaAuto(base: DataFrame, delta: DataFrame): DataFrame =
+    triangleDeltaDispatch(base, delta)._1
+
+  /** [[triangleDeltaAuto]] exposing the branch taken, for specs. */
+  def triangleDeltaDispatch(base: DataFrame, delta: DataFrame): (DataFrame, Boolean) = {
+    val und = base.unionByName(delta)
+    val deg = und
+      .select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+    val candMass = delta
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .join(deg, Seq("node"))
+      .agg(sum(col("deg")))
+      .head()
+    val mass = if (candMass.isNullAt(0)) 0L else candMass.getLong(0)
+    val m = und.count()
+    val useScratch = m > 0 && mass > ScratchCrossover * m
+    (if (useScratch) triangleDeltaScratch(base, delta) else triangleDeltaOver(base, delta), useScratch)
   }
 
   /** Edges reported by [[edgeSimilarity]]. */
@@ -402,8 +507,28 @@ object GraphOps extends QueryModule {
     kCoreOver(edges(s, dir))
 
   /** The operator proper; `k`/`rounds` parametrized for fixtures and
-    * production fixpoint callers. */
-  def kCoreOver(edgeDf: DataFrame, k: Int = CoreK, rounds: Int = CoreRounds): DataFrame = {
+    * production fixpoint callers.
+    *
+    * `earlyStopWhenStable` (q77's round-7 twin): survivor sets shrink
+    * MONOTONICALLY, so an unchanged survivor COUNT means an unchanged set
+    * — a fixpoint every later round reproduces — and peeling can stop.
+    * Output is bit-identical to the fixed-round contract; the probe is a
+    * count on the checkpointed skinny survivor table. Off in the
+    * registered query. */
+  def kCoreOver(
+      edgeDf: DataFrame,
+      k: Int = CoreK,
+      rounds: Int = CoreRounds,
+      earlyStopWhenStable: Boolean = false): DataFrame =
+    kCoreRuns(edgeDf, k, rounds, earlyStopWhenStable)._1
+
+  /** [[kCoreOver]] exposing the number of peel rounds executed, for specs
+    * pinning the early-exit. */
+  def kCoreRuns(
+      edgeDf: DataFrame,
+      k: Int = CoreK,
+      rounds: Int = CoreRounds,
+      earlyStopWhenStable: Boolean = false): (DataFrame, Int) = {
     val und = undirected(edgeDf).cache()
     try {
       val fullDeg = und
@@ -411,7 +536,10 @@ object GraphOps extends QueryModule {
         .groupBy("node")
         .agg(count(lit(1)).as("deg"))
       var surv = fullDeg.select("node").localCheckpoint()
-      for (_ <- 1 to rounds) {
+      var prevCount = if (earlyStopWhenStable) surv.count() else -1L
+      var it = 0
+      var stable = false
+      while (it < rounds && !stable) {
         val e = und
           .join(surv.withColumnRenamed("node", "a"), Seq("a"), "leftsemi")
           .join(surv.withColumnRenamed("node", "b"), Seq("b"), "leftsemi")
@@ -422,11 +550,18 @@ object GraphOps extends QueryModule {
           .filter(col("d") >= k)
           .select("node")
           .localCheckpoint()
+        if (earlyStopWhenStable) {
+          val c = surv.count()
+          stable = c == prevCount
+          prevCount = c
+        }
+        it += 1
       }
-      fullDeg
+      val out = fullDeg
         .join(surv.withColumn("c", lit(1L)), Seq("node"), "left")
         .select(col("node"), col("deg").as("degree"), coalesce(col("c"), lit(0L)).as("in_core"))
         .localCheckpoint()
+      (out, it)
     } finally und.unpersist()
   }
 

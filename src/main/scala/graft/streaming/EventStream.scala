@@ -31,13 +31,46 @@ object EventStream {
     * GraftSession contract) and as TIMESTAMP(MICROS), so the schema is
     * probed from the files already present and the result normalized to the
     * engine's event shape by [[graft.Tables.normalizeEvents]] — identical to
-    * the batch loader, which is what the batch/stream parity pins rely on. */
-  def fromParquet(spark: SparkSession, path: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val fileSchema = spark.read.parquet(path).schema
+    * the batch loader, which is what the batch/stream parity pins rely on.
+    *
+    * Empty-directory starts (the normal "stream up before the producer"
+    * deployment) have nothing to probe: the probe's AnalysisException is
+    * caught and the source falls back to [[DefaultFileSchema]] — or to the
+    * caller's `schema` when supplied, which is also the mitigation for a
+    * producer that flips physical `ts` type MID-stream (the probe pins
+    * whichever type is present at setup; an explicit schema pins it to the
+    * caller's contract instead). */
+  def fromParquet(
+      spark: SparkSession,
+      path: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      schema: Option[StructType] = None): DataFrame = {
+    val fileSchema = schema.getOrElse {
+      try spark.read.parquet(path).schema
+      catch {
+        // empty dir at stream start: begin with the generator's current
+        // shape and wait for files rather than failing setup
+        case _: org.apache.spark.sql.AnalysisException => DefaultFileSchema
+      }
+    }
     val reader = spark.readStream.schema(fileSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     graft.Tables.normalizeEvents(reader.parquet(path))
   }
+
+  /** Physical shape the driver's generator currently emits
+    * (TIMESTAMP(MICROS) `ts`); [[fromParquet]]'s empty-directory fallback.
+    * [[graft.Tables.normalizeEvents]] dispatches on the actual type, so a
+    * ns-LONG producer still normalizes correctly once files arrive under
+    * an explicit ns schema. */
+  val DefaultFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
 
   /** Tumbling 1-hour counts with a 1-hour watermark — streaming equivalent
     * of the batch `q25_window_tumbling`. */

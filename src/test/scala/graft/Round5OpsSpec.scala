@@ -120,17 +120,26 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(byCat.getLong(4) == byCat.getLong(0) + byCat.getLong(1) + byCat.getLong(2) + byCat.getLong(3))
   }
 
-  test("q81: union-merged sketch estimate ≈ exact global distinct (flags earned, not assumed)") {
-    val rows = graft.operators.Dedup.sketchRollup(spark, dir).collect()
+  test("q81: union-merged sketch estimate ≈ exact global distinct (tolerance spec-asserted, not hash-gated)") {
+    val rows = graft.operators.Dedup.sketchRollupEst(spark, dir).collect()
     assert(rows.nonEmpty)
-    // every per-source and the merged __all__ estimate must be inside the
-    // operator's 8% flag bound (4.9σ — regeneration-robust)
-    assert(rows.forall(_.getLong(2) == 1L), s"sketch estimate outside bound: ${rows.mkString(",")}")
+    // every per-source and the merged __all__ estimate must land within
+    // SketchTol (16% ≈ 10σ at lgK=12) of its exact count — the round-7
+    // home of the probabilistic assertion the gate hash no longer carries
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val est   = r.getDouble(2)
+      assert(math.abs(est - exact) <= graft.operators.Dedup.SketchTol * exact,
+        s"sketch estimate outside bound for ${r.getString(0)}: est=$est exact=$exact")
+    }
     val all = rows.filter(_.getString(0) == "__all__")
     assert(all.length == 1)
     // __all__ covers at least as many distincts as the largest source
     val maxSrc = rows.filter(_.getString(0) != "__all__").map(_.getLong(1)).max
     assert(all.head.getLong(1) >= maxSrc)
+    // the registered (hash-gated) q81 is the deterministic projection
+    val gate = graft.operators.Dedup.sketchRollup(spark, dir)
+    assert(gate.columns.toSeq == Seq("scope", "n_exact"))
   }
 
   test("q82: transition counts sum to n_events − n_users-with-events, probabilities sum to 1 per prev") {
@@ -611,17 +620,27 @@ class Round5OpsSpec extends AnyFunSuite {
         (0 until 10).map(i => (100L + i, if (i < 5) s"alpha doc $i" else s"beta doc $i", "en", "srcB", 10L)) ++
         (0 until 8).map(i => (200L + i, s"gamma doc $i", "en", "srcC", 10L))
     docs.toDF("doc_id", "text", "lang", "source", "n_chars").write.parquet(s"$tmp/documents.parquet")
-    val out = graft.operators.Dedup
-      .sourceOverlap(spark, tmp)
-      .select(col("src_a"), col("src_b"), col("n_inter"), col("est_ok"))
-      .as[(String, String, Long, Long)]
+    val full = graft.operators.Dedup
+      .sourceOverlapEst(spark, tmp)
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_inter"), col("est_inter"))
+      .as[(String, String, Long, Long, Long, Double)]
       .collect()
-      .map(r => (r._1, r._2) -> ((r._3, r._4)))
-      .toMap
+    val out = full.map(r => (r._1, r._2) -> r._5).toMap
     assert(out.keySet == Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
-    assert(out(("srcA", "srcB")) == ((5L, 1L)), s"planted 5-doc overlap missed: $out")
-    assert(out(("srcA", "srcC")) == ((0L, 1L)))
-    assert(out(("srcB", "srcC")) == ((0L, 1L)))
+    assert(out(("srcA", "srcB")) == 5L, s"planted 5-doc overlap missed: $out")
+    assert(out(("srcA", "srcC")) == 0L)
+    assert(out(("srcB", "srcC")) == 0L)
+    // sketch intersection estimate within OverlapTol of exact, relative to
+    // the pair's union size — spec-asserted (round-7 discipline), not
+    // hash-gated
+    full.foreach { case (a, b, na, nb, nInter, est) =>
+      val union = (na + nb - nInter).toDouble
+      assert(math.abs(est - nInter) <= graft.operators.Dedup.OverlapTol * union,
+        s"est_inter outside bound for ($a,$b): est=$est exact=$nInter union=$union")
+    }
+    // the registered (hash-gated) q90 is the deterministic projection
+    assert(graft.operators.Dedup.sourceOverlap(spark, tmp).columns.toSeq ==
+      Seq("src_a", "src_b", "n_a", "n_b", "n_inter"))
   }
 
   test("q89: bloom probe has no false negatives and the pruned join equals the direct join") {
