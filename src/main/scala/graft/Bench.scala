@@ -46,9 +46,13 @@ object Bench {
     // Optional subset for iteration: comma-separated name prefixes, e.g.
     // SPARK_GRAFT_BENCH_ONLY=q31,q32 (full runs leave it unset).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
+    // registry queries + bench-only build/probe split rows (BenchExtras);
+    // the latter appear in bench_detail.json only — the stdout line stays
+    // registry-sized
+    val all = SparkEntry.queries ++ BenchExtras.rows
     val selected = only match {
-      case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
-      case None     => SparkEntry.queries
+      case Some(ps) => all.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None     => all
     }
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
@@ -83,8 +87,11 @@ object Bench {
       s"duplicate short bench keys would silently collide in the JSON line: " +
         shortKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.mkString(", ")
     )
-    val total  = results.map(_._2).sum
-    val cpuTot = results.map(_._3).sum
+    // headline totals cover the REGISTRY rows only — bench extras (build/
+    // probe splits) must not shift the cross-round total
+    val registryResults = results.filter(r => SparkEntry.queries.contains(r._1))
+    val total  = registryResults.map(_._2).sum
+    val cpuTot = registryResults.map(_._3).sum
     // Per-query precision/coverage degrades BEFORE the line outgrows the
     // window: 3-decimals while it fits, then 2, then only the slowest
     // queries plus an "omitted" count — the total and cpu columns (the
@@ -97,7 +104,8 @@ object Bench {
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_sec":${s3(cpuTot)},"reps":$reps,"queries":$qs$om,"sf":"$sfDir"}"""
     }
-    val perQ = results.map(r => shortKey(r._1) -> r._2)
+    // stdout carries the registry rows only; extras live in the sidecar
+    val perQ = registryResults.map(r => shortKey(r._1) -> r._2)
     // degrade steps derived from the query count so the slowest-10 floor is
     // ALWAYS among the candidates no matter how large the registry grows
     // (a fixed take(40) stopped reaching the floor past ~770 queries)
