@@ -60,10 +60,32 @@ object Multimodal extends QueryModule {
     override def decode(docId: Long, payload: Array[Byte]): MediaMeta = FakeCodec.decode(docId, payload)
   }
 
+  /** Real image decoder over the SAME seam: pure-JVM `javax.imageio`
+    * (PNG/BMP/GIF/JPEG readers ship with the JDK — no native libraries, no
+    * new dependencies). Binds by FQN exactly like [[FakeCodec]]; a payload
+    * that does not parse as a supported image falls back to the fake's
+    * deterministic shape, so mixed corpora decode without a failure channel
+    * (production would route the fallback rows to quarantine instead).
+    * The registered q50–q53 fixtures keep [[FakeCodec]] — their oracle
+    * arithmetic is byte-based by design — while this class is the
+    * production binding once payloads are real images; InfraSpec decodes a
+    * generated PNG through it per-partition. */
+  final class ImageIOCodec extends MediaCodec {
+    override def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) FakeCodec.decode(docId, payload)
+      else MediaMeta(docId, payload.length.toLong, FakeCodec.md5hex(payload), img.getWidth, img.getHeight, 1)
+    }
+  }
+
   object FakeCodec {
+    private[Multimodal] def md5hex(payload: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(payload).map("%02x".format(_)).mkString
+
     def decode(doc_id: Long, payload: Array[Byte]): MediaMeta = {
-      val md  = java.security.MessageDigest.getInstance("MD5")
-      val sum = md.digest(payload).map("%02x".format(_)).mkString
+      val sum = md5hex(payload)
       // Empty-payload floor of 1 keeps decode aligned with extractFeatures
       // AND the SQL oracle's `ascii(substring(text,1,1)) % 128 + 1` (ascii of
       // an empty string is 0 in DuckDB, so the oracle also yields 1).

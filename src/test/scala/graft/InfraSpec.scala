@@ -245,4 +245,30 @@ class InfraSpec extends AnyFunSuite {
       assert(body.contains("\"hour_start\""))
     } finally q.stop()
   }
+
+  test("ImageIOCodec decodes a real generated PNG per-partition; non-images fall back to FakeCodec") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // a real 7x5 PNG, generated with the same pure-JVM API the codec reads
+    val img = new java.awt.image.BufferedImage(7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 7).foreach(x => (0 until 5).foreach(y => img.setRGB(x, y, x * 31 + y)))
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf), "JDK PNG writer unavailable")
+    val png     = buf.toByteArray
+    val garbage = "definitely not an image".getBytes("UTF-8")
+    val media = Seq(
+      Multimodal.MediaRecord(1L, png),
+      Multimodal.MediaRecord(2L, garbage)
+    ).toDS().repartition(2) // one record per partition: codec constructed per partition on executors
+    val out = Multimodal
+      .decodeAll(media, classOf[Multimodal.ImageIOCodec].getName)
+      .collect()
+      .map(m => m.doc_id -> m)
+      .toMap
+    val decoded = out(1L)
+    assert(decoded.width == 7 && decoded.height == 5, s"real PNG dims misread: $decoded")
+    assert(decoded.n_frames == 1 && decoded.n_bytes == png.length.toLong)
+    // the non-image row degrades to the deterministic fake shape, not a failure
+    assert(out(2L) == Multimodal.FakeCodec.decode(2L, garbage))
+  }
 }
