@@ -545,4 +545,78 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("index maintenance kill-and-restart: replayed batch is neither self-screened nor double-absorbed") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{DedupIndex, FuzzyDedup}
+    val prefix = "recover_idx"
+    val docs   = spark.read.parquet(s"$dir/documents.parquet")
+    val base   = docs.filter(col("doc_id") % FuzzyDedup.DeltaMod < 8)
+    val delta  = docs.filter(col("doc_id") % FuzzyDedup.DeltaMod >= 8)
+    DedupIndex.build(base, prefix)
+    DedupIndex.resetVerdicts(spark, prefix)
+    val d  = java.nio.file.Files.createTempDirectory("graft_recover_delta")
+    val cp = java.nio.file.Files.createTempDirectory("graft_recover_cp")
+    delta.repartition(4).write.mode("overwrite").parquet(d.toString)
+
+    def start(sink: (DataFrame, Long) => Unit) = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(d.toString)
+      .writeStream
+      .option("checkpointLocation", cp.toString)
+      .foreachBatch(sink)
+      .start()
+
+    // run 1: the sink COMPLETES for batch 1 (probe + absorb + verdict
+    // marker), then the query is killed before the checkpoint commit — the
+    // exact window foreachBatch replays on restart
+    val killer: (DataFrame, Long) => Unit = (b, id) => {
+      DedupIndex.probeAndAbsorbBatch(prefix)(b, id)
+      if (id == 1L) throw new RuntimeException("injected kill after sink, before checkpoint commit")
+    }
+    val q1 = start(killer)
+    val died =
+      try { q1.awaitTermination(); false }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+      finally q1.stop()
+    assert(died, "injected kill did not terminate the first run — replay untested")
+
+    // run 2: same checkpoint, plain sink — batch 1 REPLAYS (its offset was
+    // logged, its commit was not) and must no-op on its marker
+    val q2 = start(DedupIndex.probeAndAbsorbBatch(prefix))
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    val verdicts = spark.table(s"${prefix}_verdicts")
+    val nDelta   = delta.count()
+    // exactly one verdict per delta doc: a re-run replay would have either
+    // duplicated batch-1 rows or (self-screen) flipped its survivors
+    assert(verdicts.count() == nDelta, "duplicate or missing verdict rows after restart")
+    assert(verdicts.select("doc_id").distinct().count() == nDelta)
+    assert(verdicts.select("batch_id").distinct().count() == 4)
+    // no double absorb: the fp index would carry duplicate fingerprints if
+    // batch 1's survivors were appended twice
+    val dupFp = spark.table(s"${prefix}_fp")
+      .groupBy("fingerprint").count().filter(col("count") > 1).count()
+    assert(dupFp == 0L, s"$dupFp fingerprints duplicated in the index — a batch was absorbed twice")
+
+    // parity vs the batch q112 fold: replay the stream's own batch
+    // composition through probeAndAbsorb on a fresh index; verdicts must
+    // match row-for-row (a self-screened batch-1 survivor would differ)
+    val comp = verdicts.select("batch_id", "doc_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val foldPrefix = "recover_fold_idx"
+    DedupIndex.build(base, foldPrefix)
+    val folded = comp.keys.toSeq.sorted.flatMap { id =>
+      val batchDocs = delta.filter(col("doc_id").isin(comp(id).toSeq: _*))
+      DedupIndex.probeAndAbsorb(spark, batchDocs, foldPrefix).collect().map(_.toSeq)
+    }.toSet
+    val streamed = verdicts.drop("batch_id").collect().map(_.toSeq).toSet
+    assert(streamed == folded, "restart verdicts diverge from the batch q112 fold")
+    // the replayed batch really had survivors at stake
+    val b1Keeps = verdicts.filter(col("batch_id") === 1L && col("keep") === 1L).count()
+    assert(b1Keeps > 0L, "vacuous: the killed batch had no survivors to protect")
+  }
 }
