@@ -65,7 +65,15 @@ object Bench {
         org.apache.spark.GraftSparkBridge.drainListenerBus(sc) // attribute straggler events to the right query
         val cpu0 = cpu.cpuNs.sum()
         val t0   = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        // Materialize the query's OWN physical plan (all rows, all columns)
+        // rather than `.count()`: wrapping the plan in a count lets the
+        // optimizer prune everything the row count doesn't need — join
+        // elimination dropped q134's per-node triangle join entirely (the
+        // right side is key-unique and count references no columns), so
+        // rounds 5–6 benched the triangle family at the cost of its degree
+        // aggregate. toRdd executes the same plan Verify writes to parquet,
+        // minus the file IO; the RDD count moves no rows to the driver.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
         val wall = (System.nanoTime() - t0) / 1e9
         org.apache.spark.GraftSparkBridge.drainListenerBus(sc)

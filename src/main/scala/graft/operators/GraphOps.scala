@@ -285,8 +285,22 @@ object GraphOps extends QueryModule {
     * leaving a delta endpoint (a no-op on the saturated test fold, a huge
     * cut on a real sparse graph; the 100 TB analog is q106's bucketed
     * index probe). Candidates never hit an exchange, and both output
-    * aggregates fold in ONE pass over the closed-triangle corners. */
-  def triangleDeltaOver(base: DataFrame, delta: DataFrame): DataFrame = {
+    * aggregates fold in ONE pass over the closed-triangle corners.
+    *
+    * `broadcastAdj2` re-adds the forced broadcast hint on the verify-side
+    * adjacency — ONLY safe when the caller has measured it small (it
+    * scales with the hub degrees of delta db-endpoints, not |Δ|, so an
+    * unconditional hint can exceed the driver's broadcast limit on a
+    * hub-heavy batch — the round-6 ADVICE finding). [[triangleDeltaDispatch]]
+    * estimates its row count from the degree table it already holds and
+    * sets this under [[Adj2BroadcastRows]]; direct callers default to
+    * letting the planner/AQE decide. Measured at the 10× fold: the hint
+    * (2.4M-row build) takes the verify join from a sorted exchange of the
+    * 108M-row candidate stream to a stationary broadcast probe. */
+  def triangleDeltaOver(
+      base: DataFrame,
+      delta: DataFrame,
+      broadcastAdj2: Boolean = false): DataFrame = {
     // Adjacency of base ∪ delta in both directions, each row carrying its
     // canonical (lo, hi) pair + delta flag so the "allowed before (da, db)"
     // predicate is a pure column comparison — no rank materialization.
@@ -318,9 +332,10 @@ object GraphOps extends QueryModule {
     // enforced by triangleDeltaAuto's dispatch) keeps its hint, and the
     // planner — AQE at runtime — picks broadcast for adj2 when it IS
     // small rather than being forced to.
-    val adj2 = adj
+    val adj2base = adj
       .join(broadcast(d.select(col("db")).distinct()), col("x") === col("db"), "leftsemi")
       .select(col("x").as("x2"), col("y").as("y2"), col("lo").as("lo2"), col("hi").as("hi2"), col("is_delta").as("del2"))
+    val adj2 = if (broadcastAdj2) broadcast(adj2base) else adj2base
     val closed = viaA
       .join(
         adj2,
@@ -340,17 +355,33 @@ object GraphOps extends QueryModule {
       .select("n_delta_edges", "tri_added", "touched_nodes")
   }
 
-  /** Dispatch threshold for [[triangleDeltaAuto]] — incremental wins while
-    * its candidate mass (Σ deg over delta-edge endpoints: the adjacency
-    * rows the delta join streams AND the adj2 verify build) stays below
-    * [[ScratchCrossover]] × |E|; beyond that the increment re-derives a
-    * large share of the graph's wedges and a scratch diff is cheaper.
-    * The regimes sit orders of magnitude apart (SCALING.md: the dense 10×
-    * fold has mass/|E| ≈ 10², costing 71 cpu-s incremental vs 3.6 scratch;
-    * the sparse gate graph sits near 1), so the constant is coarse by
-    * design — any value in [4, 32] dispatches both measured folds
-    * correctly. */
-  val ScratchCrossover = 8.0
+  /** Dispatch threshold for [[triangleDeltaAuto]]: scratch wins only when
+    * the increment's candidate mass (Σ deg over delta-edge endpoints — the
+    * adjacency rows its delta join streams) exceeds [[ScratchCrossover]] ×
+    * the FULL graph's oriented wedge work (Σ deg·min(deg, √(2m)), the
+    * degree-table proxy for what one q134-style enumeration costs; scratch
+    * pays it twice, base and base∪delta).
+    *
+    * Calibrated on HONEST measurements — the round-7 bench fix exposed
+    * that `.count()` join-elimination had been hiding q134's entire
+    * triangle enumeration, and the round-6 "scratch = 3.6 cpu-s" premise
+    * with it. Measured honestly on the saturated 10× fold (611k edges,
+    * 27% triangle churn, mass/wedge-work ≈ 0.1): incremental costs 71
+    * cpu-s, two scratch enumerations (81M + 111M triangles) ≈ 300 cpu-s —
+    * incremental STILL wins, because closing-edge attribution touches ~30M
+    * triangles where scratch re-enumerates ~190M. The crossover is where
+    * the delta's streamed adjacency approaches the wedge work itself —
+    * i.e. the delta IS the graph (mass/wedge-work reaches ~2 at a 100%
+    * delta) — so 0.5 routes majority-delta batches to scratch and
+    * everything in the operator's design regime to the increment. */
+  val ScratchCrossover = 0.5
+
+  /** Row ceiling under which [[triangleDeltaDispatch]] forces the adj2
+    * verify-side broadcast in [[triangleDeltaOver]] — ~4M five-long rows
+    * ≈ 160 MB, comfortably under driver/executor broadcast budgets on a
+    * real cluster; above it the planner keeps its choice (AQE broadcasts
+    * smaller folds on its own). */
+  val Adj2BroadcastRows = 4000000L
 
   /** Per-node triangle counts of a canonical undirected edge set — q134's
     * oriented enumeration reduced to (node, t). */
@@ -394,9 +425,21 @@ object GraphOps extends QueryModule {
   def triangleDeltaAuto(base: DataFrame, delta: DataFrame): DataFrame =
     triangleDeltaDispatch(base, delta)._1
 
-  /** [[triangleDeltaAuto]] exposing the branch taken, for specs. */
+  /** [[triangleDeltaAuto]] exposing the branch taken, for specs.
+    *
+    * Both edge sets are localCheckpoint-ed first: the dispatch needs two
+    * scalar actions (degree mass, edge count) BEFORE the branch runs, and
+    * without truncation each action — plus the chosen branch itself —
+    * would re-derive the upstream edge lineage (for the registered query,
+    * the whole events→distinct-edges pipeline) from scratch. The
+    * checkpoint pays that derivation once; the skinny (long, long)
+    * canonical sets are the cheapest thing in the job to hold. A standing
+    * deployment maintains the graph (and its degree/count stats) as state
+    * anyway, so this mirrors production rather than diverging from it. */
   def triangleDeltaDispatch(base: DataFrame, delta: DataFrame): (DataFrame, Boolean) = {
-    val und = base.unionByName(delta)
+    val baseC = base.localCheckpoint()
+    val deltaC = delta.localCheckpoint()
+    val und = baseC.unionByName(deltaC)
     val deg = und
       .select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
@@ -409,8 +452,28 @@ object GraphOps extends QueryModule {
       .head()
     val mass = if (candMass.isNullAt(0)) 0L else candMass.getLong(0)
     val m = und.count()
-    val useScratch = m > 0 && mass > ScratchCrossover * m
-    (if (useScratch) triangleDeltaScratch(base, delta) else triangleDeltaOver(base, delta), useScratch)
+    // full-graph oriented wedge work off the |V|-row degree table: the
+    // degree-ordered orientation caps every out-degree at O(√(2m))
+    val sqrtCap = math.ceil(math.sqrt(2.0 * m)).toLong
+    val wedgeRow = deg
+      .agg(sum(col("deg") * least(col("deg"), lit(sqrtCap))))
+      .head()
+    val wedgeWork = if (wedgeRow.isNullAt(0)) 0L else wedgeRow.getLong(0)
+    val useScratch = m > 0 && mass > ScratchCrossover * wedgeWork
+    if (useScratch) (triangleDeltaScratch(baseC, deltaC), true)
+    else {
+      // verify-build size estimate: adjacency rows incident to a delta
+      // db-endpoint = 2 · Σ deg over DISTINCT db endpoints (both
+      // directions) — one |Δ|-row join against the degree table
+      val dbRow = deltaC
+        .select(col("b").as("node"))
+        .distinct()
+        .join(deg, Seq("node"))
+        .agg(sum(col("deg")))
+        .head()
+      val adj2Est = if (dbRow.isNullAt(0)) 0L else 2L * dbRow.getLong(0)
+      (triangleDeltaOver(baseC, deltaC, broadcastAdj2 = adj2Est < Adj2BroadcastRows), false)
+    }
   }
 
   /** Edges reported by [[edgeSimilarity]]. */

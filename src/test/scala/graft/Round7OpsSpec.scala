@@ -22,10 +22,14 @@ class Round7OpsSpec extends AnyFunSuite {
       graft.operators.GraphOps.triangleDeltaDispatch(sparseBase, sparseDelta)
     assert(!sparseScratch, "sparse fixture must stay on the incremental branch")
 
-    // dense regime (the SCALING.md saturated-fold shape): K30 with ~1/4 of
-    // its 435 edges arriving as the delta — every endpoint has degree 29,
-    // candidate mass ≈ 6.3k > ScratchCrossover × 435
-    val (deltaE, baseE) = clique(30).partition { case (a, b) => (a * 31 + b) % 4 == 0 }
+    // scratch regime: the delta is the MAJORITY of the graph (3/4 of K30's
+    // 435 edges) — candidate mass 326·58 ≈ 18.9k exceeds half the wedge
+    // work 30·29·29 ≈ 25.2k, so re-enumerating from scratch is cheaper
+    // than streaming nearly every adjacency row through the increment.
+    // (A 25%-delta fold stays incremental by design: honest measurement
+    // showed closing-edge attribution beats two full enumerations even at
+    // 27% triangle churn — see ScratchCrossover's scaladoc.)
+    val (baseE, deltaE) = clique(30).partition { case (a, b) => (a * 31 + b) % 4 == 0 }
     val denseBase  = baseE.toDF("a", "b")
     val denseDelta = deltaE.toDF("a", "b")
     val (_, denseScratch) =

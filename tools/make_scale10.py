@@ -15,22 +15,24 @@ Events `ts` is written as a raw ns-epoch BIGINT -- the same LONG shape
 Spark's nanosAsLong conf yields from the driver's TIMESTAMP(NANOS) parquet,
 so `graft.Tables.events` reads both identically.
 
-Usage: python3 tools/make_scale10.py /root/testdata/sf0.1 /tmp/sf1x10
+An optional third argument scales the replica count (default 10) for the
+30x-100x spot runs -- same construction, more replicas per row:
+
+Usage: python3 tools/make_scale10.py /root/testdata/sf0.1 /tmp/sf1x10 [factor]
 """
 import shutil, sys
 from pathlib import Path
 
 import duckdb
 
-REPS = 10
 KEYSPAN = 1_000_000_000  # replica k shifts re-keyed ids by k * KEYSPAN
 
-def main(src: str, dst: str) -> None:
+def main(src: str, dst: str, reps: int = 10) -> None:
     out = Path(dst)
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     con.execute("SELECT setseed(0.42)")
-    con.execute(f"CREATE VIEW reps AS SELECT unnest(range({REPS})) AS k")
+    con.execute(f"CREATE VIEW reps AS SELECT unnest(range({reps})) AS k")
 
     def build(table: str, sql: str) -> None:
         con.execute(
@@ -71,4 +73,4 @@ def main(src: str, dst: str) -> None:
         print(f"  {dim}: copied")
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 10)
