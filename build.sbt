@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through verbatim: sbt's default logger
+// prefixes every line with "[info] ", which breaks any consumer that
+// json-parses Bench's single JSON output line (every BENCH_r*.json so
+// far shows parsed: null with the line present but prefixed in the tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

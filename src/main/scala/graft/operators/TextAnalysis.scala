@@ -164,8 +164,12 @@ object TextAnalysis extends QueryModule {
       lit(0L),
       (acc, f) => acc + (graft.functions.Fingerprints.fp8(f) % 17 - 8)
     )
+    // documentsDistributed, not documents: the logit fold is pure CPU per
+    // row, and the single-file gate fixture otherwise serializes the whole
+    // corpus pass onto one core (invisible until the round-7 bench fix —
+    // the old count() path pruned the projection and measured the scan)
     Tables
-      .documents(s, dir)
+      .documentsDistributed(s, dir)
       .select(col("source"), logit.as("logit"))
       .groupBy("source")
       .agg(
