@@ -70,6 +70,14 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEvents(s.read.parquet(s"$d/events.parquet"))
 
+  /** [[events]] with the [[documentsDistributed]] fan-out guarantee — for
+    * the per-row CPU consumers (timestamp rendering, JSON parsing) that a
+    * single-file fixture would otherwise serialize onto one core. The
+    * repartition runs BEFORE the normalize projection, so the fanned-out
+    * rows carry the raw file schema, not derived columns. */
+  def eventsDistributed(s: SparkSession, d: String): DataFrame =
+    normalizeEvents(distributed(s, d, "events"))
+
   /** Normalize a raw `events` scan to the engine shape
     * `(event_id, ts_ns, user_id, event_type, value, props, ts)` where
     * `ts_ns` is the raw ns-epoch LONG and `ts` a µs-precision TIMESTAMP.

@@ -322,13 +322,31 @@ object FuzzyDedup extends QueryModule {
   def embBandKeys(v: Column, bits: Int = EmbBits, bands: Int = EmbBands): Column =
     graft.plans.VectorExpressions.hyperplaneBandKeys(v, bits, bands)
 
+  /** [[EmbBits]]'s own sizing rule made executable: per-band candidate
+    * volume is n²/2^bits, so `bits` must track log₂(n) for candidates to
+    * stay O(n·bands). ceil(log₂ n) floored at [[EmbBits]] — a no-op at
+    * gate scale (2^12 = 4096 ≥ both gate corpora, so the oracles see the
+    * identical plan), engaged on scale corpora (20k vectors → 15 bits,
+    * 60k → 16). The 30× spot-run measured the fixed-bits cost: 919 cpu-s
+    * with 12 bits (the n²/2^bits term at 15× occupancy), 126 with
+    * auto-bits (6.8 s wall vs 35.2). The recall trade is the documented one: more bits lowers
+    * per-band collision odds at fixed band count (0.99998 → ~0.996 AT the
+    * 0.9 boundary for 16 bits); production re-sizing pairs bits growth
+    * with more bands to buy it back. */
+  def autoEmbBits(n: Long, floor: Int = EmbBits): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.max(floor, ceilLog2)
+  }
+
   /** LSH candidate pairs only (pre-verification) — exposed so specs can
-    * measure the candidate volume the banding actually admits. */
-  def embCandidates(s: SparkSession, dir: String, bits: Int = EmbBits, bands: Int = EmbBands): DataFrame = {
+    * measure the candidate volume the banding actually admits.
+    * `bits` ≤ 0 auto-sizes from the corpus row count ([[autoEmbBits]];
+    * parquet metadata count, no data read). */
+  def embCandidates(s: SparkSession, dir: String, bits: Int = 0, bands: Int = EmbBands): DataFrame = {
+    val emb = Similarity.embWithNorm(s, dir)
+    val b   = if (bits > 0) bits else autoEmbBits(emb.count())
     val banded = boundedBands(
-      Similarity
-        .embWithNorm(s, dir)
-        .select(col("vec_id"), explode(embBandKeys(col("v"), bits, bands)).as("band")),
+      emb.select(col("vec_id"), explode(embBandKeys(col("v"), b, bands)).as("band")),
       "band",
       MaxBandOccupancy
     )
@@ -351,7 +369,7 @@ object FuzzyDedup extends QueryModule {
   def embeddingPairsLsh(
       s: SparkSession,
       dir: String,
-      bits: Int = EmbBits,
+      bits: Int = 0, // ≤ 0 = auto-size from corpus rows (autoEmbBits)
       bands: Int = EmbBands
   ): DataFrame = {
     val emb  = Similarity.embWithNorm(s, dir)

@@ -263,17 +263,26 @@ object Analytics extends QueryModule {
           .as("orders_ok")
       )
 
-  /** The sketch next to the exact counts, unprojected (spec surface). */
-  def approxDistinctRaw(s: SparkSession, dir: String): DataFrame =
-    Tables
-      .lineitem(s, dir)
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_rows")
-      )
+  /** The sketch next to the exact counts, unprojected (spec surface).
+    *
+    * Deliberately NOT one aggregate: mixing approx_count_distinct with two
+    * exact countDistincts makes Spark's multi-distinct rewrite key the
+    * partial aggregate by (l_partkey, l_orderkey, gid) and carry a full
+    * ~800-register HLL state PER DISTINCT KEY GROUP — measured 810 cpu-s
+    * at the 10× corpus vs 2.3 s for these three skinny passes (the sketch
+    * pass is register-merge partial aggs; each exact pass shuffles one
+    * long per distinct value; the crossJoins fold 1-row aggregates). */
+  def approxDistinctRaw(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sk = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      count(lit(1)).as("n_rows")
+    )
+    val p = li.select("l_partkey").distinct().agg(count(lit(1)).as("n_parts"))
+    val o = li.select("l_orderkey").distinct().agg(count(lit(1)).as("n_orders"))
+    sk.crossJoin(p).crossJoin(o)
+  }
 
   /** Analytic window functions: lag + running sum per customer order
     * history (total ordering pinned by (date, orderkey) for determinism). */

@@ -37,7 +37,10 @@ object FaunaParity extends QueryModule {
       .otherwise(tsNs)                                                     // nanoseconds
 
   def epochNormalize(s: SparkSession, dir: String): DataFrame = {
-    val ev  = Tables.events(s, dir)
+    // eventsDistributed: the ISO render is pure CPU per row and the gate's
+    // single-file events scan would serialize it (exposed by the round-7
+    // honest bench: 10.2 s wall at the 10x corpus with ~2 cores busy)
+    val ev  = Tables.eventsDistributed(s, dir)
     val iso = epochToIso8601Utc(rawEpoch(col("event_id"), col("ts_ns")), AsOf)
     ev.withColumn("iso", iso)
       .groupBy("event_type")
@@ -61,7 +64,7 @@ object FaunaParity extends QueryModule {
   /** S4 permissive JSON: parse `events.props`, tolerate unparseable rows as
     * nulls, aggregate the extracted field. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame = {
-    val ev     = Tables.events(s, dir)
+    val ev     = Tables.eventsDistributed(s, dir) // per-row JSON parse: fan out
     val schema = StructType(Seq(StructField("k", LongType)))
     ev.withColumn("k", from_json(col("props"), schema).getField("k"))
       .groupBy("event_type")
@@ -76,7 +79,7 @@ object FaunaParity extends QueryModule {
     * through the full pipeline and assert the regex accepts every non-null
     * result (quality-gate parity with pipeline.py:85). */
   def isoValidate(s: SparkSession, dir: String): DataFrame = {
-    val ev  = Tables.events(s, dir)
+    val ev  = Tables.eventsDistributed(s, dir) // per-row render+regex: fan out
     val iso = epochToIso8601Utc(rawEpoch(col("event_id"), col("ts_ns")), AsOf)
     ev.withColumn("iso", iso)
       .agg(
