@@ -62,17 +62,24 @@ object DedupIndex {
     * co-bucketed join build. */
   private def reset(s: SparkSession, table: String): Unit = Layout.resetTable(s, table)
 
-  /** Build (or rebuild) the persisted index from the base corpus. */
+  /** Build (or rebuild) the persisted index from the base corpus.
+    *
+    * The corpus TEXT is scanned exactly twice (md5 pass, shingle pass) and
+    * shingled exactly once: the band table derives from a READ-BACK of the
+    * just-written shingle table — a skinny (doc_id, long[]) parquet scan —
+    * instead of re-scanning and re-shingling the text. At corpus scale the
+    * tokenize+hash pass over raw text is the dominant build CPU; paying it
+    * once per rebuild is the difference between a compaction that costs one
+    * corpus pass and one that costs two. */
   def build(docs: DataFrame, prefix: String = IndexPrefix): Unit = {
     val s = docs.sparkSession
     Seq(s"${prefix}_fp", s"${prefix}_shingles", s"${prefix}_bands").foreach(reset(s, _))
     Layout.writeBucketed(
       fingerprints(docs).select("fingerprint").distinct(),
       s"${prefix}_fp", "fingerprint", NumBuckets)
-    val sh = shingled(docs)
-    Layout.writeBucketed(sh, s"${prefix}_shingles", "doc_id", NumBuckets)
+    Layout.writeBucketed(shingled(docs), s"${prefix}_shingles", "doc_id", NumBuckets)
     val bands = FuzzyDedup.boundedBands(
-      sh.select(
+      s.table(s"${prefix}_shingles").select(
         col("doc_id"),
         explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")
       ),
@@ -137,7 +144,9 @@ object DedupIndex {
     Layout.appendBucketed(
       fingerprints(kept).select("fingerprint").distinct(),
       s"${prefix}_fp", "fingerprint", NumBuckets)
-    val sh = shingled(kept)
+    // delta-sized by the incremental premise: materialize once so the
+    // shingle append and the band derivation don't re-shingle the batch
+    val sh = shingled(kept).localCheckpoint()
     Layout.appendBucketed(sh, s"${prefix}_shingles", "doc_id", NumBuckets)
     val bands = FuzzyDedup.boundedBands(
       sh.select(
