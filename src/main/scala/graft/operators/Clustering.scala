@@ -89,9 +89,17 @@ object Clustering extends QueryModule {
       k: Int = K,
       iters: Int = Iters
   ): (DataFrame, Seq[(Long, Array[Double])]) = {
+    // Materialize the quantized projection ONCE (MLlib's pattern: persist
+    // the prepared input before an iterative fit). Without it every
+    // iteration's update — plus the caller's final pass — re-reads parquet
+    // and re-quantizes; localCheckpoint stores the skinny (vec_id, label,
+    // qv) blocks and truncates lineage, and the ContextCleaner frees the
+    // blocks when the query releases the frame. At corpus scale this is
+    // 8·dim bytes/vector — the thing you CAN afford to keep per fit.
     val emb = Tables
       .embeddingsDistributed(s, dir)
       .select(col("vec_id"), col("label").cast(LongType).as("label"), quantize(col("embedding")).as("qv"))
+      .localCheckpoint()
     // deterministic init: the k lowest vec_ids, cid = rank in that order
     var centroids: Seq[(Long, Array[Double])] = emb
       .orderBy("vec_id")
