@@ -123,9 +123,11 @@ object Clustering extends QueryModule {
     * modal-label mass, and exact integer SSE per cluster. */
   def kmeans(s: SparkSession, dir: String, k: Int = K, iters: Int = Iters): DataFrame = {
     val (emb, centroids) = fit(s, dir, k, iters)
+    // consumed by byLabel AND the size/SSE aggregate — one argmin pass
     val assigned = emb
       .withColumn("best", nearest(col("qv"), centroids))
       .select(col("vec_id"), col("label"), col("best.c").as("cid"), col("best.d").as("d"))
+      .localCheckpoint()
     val byLabel = assigned
       .groupBy("cid", "label")
       .agg(count(lit(1)).as("cnt"))
@@ -226,7 +228,10 @@ object Clustering extends QueryModule {
   }
 
   def semDedup(s: SparkSession, dir: String): DataFrame = {
-    val assigned = assignments(s, dir)
+    // the assignment is consumed four times (sizes, the fail-fast probe,
+    // both self-join sides) — materialize the skinny clustered corpus once
+    // instead of re-running the K-literal argmin per consumer
+    val assigned = assignments(s, dir).localCheckpoint()
     val sizes    = assigned.groupBy("cid").agg(count(lit(1)).as("n_points"))
     val maxCluster = s.conf
       .getOption("graft.semdedup.maxClusterSize")
@@ -291,10 +296,14 @@ object Clustering extends QueryModule {
     val assigned = emb
       .withColumn("best", nearest(col("qv"), centroids))
       .select(col("label"), col("best.c").as("cid"))
-    val ncl = assigned.groupBy("cid", "label").agg(count(lit(1)).as("n_cl"))
+    // ncl is k·|labels| rows but feeds five consumers (nc, nl, pur, mi,
+    // counts) — materialize it once so the assignment argmin runs a single
+    // time; every downstream aggregate is then model-sized. tot derives
+    // from ncl rather than re-scanning the assignment.
+    val ncl = assigned.groupBy("cid", "label").agg(count(lit(1)).as("n_cl")).localCheckpoint()
     val nc  = ncl.groupBy("cid").agg(sum(col("n_cl")).as("n_c"))
     val nl  = ncl.groupBy("label").agg(sum(col("n_cl")).as("n_l"))
-    val tot = assigned.agg(count(lit(1)).as("n"))
+    val tot = ncl.agg(sum(col("n_cl")).as("n"))
     val pur = ncl
       .groupBy("cid")
       .agg(max(col("n_cl")).as("mx"))

@@ -624,6 +624,8 @@ object FuzzyDedup extends QueryModule {
     * struct-ordering subtleties and keeps both engines trivially aligned. */
   def dedupSurvivorsByQuality(s: SparkSession, dir: String): DataFrame = {
     val (labels, _) = connectedComponents(minhashLsh(s, dir).select("id_a", "id_b"))
+    // (doc_id, source, qm) is consumed by the member join AND the final
+    // corpus rollup — materialize so the quality-score text pass runs once
     val docs = Tables
       .documentsDistributed(s, dir)
       .select(
@@ -633,7 +635,11 @@ object FuzzyDedup extends QueryModule {
           .cast(LongType)
           .as("qm")
       )
-    val members = labels.join(docs.select(col("doc_id").as("node"), col("qm")), Seq("node"))
+      .localCheckpoint()
+    // cluster-sized; feeds best/reps/removed — three consumers
+    val members = labels
+      .join(docs.select(col("doc_id").as("node"), col("qm")), Seq("node"))
+      .localCheckpoint()
     val best    = members.groupBy("label").agg(max(col("qm")).as("maxq"))
     val reps = members
       .join(best, Seq("label"))

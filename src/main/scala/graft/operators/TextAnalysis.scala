@@ -760,12 +760,15 @@ object TextAnalysis extends QueryModule {
     import s.implicits._
     val nTerms = RetrievalQueries.map { case (q, ts) => (q, ts.distinct.size.toLong) }
       .toDF("query_id", "n_query_terms")
+    // both union branches (bm25 / rrf) consume this — materialize the
+    // query-bounded candidate table so the score+window chain runs once
     val cand = rankedCandidates(s, dir)
       .join(broadcast(nTerms), Seq("query_id"))
       .withColumn(
         "rel",
         (col("n_terms_matched") === col("n_query_terms") && col("min_tf") >= RelMinTf).cast(LongType)
       )
+      .localCheckpoint()
     val bySystem = cand
       .select(col("query_id"), lit("bm25").as("system"), col("rank_bm25").as("rnk"), col("rel"))
       .unionByName(
