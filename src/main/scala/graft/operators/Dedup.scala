@@ -86,7 +86,11 @@ object Dedup extends QueryModule {
       s"$opName is the O(sum df^2) test-scale baseline: corpus has $n docs > limit $maxRows. " +
         "Use minhashLsh (q33) at corpus scale, or raise graft.invertedJaccard.maxRows explicitly."
     )
-    val sh  = Tables.documentsDistributed(s, dir).select(col("doc_id"), shingles(col("text")).as("shingles"))
+    // consumed by the size table AND the inverted index — one shingle pass
+    val sh = Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), shingles(col("text")).as("shingles"))
+      .localCheckpoint()
     // cast: Spark's size() is INT but DuckDB counts are BIGINT — the driver
     // hash is dtype-sensitive, so n_a/n_b must ship as BIGINT
     val sz = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))

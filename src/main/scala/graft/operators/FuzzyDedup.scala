@@ -95,10 +95,15 @@ object FuzzyDedup extends QueryModule {
   /** MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ 0.3:
     * signatures → band buckets → same-bucket candidates → exact verify. */
   def minhashLsh(s: SparkSession, dir: String, maxOccupancy: Int = MaxBandOccupancy): DataFrame = {
+    // (doc_id, shingles) is consumed three times (band derivation + both
+    // verify sides) — materialize so the text scan + tokenize/shingle pass
+    // runs once; the checkpointed projection is the hashed-longs layout
+    // DedupIndex persists, ~an order of magnitude smaller than the text
     val docs = Tables
       .documentsDistributed(s, dir)
       .select(col("doc_id"), Dedup.shingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .localCheckpoint()
     // Candidate generation stays SKINNY: only (band, doc_id) shuffles. The
     // shingle arrays would otherwise ride through the band join and the
     // pair-dedup exchange — at 100 TB that's the difference between
@@ -151,10 +156,13 @@ object FuzzyDedup extends QueryModule {
     * replays the identical candidate set in DuckDB, so the gate checks
     * PARITY of the declared semantics, not recall against q101. */
   def containmentLsh(s: SparkSession, dir: String, maxOccupancy: Int = MaxBandOccupancy): DataFrame = {
+    // three consumers (bands + both verify sides) — one shingle pass, as
+    // in [[minhashLsh]]
     val docs = Tables
       .documentsDistributed(s, dir)
       .select(col("doc_id"), Dedup.shingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .localCheckpoint()
     val bands = boundedBands(
       docs.select(col("doc_id"), explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")),
       "band",
@@ -275,7 +283,8 @@ object FuzzyDedup extends QueryModule {
     * silently running an O(n²) join — the count is one footer-statistics
     * read, not a scan. */
   def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
-    val emb = Similarity.embWithNorm(s, dir)
+    // both O(n²) join sides — one embedding scan + norm pass
+    val emb = Similarity.embWithNorm(s, dir).localCheckpoint()
     val maxRows = s.conf.getOption("graft.exactPairs.maxRows").map(_.toLong).getOrElse(ExactPairsDefaultMaxRows)
     val n = Tables.embeddings(s, dir).count()
     require(
@@ -342,9 +351,14 @@ object FuzzyDedup extends QueryModule {
     * measure the candidate volume the banding actually admits.
     * `bits` ≤ 0 auto-sizes from the corpus row count ([[autoEmbBits]];
     * parquet metadata count, no data read). */
-  def embCandidates(s: SparkSession, dir: String, bits: Int = 0, bands: Int = EmbBands): DataFrame = {
-    val emb = Similarity.embWithNorm(s, dir)
-    val b   = if (bits > 0) bits else autoEmbBits(emb.count())
+  def embCandidates(s: SparkSession, dir: String, bits: Int = 0, bands: Int = EmbBands): DataFrame =
+    embCandidatesOver(Similarity.embWithNorm(s, dir), bits, bands)
+
+  /** [[embCandidates]] over a caller-supplied (vec_id, v, nrm) frame — lets
+    * [[embeddingPairsLsh]] share ONE materialized projection between the
+    * row-count probe, the banding pass, and both verify sides. */
+  def embCandidatesOver(emb: DataFrame, bits: Int = 0, bands: Int = EmbBands): DataFrame = {
+    val b = if (bits > 0) bits else autoEmbBits(emb.count())
     val banded = boundedBands(
       emb.select(col("vec_id"), explode(embBandKeys(col("v"), b, bands)).as("band")),
       "band",
@@ -372,8 +386,10 @@ object FuzzyDedup extends QueryModule {
       bits: Int = 0, // ≤ 0 = auto-size from corpus rows (autoEmbBits)
       bands: Int = EmbBands
   ): DataFrame = {
-    val emb  = Similarity.embWithNorm(s, dir)
-    val cand = embCandidates(s, dir, bits, bands)
+    // four consumers (count probe, banding, both verify sides) — one
+    // embedding scan + norm pass
+    val emb  = Similarity.embWithNorm(s, dir).localCheckpoint()
+    val cand = embCandidatesOver(emb, bits, bands)
     val a    = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b    = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     cand
@@ -405,16 +421,21 @@ object FuzzyDedup extends QueryModule {
     * Output: one row per delta doc with its exact/near verdicts and the
     * keep decision a pipeline would act on. */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs   = Tables.documentsDistributed(s, dir)
-    val withFp = docs.select(col("doc_id"), md5(col("text")).as("fingerprint"))
+    val docs = Tables.documentsDistributed(s, dir)
+    // delta/base splits both read this — one md5 text pass
+    val withFp = docs
+      .select(col("doc_id"), md5(col("text")).as("fingerprint"))
+      .localCheckpoint()
     val delta  = withFp.filter(isDelta(col("doc_id")))
     val baseFp = withFp.filter(!isDelta(col("doc_id"))).select("fingerprint").distinct()
     val exactDup = delta
       .join(baseFp.withColumn("e", lit(1L)), Seq("fingerprint"), "left")
       .select(col("doc_id"), coalesce(col("e"), lit(0L)).as("exact_dup"))
+    // banding + both verify sides — one shingle pass (minhashLsh's rule)
     val sh = docs
       .select(col("doc_id"), Dedup.shingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .localCheckpoint()
     val bands = boundedBands(
       sh.select(col("doc_id"), explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")),
       "band",

@@ -115,7 +115,8 @@ object Similarity extends QueryModule {
     * shuffle. A vector lives in exactly one bucket, so candidate pairs are
     * already distinct. */
   def lshPairs(s: SparkSession, dir: String, bits: Int = LshBucketBits): DataFrame = {
-    val emb = embWithNorm(s, dir)
+    // bucketing + both verify sides — one embedding scan + norm pass
+    val emb = embWithNorm(s, dir).localCheckpoint()
     val skinny = FuzzyDedup.boundedBands(
       emb.select(lshBucket(col("v"), bits).as("bucket"), col("vec_id")),
       "bucket",
