@@ -585,10 +585,17 @@ object FuzzyDedup extends QueryModule {
     * joins are candidate-sized. Per-source accounting is the actionable
     * report (which crawl source leaks the benchmark). */
   def nearContamination(s: SparkSession, dir: String): DataFrame = {
+    // (doc_id, source, shingles) feeds FIVE consumers (eval bands, train
+    // bands, both verify sides, final accounting) — materialize so the
+    // corpus text is shingled ONCE per run instead of per consumer. At
+    // 100 TB the train side would instead re-shingle candidate-only rows
+    // (the candidate set is leak-sized); at gate SF the skinny checkpoint
+    // is the same call DedupIndex.probeAndAbsorb makes for its delta.
     val docs = Tables
       .documentsDistributed(s, dir)
       .select(col("doc_id"), col("source"), Dedup.shingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .localCheckpoint()
     val isEval = col("doc_id") % TrainingPrep.EvalMod === 0
     val eval   = docs.filter(isEval)
     val train  = docs.filter(!isEval)

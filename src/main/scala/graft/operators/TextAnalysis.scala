@@ -593,14 +593,23 @@ object TextAnalysis extends QueryModule {
   private def retrievalScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val termSet = RetrievalQueries.flatMap(_._2).distinct
-    val docs = Tables
+    // ONE tokenize pass: per doc its length plus only the query-vocab
+    // occurrences (array-HOF prefilter in the scan stage), reduced to a
+    // skinny (doc_id, dl, hits) frame that is match-sized in its array
+    // column. Both consumers — the corpus stats aggregate and the tf
+    // table — reuse the checkpoint instead of re-splitting the text.
+    val docTerms = Tables
       .documentsDistributed(s, dir)
       .select(col("doc_id"), split(col("text"), " +").as("t"))
-      .select(col("doc_id"), size(col("t")).cast(LongType).as("dl"), col("t"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tf = docs
-      .select(col("doc_id"), col("dl"), explode(col("t")).as("w"))
-      .filter(col("w").isin(termSet: _*))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast(LongType).as("dl"),
+        filter(col("t"), w => w.isin(termSet: _*)).as("hits")
+      )
+      .localCheckpoint()
+    val stats = docTerms.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docTerms
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
