@@ -570,4 +570,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(windows.nonEmpty && windows.forall(w => !w.contains("Window [") || w.contains("query_id")),
       s"window not partitioned by query_id:\n${windows.mkString("\n")}")
   }
+
+  test("q113/q140 scan corpus text exactly once: downstream plans read only the checkpoint") {
+    // both queries reduce the text scan to one checkpointed skinny frame
+    // (shingles for the contamination screen, query-vocab hits for
+    // retrieval) — a repeated-scan regression reintroduces a documents
+    // FileScan into the RETURNED plan, which must only see the RDD scans
+    for (
+      (name, df) <- Seq(
+        "q113" -> graft.operators.FuzzyDedup.nearContamination(spark, dir),
+        "q140" -> graft.operators.TextAnalysis.retrievalEval(spark, dir)
+      )
+    ) {
+      val plan = finalPlan(df)
+      val docScans =
+        plan.linesIterator.count(l => l.contains("FileScan parquet") && l.contains("documents"))
+      assert(
+        docScans == 0,
+        s"$name re-reads documents.parquet downstream of its one-pass checkpoint ($docScans scans):\n$plan"
+      )
+      assert(plan.contains("Scan ExistingRDD"), s"$name lost its checkpointed text pass")
+    }
+  }
 }
