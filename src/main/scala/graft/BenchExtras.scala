@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{DedupIndex, FuzzyDedup}
 import graft.queries.Analytics
-import graft.sources.Layout
 
 /** Bench-only rows splitting BUILD from PROBE for the persisted-state
   * queries (q106 dedup index, q112 absorb, q124 bucketed join). The
@@ -63,36 +62,13 @@ object BenchExtras {
   }
 
   def layoutBuild(s: SparkSession, dir: String): DataFrame = {
-    Layout.resetTable(s, "g124b_orders")
-    Layout.resetTable(s, "g124b_lineitem")
-    Layout.writeBucketed(
-      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
-      "g124b_orders", "o_orderkey", Analytics.JoinBuckets)
-    Layout.writeBucketed(
-      Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
-      "g124b_lineitem", "l_orderkey", Analytics.JoinBuckets)
+    Analytics.bucketedLayoutBuild(s, dir, "g124b")
     done(s)
   }
 
   def bucketedProbe(s: SparkSession, dir: String): DataFrame = {
-    ensure(s"g124p:$dir") {
-      Layout.resetTable(s, "g124p_orders")
-      Layout.resetTable(s, "g124p_lineitem")
-      Layout.writeBucketed(
-        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
-        "g124p_orders", "o_orderkey", Analytics.JoinBuckets)
-      Layout.writeBucketed(
-        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
-        "g124p_lineitem", "l_orderkey", Analytics.JoinBuckets)
-    }
-    s.table("g124p_orders")
-      .hint("merge")
-      .join(s.table("g124p_lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .groupBy("o_orderpriority")
-      .agg(
-        count(lit(1)).as("n_items"),
-        graft.Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), graft.Num.dec6).as("revenue")
-      )
+    ensure(s"g124p:$dir") { Analytics.bucketedLayoutBuild(s, dir, "g124p") }
+    Analytics.bucketedJoinProbe(s, "g124p")
   }
 
   /** Short keys stay collision-free against the registry's qNN keys. */

@@ -214,24 +214,47 @@ object DedupIndex {
     * [[build]] compaction exactly like LSM segment repair. The recovery
     * spec exercises the covered window (kill after sink, before
     * checkpoint commit), which is what an orderly kill-and-restart hits. */
+  /** Per-JVM committed-batch high-water mark, keyed by verdict table.
+    * Within a run `foreachBatch` ids are monotone and never repeat, so a
+    * replay can only be the FIRST batch after a (re)start — the marker
+    * TABLE only needs probing when this JVM has no mark yet; afterwards
+    * the in-memory mark answers "not a replay" without scanning the
+    * ever-growing verdict table on every trigger. */
+  private val committedHighWater = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   def probeAndAbsorbBatch(prefix: String = IndexPrefix)(batch: DataFrame, batchId: Long): Unit = {
     val s  = batch.sparkSession
     val vt = s"${prefix}_verdicts"
-    val replayed = s.catalog.tableExists(vt) &&
-      !s.table(vt).filter(col("batch_id") === batchId).isEmpty
-    if (!replayed)
+    val replayed = committedHighWater.get(vt) match {
+      case Some(hw) => batchId <= hw
+      case None => // restart recovery: one table probe, then the mark takes over
+        s.catalog.tableExists(vt) &&
+          !s.table(vt).filter(col("batch_id") === batchId).isEmpty
+    }
+    if (!replayed) {
       probeAndAbsorb(s, batch, prefix)
         .withColumn("batch_id", lit(batchId))
         .write
         .mode("append")
         .format("parquet")
         .saveAsTable(vt)
+      // mark AFTER the marker write: a failed append must stay re-probeable
+      committedHighWater.update(vt, math.max(committedHighWater.getOrElse(vt, -1L), batchId))
+    }
   }
+
+  /** Test hook: forget the in-memory mark WITHOUT touching the table —
+    * simulates a fresh JVM so a same-JVM spec can exercise the restart
+    * table-probe path a real recovery takes. */
+  private[graft] def clearReplayMark(prefix: String = IndexPrefix): Unit =
+    committedHighWater.remove(s"${prefix}_verdicts")
 
   /** Drop the verdict table (and clear its location) before starting a new
     * stream against `prefix`. */
-  def resetVerdicts(s: SparkSession, prefix: String = IndexPrefix): Unit =
+  def resetVerdicts(s: SparkSession, prefix: String = IndexPrefix): Unit = {
+    clearReplayMark(prefix)
     reset(s, s"${prefix}_verdicts")
+  }
 
   /** q106: build the index from the q58 base split, probe the q58 delta —
     * end-to-end through the PERSISTED tables, never the in-memory base. */

@@ -283,8 +283,9 @@ object FuzzyDedup extends QueryModule {
     * silently running an O(n²) join — the count is one footer-statistics
     * read, not a scan. */
   def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
-    // both O(n²) join sides — one embedding scan + norm pass
-    val emb = Similarity.embWithNorm(s, dir).localCheckpoint()
+    // fail-fast BEFORE the eager checkpoint below: localCheckpoint
+    // materializes the full scan + norm pass, which is exactly the work
+    // the guard exists to refuse on an oversized corpus
     val maxRows = s.conf.getOption("graft.exactPairs.maxRows").map(_.toLong).getOrElse(ExactPairsDefaultMaxRows)
     val n = Tables.embeddings(s, dir).count()
     require(
@@ -292,6 +293,8 @@ object FuzzyDedup extends QueryModule {
       s"embeddingPairs is the O(n²) test-scale baseline: corpus has $n vectors > limit $maxRows. " +
         "Use embeddingPairsLsh (q39) at corpus scale, or raise graft.exactPairs.maxRows explicitly."
     )
+    // both O(n²) join sides — one embedding scan + norm pass
+    val emb = Similarity.embWithNorm(s, dir).localCheckpoint()
     val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))

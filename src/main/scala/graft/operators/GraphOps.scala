@@ -440,12 +440,16 @@ object GraphOps extends QueryModule {
     val baseC = base.localCheckpoint()
     val deltaC = delta.localCheckpoint()
     val und = baseC.unionByName(deltaC)
+    // |V|-row table consumed by THREE scalar actions (candMass join,
+    // wedge-work agg, db-endpoint join) — materialize so the degree
+    // aggregation over the edge set runs once, not per action
     val deg = und
       .select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node")
       .agg(count(lit(1)).as("deg"))
-    val candMass = delta
+      .localCheckpoint()
+    val candMass = deltaC
       .select(explode(array(col("a"), col("b"))).as("node"))
       .join(deg, Seq("node"))
       .agg(sum(col("deg")))

@@ -72,9 +72,13 @@ object Multimodal extends QueryModule {
     * generated PNG through it per-partition. */
   final class ImageIOCodec extends MediaCodec {
     override def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
+      // NonFatal, not just IOException: the JDK plugin readers throw
+      // RuntimeExceptions on corrupt input (CMMException on a broken ICC
+      // profile, ArrayIndexOutOfBounds on truncated GIF/BMP) — any of
+      // them must land in the fallback, not fail the task
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) FakeCodec.decode(docId, payload)
       else MediaMeta(docId, payload.length.toLong, FakeCodec.md5hex(payload), img.getWidth, img.getHeight, 1)
     }

@@ -596,24 +596,35 @@ object Analytics extends QueryModule {
     * The `merge` hint keeps the demonstration honest at gate SF (AQE
     * would otherwise broadcast the small side and hide the layout win);
     * at production SF sort-merge is what the planner picks anyway. */
-  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+  /** The one-time layout build, parameterized by table prefix — the bench's
+    * build/probe split rows call THIS so they measure the registered
+    * query's exact shape, never a drifted copy. */
+  def bucketedLayoutBuild(s: SparkSession, dir: String, prefix: String = "g124"): Unit = {
     import graft.sources.Layout
-    Layout.resetTable(s, "g124_orders")
-    Layout.resetTable(s, "g124_lineitem")
+    Layout.resetTable(s, s"${prefix}_orders")
+    Layout.resetTable(s, s"${prefix}_lineitem")
     Layout.writeBucketed(
       Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
-      "g124_orders", "o_orderkey", JoinBuckets)
+      s"${prefix}_orders", "o_orderkey", JoinBuckets)
     Layout.writeBucketed(
       Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
-      "g124_lineitem", "l_orderkey", JoinBuckets)
-    s.table("g124_orders")
+      s"${prefix}_lineitem", "l_orderkey", JoinBuckets)
+  }
+
+  /** The steady-state probe over an existing `prefix` layout. */
+  def bucketedJoinProbe(s: SparkSession, prefix: String = "g124"): DataFrame =
+    s.table(s"${prefix}_orders")
       .hint("merge")
-      .join(s.table("g124_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(s.table(s"${prefix}_lineitem"), col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_items"),
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), dec6).as("revenue")
       )
+
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    bucketedLayoutBuild(s, dir)
+    bucketedJoinProbe(s)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

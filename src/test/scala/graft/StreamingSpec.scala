@@ -584,7 +584,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(died, "injected kill did not terminate the first run — replay untested")
 
     // run 2: same checkpoint, plain sink — batch 1 REPLAYS (its offset was
-    // logged, its commit was not) and must no-op on its marker
+    // logged, its commit was not) and must no-op on its marker. Clear the
+    // in-memory high-water mark first: a real restart is a fresh JVM, and
+    // the replay must be caught by the TABLE probe, not the run-1 mark.
+    DedupIndex.clearReplayMark(prefix)
     val q2 = start(DedupIndex.probeAndAbsorbBatch(prefix))
     try q2.processAllAvailable()
     finally q2.stop()
