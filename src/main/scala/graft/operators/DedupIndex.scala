@@ -225,11 +225,22 @@ object DedupIndex {
   def probeAndAbsorbBatch(prefix: String = IndexPrefix)(batch: DataFrame, batchId: Long): Unit = {
     val s  = batch.sparkSession
     val vt = s"${prefix}_verdicts"
+    // The mark is only trusted while its table still exists (a catalog
+    // lookup, not a scan): a DROP TABLE / warehouse wipe outside
+    // resetVerdicts would otherwise leave a stale mark silently dropping
+    // every batch of the next stream. A caller that keeps the table but
+    // restarts from a FRESH checkpoint must go through resetVerdicts —
+    // the same contract the marker table itself already imposes.
     val replayed = committedHighWater.get(vt) match {
-      case Some(hw) => batchId <= hw
-      case None => // restart recovery: one table probe, then the mark takes over
-        s.catalog.tableExists(vt) &&
+      case Some(hw) if s.catalog.tableExists(vt) => batchId <= hw
+      case _ =>
+        committedHighWater.remove(vt) // drop any stale mark
+        val seen = s.catalog.tableExists(vt) &&
           !s.table(vt).filter(col("batch_id") === batchId).isEmpty
+        // a found batchId IS a valid high-water mark (ids are monotone):
+        // install it so the NEXT batch answers from memory, not the table
+        if (seen) committedHighWater.update(vt, batchId)
+        seen
     }
     if (!replayed) {
       probeAndAbsorb(s, batch, prefix)

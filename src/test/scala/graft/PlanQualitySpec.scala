@@ -571,15 +571,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"window not partitioned by query_id:\n${windows.mkString("\n")}")
   }
 
-  test("q113/q140 scan corpus text exactly once: downstream plans read only the checkpoint") {
+  test("q113/q103 scan corpus text exactly once: downstream plans read only the checkpoint") {
     // both queries reduce the text scan to one checkpointed skinny frame
     // (shingles for the contamination screen, query-vocab hits for
     // retrieval) — a repeated-scan regression reintroduces a documents
-    // FileScan into the RETURNED plan, which must only see the RDD scans
+    // FileScan into the RETURNED plan, which must only see the RDD scans.
+    // q103 is the retrieval probe (NOT q140): retrievalEval checkpoints
+    // its own candidate frame, which would mask a retrievalScores
+    // regression; bm25Retrieval's returned plan sits directly on
+    // retrievalScores, so it genuinely exposes any re-tokenization there
     for (
       (name, df) <- Seq(
         "q113" -> graft.operators.FuzzyDedup.nearContamination(spark, dir),
-        "q140" -> graft.operators.TextAnalysis.retrievalEval(spark, dir)
+        "q103" -> graft.operators.TextAnalysis.bm25Retrieval(spark, dir)
       )
     ) {
       val plan = finalPlan(df)
