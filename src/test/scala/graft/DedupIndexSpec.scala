@@ -108,4 +108,28 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(got(1000000L)._1 == 1L && got(1000000L)._2 == 0L, s"exact dup not caught: $got")
     assert(got(1000001L) == ((0L, 1L)), s"novel doc not kept: $got")
   }
+
+  test("replay mark does not outlive its verdict table: a dropped table re-enables batch 0") {
+    import org.apache.spark.sql.functions.col
+    val prefix = "stale_mark_idx"
+    val docs   = spark.read.parquet(s"$dir/documents.parquet")
+    val base   = docs.filter(col("doc_id") % FuzzyDedup.DeltaMod < 8)
+    val batch  = docs.filter(col("doc_id") % FuzzyDedup.DeltaMod === 9)
+    DedupIndex.build(base, prefix)
+    DedupIndex.resetVerdicts(spark, prefix)
+    // stream 1 commits batches 0 and 1 — the in-memory mark now says hw=1
+    DedupIndex.probeAndAbsorbBatch(prefix)(batch, 0L)
+    DedupIndex.probeAndAbsorbBatch(prefix)(batch, 1L)
+    assert(spark.table(s"${prefix}_verdicts").count() > 0)
+    // the table is dropped OUTSIDE resetVerdicts (warehouse wipe / manual
+    // DROP) — the stale mark must not classify the next stream's batch 0
+    // as a replay and silently drop it
+    spark.sql(s"DROP TABLE ${prefix}_verdicts")
+    DedupIndex.probeAndAbsorbBatch(prefix)(batch, 0L)
+    assert(
+      spark.table(s"${prefix}_verdicts").filter(col("batch_id") === 0L).count() > 0,
+      "batch 0 of the fresh stream was silently dropped by a stale replay mark"
+    )
+    DedupIndex.resetVerdicts(spark, prefix)
+  }
 }
