@@ -14,9 +14,9 @@ import graft.sources.Layout
   * arriving batch. This operator persists the base's dedup state ONCE as
   * three bucketed tables and lets every subsequent delta batch probe them:
   *
-  *  - `<prefix>_fp`       (fingerprint)        bucketed by fingerprint
-  *  - `<prefix>_bands`    (band, doc_id)       bucketed by band
-  *  - `<prefix>_shingles` (doc_id, shingles)   bucketed by doc_id
+  *  - `<prefix>_fp`       (fingerprint)                     bucketed by fingerprint
+  *  - `<prefix>_bands`    (band, doc_id)                    bucketed by band
+  *  - `<prefix>_shingles` (doc_id, fingerprint, shingles)   bucketed by doc_id
   *
   * Bucketing is the scale story: the three probe joins (exact fingerprint,
   * band candidates, shingle verify) each hit an index table PRE-BUCKETED on
@@ -58,31 +58,45 @@ object DedupIndex {
       .select(col("doc_id"), Dedup.shingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
+  /** ONE text projection computing both dedup signals — what [[build]] and
+    * [[probeAndAbsorb]] persist, so the corpus text is read and tokenized
+    * exactly once per rebuild/absorb. Rows with empty shingle arrays stay
+    * (their fingerprint still belongs in the exact-dup table); they never
+    * reach the band table, so verify-join semantics are unchanged. */
+  private def hashed(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text")).as("fingerprint"),
+      Dedup.shingles(col("text")).as("shingles"))
+
   /** See [[graft.sources.Layout.resetTable]] — shared with q124's
     * co-bucketed join build. */
   private def reset(s: SparkSession, table: String): Unit = Layout.resetTable(s, table)
 
   /** Build (or rebuild) the persisted index from the base corpus.
     *
-    * The corpus TEXT is scanned exactly twice (md5 pass, shingle pass) and
-    * shingled exactly once: the band table derives from a READ-BACK of the
-    * just-written shingle table — a skinny (doc_id, long[]) parquet scan —
-    * instead of re-scanning and re-shingling the text. At corpus scale the
-    * tokenize+hash pass over raw text is the dominant build CPU; paying it
-    * once per rebuild is the difference between a compaction that costs one
-    * corpus pass and one that costs two. */
+    * The corpus TEXT is scanned and tokenized exactly ONCE: the shingle
+    * table persists (doc_id, fingerprint, shingles) from a single
+    * projection, then BOTH derived tables come from read-backs of it —
+    * fingerprints as a skinny column scan, bands as the (doc_id, long[])
+    * scan through the band-key expression. At corpus scale reading and
+    * hashing raw text is the dominant build cost; one pass per rebuild is
+    * the whole point of the pay-once index. */
   def build(docs: DataFrame, prefix: String = IndexPrefix): Unit = {
     val s = docs.sparkSession
     Seq(s"${prefix}_fp", s"${prefix}_shingles", s"${prefix}_bands").foreach(reset(s, _))
+    Layout.writeBucketed(hashed(docs), s"${prefix}_shingles", "doc_id", NumBuckets)
+    val shTable = s.table(s"${prefix}_shingles")
     Layout.writeBucketed(
-      fingerprints(docs).select("fingerprint").distinct(),
+      shTable.select("fingerprint").distinct(),
       s"${prefix}_fp", "fingerprint", NumBuckets)
-    Layout.writeBucketed(shingled(docs), s"${prefix}_shingles", "doc_id", NumBuckets)
     val bands = FuzzyDedup.boundedBands(
-      s.table(s"${prefix}_shingles").select(
-        col("doc_id"),
-        explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")
-      ),
+      shTable
+        .filter(size(col("shingles")) > 0)
+        .select(
+          col("doc_id"),
+          explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")
+        ),
       "band",
       FuzzyDedup.MaxBandOccupancy
     )
@@ -141,18 +155,20 @@ object DedupIndex {
   def probeAndAbsorb(s: SparkSession, batch: DataFrame, prefix: String = IndexPrefix): DataFrame = {
     val verdicts = probe(s, batch, prefix).localCheckpoint()
     val kept     = batch.join(verdicts.filter(col("keep") === 1L).select("doc_id"), Seq("doc_id"))
+    // delta-sized by the incremental premise: ONE text pass over the
+    // survivors computes fingerprint + shingles together; the fp append
+    // and the band derivation both read the checkpoint, not the text
+    val sh = hashed(kept).localCheckpoint()
     Layout.appendBucketed(
-      fingerprints(kept).select("fingerprint").distinct(),
+      sh.select("fingerprint").distinct(),
       s"${prefix}_fp", "fingerprint", NumBuckets)
-    // delta-sized by the incremental premise: materialize once so the
-    // shingle append and the band derivation don't re-shingle the batch
-    val sh = shingled(kept).localCheckpoint()
     Layout.appendBucketed(sh, s"${prefix}_shingles", "doc_id", NumBuckets)
     val bands = FuzzyDedup.boundedBands(
-      sh.select(
-        col("doc_id"),
-        explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")
-      ),
+      sh.filter(size(col("shingles")) > 0)
+        .select(
+          col("doc_id"),
+          explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")
+        ),
       "band",
       FuzzyDedup.MaxBandOccupancy
     )
