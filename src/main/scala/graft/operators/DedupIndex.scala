@@ -41,6 +41,12 @@ import graft.sources.Layout
   * later batches dedup against base ∪ earlier survivors. [[build]] is the
   * rebuild primitive for periodic compaction (re-enforcing the global band
   * cap). Streaming: [[probeBatch]] is the `foreachBatch` sink.
+  *
+  * Schema migration: the shingle table gained the `fingerprint` column (the
+  * one-text-scan layout). An index persisted by the earlier 2-column layout
+  * still PROBES correctly (probe selects columns by name), but an absorb
+  * append fails loudly on the schema mismatch — run [[build]] (the normal
+  * compaction) once to migrate before resuming maintenance.
   */
 object DedupIndex {
 
@@ -50,19 +56,13 @@ object DedupIndex {
     * the base corpus (thousands). */
   val NumBuckets = 32
 
-  private def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), md5(col("text")).as("fingerprint"))
-
-  private def shingled(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), Dedup.shingles(col("text")).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-
-  /** ONE text projection computing both dedup signals — what [[build]] and
-    * [[probeAndAbsorb]] persist, so the corpus text is read and tokenized
-    * exactly once per rebuild/absorb. Rows with empty shingle arrays stay
-    * (their fingerprint still belongs in the exact-dup table); they never
-    * reach the band table, so verify-join semantics are unchanged. */
+  /** ONE text projection computing both dedup signals — every index path
+    * ([[build]], [[probe]], [[probeAndAbsorb]]) materializes this once and
+    * derives fingerprints, band keys and verify shingles from it, so text
+    * is read and tokenized exactly once per corpus/batch pass. Rows with
+    * empty shingle arrays stay (their fingerprint still belongs in the
+    * exact-dup table); they never reach the band table, so verify-join
+    * semantics are unchanged. */
   private def hashed(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -104,15 +104,23 @@ object DedupIndex {
   }
 
   /** Screen a delta batch against the persisted index: q58's output shape —
-    * one row per delta doc with (exact_dup, n_near, near_match, keep). */
-  def probe(s: SparkSession, delta: DataFrame, prefix: String = IndexPrefix): DataFrame = {
+    * one row per delta doc with (exact_dup, n_near, near_match, keep).
+    * The batch text is read ONCE (the [[hashed]] checkpoint); the three
+    * probe joins all derive from the skinny materialized frame. */
+  def probe(s: SparkSession, delta: DataFrame, prefix: String = IndexPrefix): DataFrame =
+    probeHashed(s, hashed(delta).localCheckpoint(), prefix)
+
+  /** [[probe]] over an already-materialized [[hashed]] frame — shared with
+    * [[probeAndAbsorb]], whose absorb appends reuse the same checkpoint. */
+  private def probeHashed(s: SparkSession, h: DataFrame, prefix: String): DataFrame = {
     val fpIdx   = s.table(s"${prefix}_fp")
     val bandIdx = s.table(s"${prefix}_bands")
     val shIdx   = s.table(s"${prefix}_shingles")
-    val exactDup = fingerprints(delta)
+    val exactDup = h
+      .select("doc_id", "fingerprint")
       .join(fpIdx.withColumn("e", lit(1L)), Seq("fingerprint"), "left")
       .select(col("doc_id"), coalesce(col("e"), lit(0L)).as("exact_dup"))
-    val dSh = shingled(delta)
+    val dSh = h.filter(size(col("shingles")) > 0).select("doc_id", "shingles")
     val cand = dSh
       .select(
         col("doc_id").as("d_id"),
@@ -153,18 +161,20 @@ object DedupIndex {
     * BEFORE the index tables are mutated — `probe` is lazy, and computing
     * it after the append would screen the batch against itself. */
   def probeAndAbsorb(s: SparkSession, batch: DataFrame, prefix: String = IndexPrefix): DataFrame = {
-    val verdicts = probe(s, batch, prefix).localCheckpoint()
-    val kept     = batch.join(verdicts.filter(col("keep") === 1L).select("doc_id"), Seq("doc_id"))
-    // delta-sized by the incremental premise: ONE text pass over the
-    // survivors computes fingerprint + shingles together; the fp append
-    // and the band derivation both read the checkpoint, not the text
-    val sh = hashed(kept).localCheckpoint()
+    // ONE text pass over the whole batch: probe joins AND the absorb
+    // appends all derive from this checkpoint — the batch text is never
+    // re-read after this line
+    val h        = hashed(batch).localCheckpoint()
+    val verdicts = probeHashed(s, h, prefix).localCheckpoint()
+    // survivor-sized: both checkpointed sides, three consumers below
+    val kept = h.join(verdicts.filter(col("keep") === 1L).select("doc_id"), Seq("doc_id"))
     Layout.appendBucketed(
-      sh.select("fingerprint").distinct(),
+      kept.select("fingerprint").distinct(),
       s"${prefix}_fp", "fingerprint", NumBuckets)
-    Layout.appendBucketed(sh, s"${prefix}_shingles", "doc_id", NumBuckets)
+    Layout.appendBucketed(kept, s"${prefix}_shingles", "doc_id", NumBuckets)
     val bands = FuzzyDedup.boundedBands(
-      sh.filter(size(col("shingles")) > 0)
+      kept
+        .filter(size(col("shingles")) > 0)
         .select(
           col("doc_id"),
           explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")
