@@ -782,19 +782,33 @@ object FuzzyDedup extends QueryModule {
     * codegen span; not the HOF formulation, whose interpreted lambdas
     * cost O(m·w) — parity-pinned in ExpressionParitySpec). Tokens and
     * hashes never leave their scan task; the exchanges carry skinny
-    * (doc_id, long) minimizer rows: one df partial aggregate over the
-    * minimizer vocabulary and one |sources|-row report aggregate. Text
+    * (source, hash, count) rows — vocabulary-sized after the map-side
+    * partial aggregate — plus one |sources|-row report aggregate. Corpus
+    * df comes from a window sum over those collapsed counts, so no
+    * occurrence-level self-join and no checkpoint materialization. Text
     * never shuffles. */
   def winnowing(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = winnowSketchTable(s, dir).localCheckpoint()
-    val occ    = perDoc.select(col("doc_id"), col("source"), explode(col("mins")).as("h"))
-    val dfreq  = occ.groupBy("h").agg(count(lit(1)).as("df"))
-    val agg = occ
-      .join(dfreq, Seq("h"))
+    val perDoc = winnowSketchTable(s, dir)
+    // ONE evaluation of the native sketch expression, no materialization:
+    // minimizer occurrences collapse map-side to per-(source, h) counts
+    // (mins is per-doc distinct, so c = docs-in-source containing h), then
+    // corpus df is a window sum over those SKINNY rows — replacing the
+    // r7 localCheckpoint + occ⋈dfreq self-join, whose eagerly-checkpointed
+    // sketch blocks accumulated across bench reps (rep walls grew 3.8→9.6 s)
+    // and whose checkpoint materialized corpus-sized minimizer arrays. The
+    // docs/positions branch below prunes `mins`, so the deque pass never
+    // runs twice: Catalyst evaluates WinnowMinimizers only under `sh`.
+    val sh = perDoc
+      .select(col("source"), explode(col("mins")).as("h"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("c"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val agg = sh
+      .withColumn("df", sum(col("c")).over(wDf))
       .groupBy("source")
       .agg(
-        count(lit(1)).as("n_minimizers"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_minimizers")
+        sum(col("c")).as("n_minimizers"),
+        sum(when(col("df") >= 2, col("c")).otherwise(0L)).as("n_dup_minimizers")
       )
     perDoc
       .groupBy("source")
