@@ -587,13 +587,48 @@ class PlanQualitySpec extends AnyFunSuite {
       )
     ) {
       val plan = finalPlan(df)
+      // anchored to the raw-text file's path fragment, not the bare
+      // substring "documents" — a persisted documents-DERIVED table (e.g.
+      // a dedup index read-back) must not trip this pin, and a renamed
+      // source dir must not silently make it vacuous
       val docScans =
-        plan.linesIterator.count(l => l.contains("FileScan parquet") && l.contains("documents"))
+        plan.linesIterator.count(l => l.contains("FileScan parquet") && l.contains("documents.parquet"))
       assert(
         docScans == 0,
         s"$name re-reads documents.parquet downstream of its one-pass checkpoint ($docScans scans):\n$plan"
       )
       assert(plan.contains("Scan ExistingRDD"), s"$name lost its checkpointed text pass")
+    }
+  }
+
+  test("q95-class events consumers fan out a single-split scan to all cores") {
+    // The r7 driver bench caught q95 running wall ~ cpu on 32 cores: the
+    // single-file events fixture yields ONE input split, serializing the
+    // scan+filter+projection pass that feeds every downstream exchange.
+    // eventsDistributed repartitions ONLY when estimated splits < cores
+    // (pass-through on a real multi-file corpus), so on this fixture the
+    // fan-out must be present and must reach >= defaultParallelism.
+    val cores = spark.sparkContext.defaultParallelism
+    val raw   = Tables.events(spark, dir)
+    assume(raw.rdd.getNumPartitions < cores, "fixture grew multi-split; pin is vacuous here")
+    val fanned = Tables.eventsDistributed(spark, dir)
+    assert(
+      fanned.rdd.getNumPartitions >= cores,
+      s"eventsDistributed yields ${fanned.rdd.getNumPartitions} partitions < $cores cores"
+    )
+    // and the REGISTERED CPU-bound consumers actually route through it:
+    // the fan-out shows up as a round-robin exchange in the executed plan
+    for (
+      (name, df) <- Seq(
+        "q95"  -> graft.operators.EventWindows.cohortRetention(spark, dir),
+        "q126" -> graft.operators.EventWindows.dataProfile(spark, dir)
+      )
+    ) {
+      val plan = finalPlan(df)
+      assert(
+        plan.contains("RoundRobinPartitioning"),
+        s"$name reads the single-split events scan without the fan-out repartition:\n$plan"
+      )
     }
   }
 }
