@@ -23,6 +23,45 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   */
 object Bench {
 
+  /** Fixed single-threaded spin used as a DIRECT contention probe: the
+    * work is constant (pure register xorshift, no allocation, no memory
+    * traffic), so its wall time on an idle core is stable run-to-run and
+    * inflates roughly with the number of runnable threads competing for
+    * the core. Sampled between queries (while the session is idle), it
+    * measures the box, not the engine — the r7 driver-vs-builder bench
+    * gap (162 s vs 104.9 s on identical code) was diagnosable only by
+    * hand from wall≫cpu signatures; this mechanizes it. */
+  final class ContentionProbe {
+    @volatile private[this] var sink = 0L // defeat dead-code elimination
+    def spin(): Double = {
+      val t0 = System.nanoTime()
+      var x  = 0x9E3779B97F4A7C15L
+      var i  = 0
+      while (i < 40_000_000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      sink = x
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  /** Run-cleanliness decision from (a) the probe walls — max/min ratio
+    * above [[ProbeRatioThreshold]] means the box's spare capacity visibly
+    * changed mid-run — and (b) the per-query later-rep wall spreads
+    * (rep 1 excluded: JIT lands there even on a quiet box) — a large
+    * fraction of unstable queries means the numbers are not comparable
+    * across rounds even if the probes missed the load burst. Returns
+    * (contended, probeRatio, unstableFraction). */
+  val ProbeRatioThreshold  = 1.5
+  val SpreadThreshold      = 1.5
+  val SpreadFracThreshold  = 0.25
+  def contentionFlags(probeWalls: Seq[Double], laterRepSpreads: Seq[Double]): (Boolean, Double, Double) = {
+    val probeRatio =
+      if (probeWalls.size >= 2 && probeWalls.min > 0) probeWalls.max / probeWalls.min else 1.0
+    val spreadFrac =
+      if (laterRepSpreads.isEmpty) 0.0
+      else laterRepSpreads.count(_ > SpreadThreshold).toDouble / laterRepSpreads.size
+    (probeRatio > ProbeRatioThreshold || spreadFrac > SpreadFracThreshold, probeRatio, spreadFrac)
+  }
+
   /** Accumulates executor CPU ns across all tasks; listener events arrive
     * asynchronously, so queries snapshot the counter before/after and the
     * bus is drained between queries. */
@@ -60,7 +99,11 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    val probe = new ContentionProbe
+    (1 to 3).foreach(_ => probe.spin()) // JIT-warm the probe loop itself
+    val probeWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      probeWalls += probe.spin() // sampled while the session is idle
       val runs = (1 to reps).map { _ =>
         org.apache.spark.GraftSparkBridge.drainListenerBus(sc) // attribute straggler events to the right query
         val cpu0 = cpu.cpuNs.sum()
@@ -95,6 +138,16 @@ object Bench {
       s"duplicate short bench keys would silently collide in the JSON line: " +
         shortKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.mkString(", ")
     )
+    probeWalls += probe.spin() // close the run: catch load arriving late
+    // later-rep spreads (rep 1 excluded — JIT) over queries big enough to
+    // measure; the probe walls catch load the spreads can't (uniform
+    // slowdown) and vice versa (a burst between two probes)
+    val spreads = results.collect {
+      case r if r._2 >= 0.2 && r._4.size >= 3 =>
+        val later = r._4.drop(1)
+        if (later.min > 0) later.max / later.min else 1.0
+    }
+    val (contended, probeRatio, spreadFrac) = contentionFlags(probeWalls.toSeq, spreads)
     // headline totals cover the REGISTRY rows only — bench extras (build/
     // probe splits) must not shift the cross-round total
     val registryResults = results.filter(r => SparkEntry.queries.contains(r._1))
@@ -110,7 +163,7 @@ object Bench {
       kv.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     def lineWith(qs: String, omitted: Int): String = {
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_sec":${s3(cpuTot)},"reps":$reps,"queries":$qs$om,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","cpu_sec":${s3(cpuTot)},"reps":$reps,"contended":$contended,"queries":$qs$om,"sf":"$sfDir"}"""
     }
     // stdout carries the registry rows only; extras live in the sidecar
     val perQ = registryResults.map(r => shortKey(r._1) -> r._2)
@@ -127,11 +180,15 @@ object Bench {
       lineWith(jsonWith(s2, slowest), perQ.size - keep)
     }
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
-    val detail = results
+    // "_run" sorts apart from query names; probe walls kept so a human
+    // can see WHEN the load arrived, not just that it did
+    val runRow =
+      s""""_run":{"contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
+    val detail = (runRow +: results
       .map { r =>
         val walls = r._4.map(s3).mkString("[", ",", "]")
         s""""${r._1}":{"wall_sec":${s3(r._2)},"cpu_sec":${s3(r._3)},"rep_walls":$walls}"""
-      }
+      })
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),

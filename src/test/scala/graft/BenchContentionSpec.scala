@@ -1,0 +1,74 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's run-cleanliness flag (`contended` on the stdout line,
+  * `_run` in bench_detail.json): the r7 driver run measured 162 s wall
+  * where the round-close run on identical code measured 104.9 s, and the
+  * discrepancy was diagnosable only by hand (wall ≫ cpu, first-rep
+  * spikes). These tests prove the mechanized flag fires on a deliberately
+  * loaded box and stays off on a quiet one.
+  */
+class BenchContentionSpec extends AnyFunSuite {
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  test("contention probe inflates under deliberate load and the flag fires") {
+    val probe = new Bench.ContentionProbe
+    (1 to 3).foreach(_ => probe.spin()) // JIT warmup, as Bench.main does
+    val quiet = (1 to 5).map(_ => probe.spin())
+
+    // deliberate load: 3 spin threads per hardware thread, so the probe's
+    // core is oversubscribed ~4x and its fixed work takes ~4x the wall
+    val n    = Runtime.getRuntime.availableProcessors() * 3
+    val stop = new AtomicBoolean(false)
+    val threads = (1 to n).map { _ =>
+      val t = new Thread(() => {
+        var x = 0xDEADBEEFL
+        while (!stop.get()) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17 }
+        if (x == 42) println(x) // keep the loop un-eliminable
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    val loaded =
+      try (1 to 5).map(_ => probe.spin())
+      finally { stop.set(true); threads.foreach(_.join(2000)) }
+
+    val inflation = median(loaded) / median(quiet)
+    assert(
+      inflation > Bench.ProbeRatioThreshold,
+      s"probe did not see the 4x-oversubscribed box: quiet=${quiet.mkString(",")} loaded=${loaded.mkString(",")}"
+    )
+    // a run whose probes span the load burst must flag contended...
+    val (flagLoaded, ratioLoaded, _) = Bench.contentionFlags(quiet ++ loaded, Nil)
+    assert(flagLoaded, s"flag off despite probe ratio $ratioLoaded")
+    // ...and the quiet prefix alone must not (sequential forked-JVM test
+    // run: no sibling suite is executing Spark jobs during this window)
+    val (flagQuiet, ratioQuiet, _) = Bench.contentionFlags(quiet, Nil)
+    assert(!flagQuiet, s"flag fired on a quiet box: probes=${quiet.mkString(",")} ratio=$ratioQuiet")
+  }
+
+  test("later-rep spread heuristic: bursty queries flag, warm stable reps don't") {
+    // shapes taken from real bench_detail rows: first-rep JIT spikes are
+    // excluded upstream (Bench.main drops rep 1), so these are later-rep
+    // spreads. The r7 contended driver run showed q20 [1.8, 5.1, 1.2]-type
+    // rep walls — later-rep spread 4.25 — across many queries.
+    val stable = Seq(1.05, 1.1, 0.98, 1.2, 1.0, 1.15)
+    val (offFlag, _, offFrac) = Bench.contentionFlags(Nil, stable)
+    assert(!offFlag && offFrac == 0.0, s"stable spreads flagged: $offFrac")
+
+    val bursty = Seq(4.25, 1.1, 2.3, 1.0, 3.8, 1.9)
+    val (onFlag, _, onFrac) = Bench.contentionFlags(Nil, bursty)
+    assert(onFlag && onFrac > Bench.SpreadFracThreshold, s"bursty spreads not flagged: $onFrac")
+  }
+
+  test("probe ratio alone fires without any spread evidence and vice versa") {
+    assert(Bench.contentionFlags(Seq(0.05, 0.05, 0.21), Nil)._1)
+    assert(Bench.contentionFlags(Seq(0.05, 0.051, 0.049), Seq(1.0, 5.0, 4.0, 3.0))._1)
+    assert(!Bench.contentionFlags(Seq(0.05, 0.051, 0.049), Seq(1.0, 1.1))._1)
+  }
+}
