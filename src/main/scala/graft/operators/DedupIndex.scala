@@ -44,9 +44,12 @@ import graft.sources.Layout
   *
   * Schema migration: the shingle table gained the `fingerprint` column (the
   * one-text-scan layout). An index persisted by the earlier 2-column layout
-  * still PROBES correctly (probe selects columns by name), but an absorb
-  * append fails loudly on the schema mismatch — run [[build]] (the normal
-  * compaction) once to migrate before resuming maintenance.
+  * still PROBES correctly (probe selects columns by name), but absorb
+  * appends the 3-column shape — [[probeAndAbsorb]] detects the old layout
+  * UP FRONT (a schema lookup before any probe work) and fails with the
+  * migration instruction: run [[build]] (the normal compaction) once to
+  * migrate before resuming maintenance. Both halves are pinned by
+  * DedupIndexSpec's old-layout test.
   */
 object DedupIndex {
 
@@ -161,6 +164,17 @@ object DedupIndex {
     * BEFORE the index tables are mutated — `probe` is lazy, and computing
     * it after the append would screen the batch against itself. */
   def probeAndAbsorb(s: SparkSession, batch: DataFrame, prefix: String = IndexPrefix): DataFrame = {
+    // Detect a pre-fingerprint (2-column) shingle table UP FRONT — without
+    // this, the mismatch surfaces as an AnalysisException on the absorb
+    // append, mid-stream, AFTER probe work was spent. A catalog schema
+    // lookup, not a scan.
+    val shCols = s.table(s"${prefix}_shingles").schema.fieldNames
+    require(
+      shCols.contains("fingerprint"),
+      s"${prefix}_shingles has the pre-fingerprint layout (${shCols.mkString(", ")}): " +
+        "probe still works against it, but absorb appends the 3-column shape — " +
+        "run DedupIndex.build() once (the normal compaction) to migrate before resuming maintenance"
+    )
     // ONE text pass over the whole batch: probe joins AND the absorb
     // appends all derive from this checkpoint — the batch text is never
     // re-read after this line
@@ -240,13 +254,19 @@ object DedupIndex {
     * [[build]] compaction exactly like LSM segment repair. The recovery
     * spec exercises the covered window (kill after sink, before
     * checkpoint commit), which is what an orderly kill-and-restart hits. */
-  /** Per-JVM committed-batch high-water mark, keyed by verdict table.
-    * Within a run `foreachBatch` ids are monotone and never repeat, so a
-    * replay can only be the FIRST batch after a (re)start — the marker
-    * TABLE only needs probing when this JVM has no mark yet; afterwards
-    * the in-memory mark answers "not a replay" without scanning the
-    * ever-growing verdict table on every trigger. */
+  /** Per-JVM committed-batch high-water mark, keyed by (warehouse dir,
+    * verdict table) — table name alone would let one JVM hosting two
+    * sessions with DIFFERENT warehouses (each with its own
+    * `<prefix>_verdicts`) share a mark and silently drop the other
+    * stream's batches. Within a run `foreachBatch` ids are monotone and
+    * never repeat, so a replay can only be the FIRST batch after a
+    * (re)start — the marker TABLE only needs probing when this JVM has no
+    * mark yet; afterwards the in-memory mark answers "not a replay"
+    * without scanning the ever-growing verdict table on every trigger. */
   private val committedHighWater = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def hwKey(s: SparkSession, vt: String): String =
+    s"${s.conf.get("spark.sql.warehouse.dir", "")}::$vt"
 
   def probeAndAbsorbBatch(prefix: String = IndexPrefix)(batch: DataFrame, batchId: Long): Unit = {
     val s  = batch.sparkSession
@@ -257,17 +277,26 @@ object DedupIndex {
     // every batch of the next stream. A caller that keeps the table but
     // restarts from a FRESH checkpoint must go through resetVerdicts —
     // the same contract the marker table itself already imposes.
-    val replayed = committedHighWater.get(vt) match {
+    val key = hwKey(s, vt)
+    val replayed = committedHighWater.get(key) match {
       case Some(hw) if s.catalog.tableExists(vt) => batchId <= hw
       case _ =>
-        committedHighWater.remove(vt) // drop any stale mark
+        committedHighWater.remove(key) // drop any stale mark
         val seen = s.catalog.tableExists(vt) &&
           !s.table(vt).filter(col("batch_id") === batchId).isEmpty
         // a found batchId IS a valid high-water mark (ids are monotone):
         // install it so the NEXT batch answers from memory, not the table
-        if (seen) committedHighWater.update(vt, batchId)
+        if (seen) committedHighWater.update(key, batchId)
         seen
     }
+    // replay skips must be OBSERVABLE: if a stale mark (or a foreign
+    // verdict table under a fresh checkpoint without resetVerdicts) ever
+    // misclassifies a live batch, the failure mode is silent data loss —
+    // one log line per skip turns that into a diagnosable signal
+    if (replayed)
+      System.err.println(
+        s"[graft] probeAndAbsorbBatch: batch $batchId of $vt treated as a replay (already committed) — skipping"
+      )
     if (!replayed) {
       probeAndAbsorb(s, batch, prefix)
         .withColumn("batch_id", lit(batchId))
@@ -276,15 +305,18 @@ object DedupIndex {
         .format("parquet")
         .saveAsTable(vt)
       // mark AFTER the marker write: a failed append must stay re-probeable
-      committedHighWater.update(vt, math.max(committedHighWater.getOrElse(vt, -1L), batchId))
+      committedHighWater.update(key, math.max(committedHighWater.getOrElse(key, -1L), batchId))
     }
   }
 
   /** Test hook: forget the in-memory mark WITHOUT touching the table —
     * simulates a fresh JVM so a same-JVM spec can exercise the restart
     * table-probe path a real recovery takes. */
-  private[graft] def clearReplayMark(prefix: String = IndexPrefix): Unit =
-    committedHighWater.remove(s"${prefix}_verdicts")
+  private[graft] def clearReplayMark(prefix: String = IndexPrefix): Unit = {
+    // keys are (warehouse :: table); a fresh JVM forgets ALL warehouses
+    val suffix = s"::${prefix}_verdicts"
+    committedHighWater.keys.filter(_.endsWith(suffix)).foreach(committedHighWater.remove)
+  }
 
   /** Drop the verdict table (and clear its location) before starting a new
     * stream against `prefix`. */

@@ -587,18 +587,33 @@ object FuzzyDedup extends QueryModule {
     * verify. The corpus never shuffles for candidate generation; verify
     * joins are candidate-sized. Per-source accounting is the actionable
     * report (which crawl source leaks the benchmark). */
+  /** Above this corpus size [[nearContamination]] swaps its eager
+    * `localCheckpoint` (non-reliable executor-local blocks: one executor
+    * loss fails the job, and the materialized shingle state is
+    * corpus-sized) for a lineage-preserving `persist(MEMORY_AND_DISK)` —
+    * still one shingle pass on first materialization, but a lost
+    * partition recomputes from the scan instead of killing the run.
+    * Override with `spark.graft.nearContamination.checkpointMaxRows`. */
+  val NearCheckpointMaxRows = 2000000L
+  val NearCheckpointConf    = "spark.graft.nearContamination.checkpointMaxRows"
+
   def nearContamination(s: SparkSession, dir: String): DataFrame = {
     // (doc_id, source, shingles) feeds FIVE consumers (eval bands, train
     // bands, both verify sides, final accounting) — materialize so the
     // corpus text is shingled ONCE per run instead of per consumer. At
-    // 100 TB the train side would instead re-shingle candidate-only rows
-    // (the candidate set is leak-sized); at gate SF the skinny checkpoint
-    // is the same call DedupIndex.probeAndAbsorb makes for its delta.
-    val docs = Tables
+    // gate SF the skinny checkpoint is the same call
+    // DedupIndex.probeAndAbsorb makes for its delta; past the conf
+    // ceiling (parquet-footer row count — no text read) the reliable
+    // persist path takes over, trading replay-on-loss for the checkpoint's
+    // unrecoverable executor-local blocks.
+    val projected = Tables
       .documentsDistributed(s, dir)
       .select(col("doc_id"), col("source"), Dedup.shingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .localCheckpoint()
+    val ceiling = s.conf.getOption(NearCheckpointConf).map(_.toLong).getOrElse(NearCheckpointMaxRows)
+    val docs =
+      if (Tables.documents(s, dir).count() <= ceiling) projected.localCheckpoint()
+      else projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val isEval = col("doc_id") % TrainingPrep.EvalMod === 0
     val eval   = docs.filter(isEval)
     val train  = docs.filter(!isEval)

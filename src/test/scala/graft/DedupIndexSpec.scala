@@ -132,4 +132,41 @@ class DedupIndexSpec extends AnyFunSuite {
     )
     DedupIndex.resetVerdicts(spark, prefix)
   }
+
+  test("pre-r7 2-column shingle layout: probe still answers, absorb fails upfront, build migrates") {
+    import org.apache.spark.sql.functions.col
+    val prefix = "oldlayout_idx"
+    val docs   = spark.read.parquet(s"$dir/documents.parquet")
+    val base   = docs.filter(col("doc_id") % FuzzyDedup.DeltaMod < 8)
+    val batch  = docs.filter(col("doc_id") % FuzzyDedup.DeltaMod === 8)
+    DedupIndex.build(base, prefix)
+    val expected = DedupIndex.probe(spark, batch).collect().map(_.toSeq).toSet
+    // rewrite the shingle table the pre-round-7 way: (doc_id, shingles),
+    // no fingerprint column — the layout a live index persisted before the
+    // one-text-scan change still carries
+    val shTable = s"${prefix}_shingles"
+    val old     = spark.table(shTable).select("doc_id", "shingles").collect()
+    val oldDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(old.toIndexedSeq),
+      org.apache.spark.sql.types.StructType(spark.table(shTable).schema.filter(f => f.name != "fingerprint"))
+    )
+    graft.sources.Layout.resetTable(spark, shTable)
+    graft.sources.Layout.writeBucketed(oldDf, shTable, "doc_id", DedupIndex.NumBuckets)
+    // 1) probe selects columns by name — the old layout must answer identically
+    val gotOld = DedupIndex.probe(spark, batch).collect().map(_.toSeq).toSet
+    assert(gotOld == expected, "old-layout probe diverged from the migrated index's answer")
+    // 2) absorb must fail LOUDLY and UP FRONT with the migration instruction,
+    //    not mid-stream on the append
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.probeAndAbsorb(spark, batch, prefix)
+    }
+    assert(
+      e.getMessage.contains("DedupIndex.build()"),
+      s"failure does not carry the migration instruction: ${e.getMessage}"
+    )
+    // 3) build() — the documented migration — restores maintenance
+    DedupIndex.build(base, prefix)
+    val verdicts = DedupIndex.probeAndAbsorb(spark, batch, prefix)
+    assert(verdicts.collect().map(_.toSeq).toSet == expected, "post-migration absorb verdicts drifted")
+  }
 }

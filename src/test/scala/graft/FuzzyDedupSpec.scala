@@ -205,4 +205,20 @@ class FuzzyDedupSpec extends AnyFunSuite {
     val (l2, _) = FuzzyDedup.connectedComponents(two)
     assert(l2.select("label").distinct().count() == 2)
   }
+
+  test("q113 persist path (over the checkpoint ceiling) answers identically to the checkpoint path") {
+    // the scale branch swaps the unrecoverable localCheckpoint for a
+    // lineage-preserving persist — same one-shingle-pass materialization,
+    // same answer; forcing the ceiling to 0 exercises it at gate SF
+    val dir      = "/root/testdata/sf0.001"
+    val expected = FuzzyDedup.nearContamination(spark, dir).collect().map(_.toSeq).toSet
+    spark.conf.set(FuzzyDedup.NearCheckpointConf, "0")
+    try {
+      val got = FuzzyDedup.nearContamination(spark, dir).collect().map(_.toSeq).toSet
+      assert(got == expected, "persist branch diverged from checkpoint branch")
+    } finally {
+      spark.conf.unset(FuzzyDedup.NearCheckpointConf)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }
