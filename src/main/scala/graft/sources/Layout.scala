@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Storage-layout helpers — at 100 TB the on-disk layout is the first
   * optimizer: partition columns prune whole directories at planning time,
@@ -18,14 +19,27 @@ object Layout {
 
   /** Bucketed + sorted table (requires the session catalog): co-locates
     * rows by `bucketCol` so an equi-join or groupBy on it runs
-    * exchange-free. The table-based analog of pre-partitioning RDDs. */
+    * exchange-free. The table-based analog of pre-partitioning RDDs.
+    *
+    * The write REPARTITIONS on the bucket column first: Spark's bucket id
+    * is `pmod(murmur3(col), numBuckets)` — the same expression
+    * `repartition(n, col)` partitions by — so after the exchange every
+    * task holds exactly one bucket and writes exactly one file. Without
+    * it each input task writes a file per bucket it touches: up to
+    * tasks × buckets files per write (a 1000-executor build against a
+    * 4096-bucket index would land millions of files — a metastore and
+    * list-scan killer). The exchange is the pay-once cost of laying data
+    * out by key, which is what a bucketed write IS; derived frames
+    * already hash-partitioned on the key pay a no-op-sized re-exchange
+    * of skinny rows. */
   def writeBucketed(
       df: DataFrame,
       table: String,
       bucketCol: String,
       numBuckets: Int
   ): Unit =
-    df.write
+    df.repartition(numBuckets, col(bucketCol))
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
@@ -36,14 +50,21 @@ object Layout {
     * incremental index maintenance. Spark validates the spec against the
     * catalog entry, so a drifted bucketCol/numBuckets fails loudly instead
     * of silently de-bucketing the table. Appended files are bucketed like
-    * the originals; scans over the union stay exchange-free on the key. */
+    * the originals; scans over the union stay exchange-free on the key.
+    *
+    * Same bucket-aligned repartition as [[writeBucketed]], and it matters
+    * MORE here: appends accumulate — an LSM-ish maintenance stream adding
+    * tasks × buckets files per batch (instead of ≤ buckets) grows the
+    * table's file count with every absorbed delta until the periodic
+    * [[graft.operators.DedupIndex.build]] compaction. */
   def appendBucketed(
       df: DataFrame,
       table: String,
       bucketCol: String,
       numBuckets: Int
   ): Unit =
-    df.write
+    df.repartition(numBuckets, col(bucketCol))
+      .write
       .mode(SaveMode.Append)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)

@@ -133,6 +133,40 @@ class DedupIndexSpec extends AnyFunSuite {
     DedupIndex.resetVerdicts(spark, prefix)
   }
 
+  test("bucketed writes emit ONE file per bucket: build <= buckets files, absorb adds <= buckets") {
+    // without the bucket-aligned repartition each input task writes a file
+    // per bucket it touches — tasks x buckets files per write, and appends
+    // accumulate that per BATCH (the 100 TB failure mode is millions of
+    // index files). Spark's bucket id is pmod(murmur3(col), buckets), the
+    // same hash repartition(n, col) uses, so the aligned write is exact.
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val prefix = "filecount_idx"
+    // multi-partition input, as on any real corpus: the single-file test
+    // fixture would otherwise write from ONE task and hide the
+    // tasks x buckets explosion this pin exists to catch (verified: with
+    // the aligned repartition removed, this spec fails at 8 tasks)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").repartition(8)
+    DedupIndex.build(docs.filter(col("doc_id") % FuzzyDedup.DeltaMod < 8), prefix)
+    def files(table: String): Int = {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val root =
+        if (warehouse.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(warehouse))
+        else java.nio.file.Paths.get(warehouse)
+      val loc = root.resolve(table)
+      java.nio.file.Files.list(loc).iterator().asScala
+        .count(p => p.getFileName.toString.startsWith("part-"))
+    }
+    for (t <- Seq(s"${prefix}_fp", s"${prefix}_bands", s"${prefix}_shingles"))
+      assert(files(t) <= DedupIndex.NumBuckets, s"$t wrote ${files(t)} files > ${DedupIndex.NumBuckets} buckets")
+    val before = files(s"${prefix}_shingles")
+    DedupIndex.probeAndAbsorb(spark, docs.filter(col("doc_id") % FuzzyDedup.DeltaMod === 8).repartition(8), prefix)
+    assert(
+      files(s"${prefix}_shingles") - before <= DedupIndex.NumBuckets,
+      s"absorb appended ${files(s"${prefix}_shingles") - before} files in one batch"
+    )
+  }
+
   test("pre-r7 2-column shingle layout: probe still answers, absorb fails upfront, build migrates") {
     import org.apache.spark.sql.functions.col
     val prefix = "oldlayout_idx"
