@@ -13,9 +13,20 @@ object Layout {
   /** Hive-style partitioned parquet: one directory per distinct value
     * combination; readers filtering on `cols` get PartitionFilters (pruning
     * before any IO) instead of data filters. Keep partition columns
-    * low-cardinality (date, region, event_type — never ids). */
+    * low-cardinality (date, region, event_type — never ids).
+    *
+    * Same file-count discipline as [[writeBucketed]]: without the
+    * repartition every task writes a file into every partition directory
+    * it touches (tasks × partitions files); repartitioning on the
+    * partition columns lands one file per directory. The trade is
+    * explicit: a hot partition value serializes into one write task —
+    * acceptable exactly because partition columns are low-cardinality
+    * dimensions whose per-value volume a day/region split already bounds;
+    * for skewed dimensions add a salt column to `cols`' repartition (not
+    * to the directory layout). */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+    df.repartition(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 
   /** Bucketed + sorted table (requires the session catalog): co-locates
     * rows by `bucketCol` so an equi-join or groupBy on it runs
