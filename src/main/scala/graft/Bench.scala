@@ -43,19 +43,26 @@ object Bench {
     }
   }
 
-  /** Run-cleanliness decision from (a) the probe walls — max/min ratio
+  /** Run-cleanliness decision from (a) the probe walls — p90/p10 ratio
     * above [[ProbeRatioThreshold]] means the box's spare capacity visibly
-    * changed mid-run — and (b) the per-query later-rep wall spreads
-    * (rep 1 excluded: JIT lands there even on a quiet box) — a large
-    * fraction of unstable queries means the numbers are not comparable
-    * across rounds even if the probes missed the load burst. Returns
-    * (contended, probeRatio, unstableFraction). */
+    * changed mid-run (percentiles, not max/min: one GC blip landing on a
+    * single probe out of 140+ must not flag an otherwise-quiet run; a
+    * real load burst inflates a sustained band of probes) — and (b) the
+    * per-query later-rep wall spreads (rep 1 excluded: JIT lands there
+    * even on a quiet box) — a large fraction of unstable queries means
+    * the numbers are not comparable across rounds even if the probes
+    * missed the burst. Returns (contended, probeRatio, unstableFraction). */
   val ProbeRatioThreshold  = 1.5
   val SpreadThreshold      = 1.5
   val SpreadFracThreshold  = 0.25
   def contentionFlags(probeWalls: Seq[Double], laterRepSpreads: Seq[Double]): (Boolean, Double, Double) = {
     val probeRatio =
-      if (probeWalls.size >= 2 && probeWalls.min > 0) probeWalls.max / probeWalls.min else 1.0
+      if (probeWalls.size >= 2) {
+        val s   = probeWalls.sorted
+        val p10 = s(math.round(0.1 * (s.size - 1)).toInt)
+        val p90 = s(math.round(0.9 * (s.size - 1)).toInt)
+        if (p10 > 0) p90 / p10 else 1.0
+      } else 1.0
     val spreadFrac =
       if (laterRepSpreads.isEmpty) 0.0
       else laterRepSpreads.count(_ > SpreadThreshold).toDouble / laterRepSpreads.size

@@ -61,6 +61,16 @@ object Tables {
     if (est < cores) df.repartition(cores) else df
   }
   private val splitEstimates = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Row count of a table, cached per (dir, name) for the JVM lifetime —
+    * for size-gated plan decisions (e.g. q113's checkpoint-vs-persist
+    * branch) that would otherwise schedule a count job per invocation.
+    * The count itself is parquet-footer metadata (no column IO), but on a
+    * real corpus it still runs a task per input split; the test data is
+    * read-only per round, so caching is sound. */
+  def rowCountCached(s: SparkSession, dir: String, name: String): Long =
+    rowCounts.computeIfAbsent(s"$dir/$name", _ => apply(s, dir, name).count())
+  private val rowCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
   /** `events` with `ts` surfaced as both a raw ns-epoch long (`ts_ns`) and a

@@ -22,7 +22,7 @@ object EventWindows extends QueryModule {
   /** Tumbling 1-hour windows: count + exact sum per (hour, event_type). */
   def tumbling(s: SparkSession, dir: String): DataFrame =
     Tables
-      .eventsDistributed(s, dir)
+      .events(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), dec6).as("sum_value"))
       .select(
@@ -37,7 +37,7 @@ object EventWindows extends QueryModule {
     * gaps-and-islands. */
   def sessions(s: SparkSession, dir: String): DataFrame =
     Tables
-      .eventsDistributed(s, dir)
+      .events(s, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), dec6).as("sum_value"))
       .select(
@@ -51,7 +51,7 @@ object EventWindows extends QueryModule {
   /** Sliding windows (1h length, 30m slide): each event lands in 2 windows. */
   def sliding(s: SparkSession, dir: String): DataFrame =
     Tables
-      .eventsDistributed(s, dir)
+      .events(s, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(
@@ -76,7 +76,7 @@ object EventWindows extends QueryModule {
       .orderBy("us")
       .rangeBetween(-TrailUs, 0)
     Tables
-      .eventsDistributed(s, dir)
+      .events(s, dir)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
       .select(
         col("event_id"),
@@ -101,7 +101,7 @@ object EventWindows extends QueryModule {
     * so it survives a 100× scale-up. Each click matches at most one of the
     * two probe rows (its own bucket), so no post-join dedup is needed. */
   def rangeJoinClicks(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.eventsDistributed(s, dir)
+    val ev = Tables.events(s, dir)
     val purchases = ev
       .filter(col("event_type") === "purchase")
       .select(
@@ -156,7 +156,7 @@ object EventWindows extends QueryModule {
       .partitionBy("user_id")
       .orderBy(col("us"), col("event_id"))
     val pairs = Tables
-      .eventsDistributed(s, dir)
+      .events(s, dir)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)
@@ -193,7 +193,7 @@ object EventWindows extends QueryModule {
     val w     = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val wRows = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val runs = Tables
-      .eventsDistributed(s, dir)
+      .events(s, dir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .withColumn("chg", when(col("prev").isNull || col("prev") =!= col("event_type"), 1L).otherwise(0L))
@@ -230,7 +230,7 @@ object EventWindows extends QueryModule {
     * micro sums / count — one deterministic double division per row). */
   def eventFunnel(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables
-      .eventsDistributed(s, dir)
+      .events(s, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
     val v = ev.filter(col("event_type") === "view").groupBy("user_id").agg(min(col("us")).as("t1"))
     val c = ev
@@ -281,6 +281,13 @@ object EventWindows extends QueryModule {
     * double division would round at the week boundary for large epochs. */
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     def weekOf(us: Column): Column = call_function("div", us, lit(WeekUs))
+    // eventsDistributed, NOT events: the cohort build + activity distinct
+    // are per-row CPU over every event; the r7 driver bench measured the
+    // single-split scan at wall ~ cpu (7.1 s). The shuffle-bound window/
+    // funnel consumers in this file deliberately stay on Tables.events —
+    // the fan-out exchange measurably regresses them at gate scale
+    // (q25 0.27->0.49 s, q92 cpu 0.5->6.3) and buys nothing: their first
+    // exchange re-partitions anyway. Fan-out is a per-site decision.
     val ev = Tables
       .eventsDistributed(s, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
@@ -324,7 +331,7 @@ object EventWindows extends QueryModule {
     * rejoin; nothing wide ever shuffles and no per-user window sort. */
   def rateAnomaly(s: SparkSession, dir: String): DataFrame = {
     val hours = Tables
-      .eventsDistributed(s, dir)
+      .events(s, dir)
       .select(col("user_id"), call_function("div", unix_micros(col("ts")), lit(HourUs)).as("hr"))
       .groupBy("user_id", "hr")
       .agg(count(lit(1)).as("cnt"))
@@ -369,6 +376,8 @@ object EventWindows extends QueryModule {
     * swap the exact distincts for q81's HLL sketches column-wise if 6×
     * Expand is too hot — the report schema is unchanged. */
   def dataProfile(s: SparkSession, dir: String): DataFrame = {
+    // eventsDistributed: the 6-way Expand multi-distinct is per-row CPU
+    // that a single-split scan serializes (see cohortRetention's note)
     val ev = Tables.eventsDistributed(s, dir).select(ProfileCols.map(col): _*)
     val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap { c =>
       Seq(
@@ -412,7 +421,7 @@ object EventWindows extends QueryModule {
     * exact LONGs, identical in DuckDB. */
   def skewDiagnosis(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables
-      .eventsDistributed(s, dir)
+      .events(s, dir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("cnt"))
     val coc = counts.groupBy("cnt").agg(count(lit(1)).as("freq"))
@@ -471,7 +480,7 @@ object EventWindows extends QueryModule {
       .partitionBy("user_id")
       .orderBy(col("us"), col("event_id"))
     Tables
-      .eventsDistributed(s, dir)
+      .events(s, dir)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
       .withColumn("t2", lead(col("event_type"), 1).over(w))
       .withColumn("t3", lead(col("event_type"), 2).over(w))

@@ -610,9 +610,23 @@ object FuzzyDedup extends QueryModule {
       .documentsDistributed(s, dir)
       .select(col("doc_id"), col("source"), Dedup.shingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val ceiling = s.conf.getOption(NearCheckpointConf).map(_.toLong).getOrElse(NearCheckpointMaxRows)
+    val ceiling = s.conf.getOption(NearCheckpointConf).map { v =>
+      try v.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$NearCheckpointConf must be a row count in plain digits, got '$v'")
+      }
+    }.getOrElse(NearCheckpointMaxRows)
+    // cached per (dir): the branch decision is identical every call, so
+    // don't schedule a count job per invocation/bench rep. The persist
+    // branch's cache entry lives until the session ends or the caller
+    // clears it — the production shape runs one contamination screen per
+    // corpus snapshot in its own job, where session lifetime IS the
+    // intended cache lifetime; a long-lived session mixing this at scale
+    // with other cache-hungry work should clearCache() between phases.
     val docs =
-      if (Tables.documents(s, dir).count() <= ceiling) projected.localCheckpoint()
+      if (Tables.rowCountCached(s, dir, "documents") <= ceiling) projected.localCheckpoint()
       else projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val isEval = col("doc_id") % TrainingPrep.EvalMod === 0
     val eval   = docs.filter(isEval)
@@ -804,30 +818,37 @@ object FuzzyDedup extends QueryModule {
     * never shuffles. */
   def winnowing(s: SparkSession, dir: String): DataFrame = {
     val perDoc = winnowSketchTable(s, dir)
-    // ONE evaluation of the native sketch expression, no materialization:
-    // minimizer occurrences collapse map-side to per-(source, h) counts
-    // (mins is per-doc distinct, so c = docs-in-source containing h), then
-    // corpus df is a window sum over those SKINNY rows — replacing the
-    // r7 localCheckpoint + occ⋈dfreq self-join, whose eagerly-checkpointed
-    // sketch blocks accumulated across bench reps (rep walls grew 3.8→9.6 s)
-    // and whose checkpoint materialized corpus-sized minimizer arrays. The
-    // docs/positions branch below prunes `mins`, so the deque pass never
-    // runs twice: Catalyst evaluates WinnowMinimizers only under `sh`.
+    // ONE text scan, ONE evaluation of the native sketch expression:
+    // posexplode_outer emits every (source, h) minimizer occurrence AND
+    // exactly one stat-carrying row per doc (pos 0 for sketched docs,
+    // null for too-short docs), so the occurrence counts and the per-doc
+    // docs/positions stats come out of the SAME pass — the r7 shape paid
+    // an occ⋈dfreq occurrence-level self-join off an eager corpus-sized
+    // checkpoint (47.7 cpu-s at sf0.1, blocks accumulating across bench
+    // reps); the first r8 rewrite fixed that but read the corpus text
+    // twice (once per aggregate branch). The collapsed per-(source, h)
+    // frame is vocabulary-sized, so ITS checkpoint is skinny, and corpus
+    // df is a window sum over it — no occurrence join, no second scan.
     val sh = perDoc
-      .select(col("source"), explode(col("mins")).as("h"))
+      .select(col("source"), col("m"), posexplode_outer(col("mins")).as(Seq("pos", "h")))
       .groupBy("source", "h")
-      .agg(count(lit(1)).as("c"))
+      .agg(
+        sum(when(col("h").isNotNull, 1L).otherwise(0L)).as("c"),
+        sum(when(col("pos") === 0 || col("pos").isNull, 1L).otherwise(0L)).as("d"),
+        sum(when(col("pos") === 0 || col("pos").isNull, col("m").cast(LongType)).otherwise(0L)).as("p")
+      )
+      .localCheckpoint()
     val wDf = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val agg = sh
+      .filter(col("h").isNotNull)
       .withColumn("df", sum(col("c")).over(wDf))
       .groupBy("source")
       .agg(
         sum(col("c")).as("n_minimizers"),
         sum(when(col("df") >= 2, col("c")).otherwise(0L)).as("n_dup_minimizers")
       )
-    perDoc
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("m").cast(LongType)).as("n_positions"))
+    sh.groupBy("source")
+      .agg(sum(col("d")).as("n_docs"), sum(col("p")).as("n_positions"))
       .join(agg, Seq("source"), "left")
       .select(
         col("source"),

@@ -21,12 +21,18 @@ object Layout {
     * partition columns lands one file per directory. The trade is
     * explicit: a hot partition value serializes into one write task —
     * acceptable exactly because partition columns are low-cardinality
-    * dimensions whose per-value volume a day/region split already bounds;
-    * for skewed dimensions add a salt column to `cols`' repartition (not
-    * to the directory layout). */
-  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
-    df.repartition(cols.map(col): _*)
+    * dimensions whose per-value volume a day/region split already bounds.
+    * For a skewed dimension pass `saltFiles` > 1: the repartition key
+    * gains a random salt (files per directory ≤ saltFiles) WITHOUT
+    * touching the directory layout. */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String], saltFiles: Int = 1): Unit = {
+    val keys =
+      if (saltFiles > 1)
+        cols.map(col) :+ (org.apache.spark.sql.functions.rand() * saltFiles).cast("int")
+      else cols.map(col)
+    df.repartition(keys: _*)
       .write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+  }
 
   /** Bucketed + sorted table (requires the session catalog): co-locates
     * rows by `bucketCol` so an equi-join or groupBy on it runs

@@ -18,7 +18,15 @@ class BenchContentionSpec extends AnyFunSuite {
   test("contention probe inflates under deliberate load and the flag fires") {
     val probe = new Bench.ContentionProbe
     (1 to 3).foreach(_ => probe.spin()) // JIT warmup, as Bench.main does
-    val quiet = (1 to 5).map(_ => probe.spin())
+    // a GC pause or ambient blip can inflate one spin of a 5-probe quiet
+    // window; take the first window that measures stable (up to 3 tries),
+    // and if the box is genuinely loaded right now, cancel rather than
+    // fail — the quiet-side assertion is about the FLAG, not the weather
+    val quiet = Iterator
+      .continually((1 to 5).map(_ => probe.spin()))
+      .take(3)
+      .find(w => w.max / w.min <= 1.3)
+      .getOrElse(cancel("no quiet 5-probe window in 3 tries — box is loaded; skipping"))
 
     // deliberate load: 3 spin threads per hardware thread, so the probe's
     // core is oversubscribed ~4x and its fixed work takes ~4x the wall

@@ -153,9 +153,10 @@ class DedupIndexSpec extends AnyFunSuite {
       val root =
         if (warehouse.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(warehouse))
         else java.nio.file.Paths.get(warehouse)
-      val loc = root.resolve(table)
-      java.nio.file.Files.list(loc).iterator().asScala
-        .count(p => p.getFileName.toString.startsWith("part-"))
+      val loc    = root.resolve(table)
+      val stream = java.nio.file.Files.list(loc)
+      try stream.iterator().asScala.count(p => p.getFileName.toString.startsWith("part-"))
+      finally stream.close()
     }
     for (t <- Seq(s"${prefix}_fp", s"${prefix}_bands", s"${prefix}_shingles"))
       assert(files(t) <= DedupIndex.NumBuckets, s"$t wrote ${files(t)} files > ${DedupIndex.NumBuckets} buckets")

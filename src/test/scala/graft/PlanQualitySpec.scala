@@ -617,11 +617,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"eventsDistributed yields ${fanned.rdd.getNumPartitions} partitions < $cores cores"
     )
     // and the REGISTERED CPU-bound consumers actually route through it:
-    // the fan-out shows up as a round-robin exchange in the executed plan
+    // the fan-out shows up as a round-robin exchange in the executed plan.
+    // Only these two — the shuffle-bound EventWindows consumers stay on
+    // the plain scan on purpose (the exchange measurably regresses them).
     for (
       (name, df) <- Seq(
-        "q95"  -> graft.operators.EventWindows.cohortRetention(spark, dir),
-        "q126" -> graft.operators.EventWindows.dataProfile(spark, dir)
+        "q95" -> graft.operators.EventWindows.cohortRetention(spark, dir),
+        "q98" -> graft.operators.EventWindows.dataProfile(spark, dir)
       )
     ) {
       val plan = finalPlan(df)
