@@ -88,13 +88,20 @@ object Multimodal extends QueryModule {
     private[Multimodal] def md5hex(payload: Array[Byte]): String =
       java.security.MessageDigest.getInstance("MD5").digest(payload).map("%02x".format(_)).mkString
 
+    /** The ONE header→dimensions formula, shared by [[decode]] (q50/q51)
+      * and [[extractFeatures]] (q52) — their alignment is a semantic
+      * invariant (resize operates on decode's dims), so it must not live
+      * as two hand-maintained copies. Empty-payload floor of 1 keeps both
+      * aligned with the SQL oracle's `ascii(substring(text,1,1)) % 128 +
+      * 1` (ascii of an empty string is 0 in DuckDB, so it also yields 1). */
+    private[Multimodal] def headerDims(payload: Array[Byte]): (Int, Int) = (
+      if (payload.length > 0) (payload(0) & 0x7f) + 1 else 1,
+      if (payload.length > 1) (payload(1) & 0x7f) + 1 else 1
+    )
+
     def decode(doc_id: Long, payload: Array[Byte]): MediaMeta = {
-      val sum = md5hex(payload)
-      // Empty-payload floor of 1 keeps decode aligned with extractFeatures
-      // AND the SQL oracle's `ascii(substring(text,1,1)) % 128 + 1` (ascii of
-      // an empty string is 0 in DuckDB, so the oracle also yields 1).
-      val w   = if (payload.length > 0) (payload(0) & 0x7f) + 1 else 1
-      val h   = if (payload.length > 1) (payload(1) & 0x7f) + 1 else 1
+      val sum    = md5hex(payload)
+      val (w, h) = headerDims(payload)
       MediaMeta(doc_id, payload.length.toLong, sum, w, h, payload.length / 1024 + 1)
     }
   }
@@ -177,11 +184,10 @@ object Multimodal extends QueryModule {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val p = r.payload
-        val n = p.length
-        val w = if (n > 0) (p(0) & 0x7f) + 1 else 1
-        val h = if (n > 1) (p(1) & 0x7f) + 1 else 1
-        val scale = math.min(math.min(64.0 / w, 64.0 / h), 1.0)
+        val p      = r.payload
+        val n      = p.length
+        val (w, h) = FakeCodec.headerDims(p) // q50's decode dims, one formula
+        val scale  = math.min(math.min(64.0 / w, 64.0 / h), 1.0)
         val rw = math.max(1L, math.floor(w * scale).toLong)
         val rh = math.max(1L, math.floor(h * scale).toLong)
         val bins = new Array[Long](4)
@@ -251,10 +257,11 @@ object Multimodal extends QueryModule {
         |  FROM s
         |)
         |SELECT doc_id, n AS n_bytes, rw, rh,
-        |  floor(CAST(b0 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS bin0,
-        |  floor(CAST(b1 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS bin1,
-        |  floor(CAST(b2 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS bin2,
-        |  floor(CAST(b3 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS bin3
+        |  -- n = 0 must yield 0.0, not 0/0 -> NULL, matching the Scala path
+        |  CASE WHEN n = 0 THEN 0.0 ELSE floor(CAST(b0 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 END AS bin0,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE floor(CAST(b1 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 END AS bin1,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE floor(CAST(b2 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 END AS bin2,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE floor(CAST(b3 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 END AS bin3
         |FROM b""".stripMargin,
     "q53_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,

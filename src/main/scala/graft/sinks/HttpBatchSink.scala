@@ -42,7 +42,8 @@ object HttpBatchSink {
     jsonRows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val client = new RetryingHttpClient(HttpTransport.byName(transportClass), policy, timeouts)
       it.map(_.getString(0)).grouped(size).foreach { group =>
-        client.post(HomePath, group.mkString("[", ",", "]"))
+        // the K1 array-envelope contract lives in ONE place (AnimalsJson)
+        client.post(HomePath, graft.sources.AnimalsJson.toJsonBatch(group))
         batches.add(1)
         records.add(group.size)
       }

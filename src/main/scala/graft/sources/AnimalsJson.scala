@@ -25,22 +25,38 @@ object AnimalsJson {
     if (v == null || v.isNull) None else Some(v.asText())
   }
 
-  /** Page envelope; unparseable body → empty single page (api.py:27-31). */
-  def parsePage(body: String): AnimalPage =
-    Try {
-      val root  = mapper.readTree(body)
-      val items = Option(root.get("items")).map { arr =>
-        (0 until arr.size()).map { i =>
-          val it = arr.get(i)
-          ListedAnimal(it.get("id").asLong(), optText(it, "name").getOrElse(""), optLong(it, "born_at"))
-        }.toSeq
-      }.getOrElse(Seq.empty)
-      AnimalPage(
-        Option(root.get("page")).map(_.asInt()).getOrElse(1),
-        Option(root.get("total_pages")).map(_.asInt()).getOrElse(1),
-        items
-      )
-    }.getOrElse(AnimalPage(1, 1, Seq.empty))
+  /** Page envelope; unparseable body → empty single page (api.py:27-31).
+    *
+    * The tolerance is scoped to the JSON PARSE, exactly like the
+    * reference's `resp.json()` — a page that parses but carries an
+    * id-less item fails LOUDLY (reference parity: `int(item["id"])`
+    * raises KeyError, pipeline.py:15). A whole-body Try here would
+    * let one malformed item silently discard every valid sibling AND
+    * reset the envelope to page=1/total_pages=1, which the paginated
+    * scan uses to PLAN partitions — a 40-page corpus would quietly
+    * plan as one page. */
+  def parsePage(body: String): AnimalPage = {
+    val parsed = Try(mapper.readTree(body)).toOption.filter(r => r != null && !r.isNull)
+    parsed match {
+      case None => AnimalPage(1, 1, Seq.empty)
+      case Some(root) =>
+        val items = Option(root.get("items")).filter(_.isArray).map { arr =>
+          (0 until arr.size()).map { i =>
+            val it = arr.get(i)
+            val id = Option(it.get("id")).filterNot(_.isNull).getOrElse {
+              throw new IllegalArgumentException(
+                s"animals page item $i has no 'id' (page=${optText(root, "page").orNull})")
+            }
+            ListedAnimal(id.asLong(), optText(it, "name").getOrElse(""), optLong(it, "born_at"))
+          }.toSeq
+        }.getOrElse(Seq.empty)
+        AnimalPage(
+          Option(root.get("page")).map(_.asInt()).getOrElse(1),
+          Option(root.get("total_pages")).map(_.asInt()).getOrElse(1),
+          items
+        )
+    }
+  }
 
   /** Detail record; unparseable body → None (api.py:36-39 yields {}). */
   def parseDetail(body: String): Option[AnimalDetailRec] =

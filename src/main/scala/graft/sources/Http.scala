@@ -37,9 +37,14 @@ final case class ValidationHttpException(detail: String, method: String, path: S
 final case class ClientHttpException(status: Int, method: String, path: String)
     extends RuntimeException(s"$status on $method $path")
 
-/** Retries exhausted (http_client.py:143-155). */
-final case class RetriesExhaustedException(status: Int, attempts: Int, method: String, path: String)
-    extends RuntimeException(s"giving up after $attempts attempts: $status on $method $path")
+/** Retries exhausted (http_client.py:143-155). `cause` carries the LAST
+  * transport exception when the failures were network errors (status -1):
+  * without it a read-timeout is indistinguishable from DNS failure, TLS
+  * error, or connection-refused in the task failure logs. */
+final case class RetriesExhaustedException(
+    status: Int, attempts: Int, method: String, path: String, cause: Option[Throwable] = None)
+    extends RuntimeException(
+      s"giving up after $attempts attempts: $status on $method $path", cause.orNull)
 
 /** Non-retryable unexpected status — a 5xx outside the retry set (501, 505,
   * …). The reference logs "[fatal] … not retrying" for these
@@ -95,18 +100,22 @@ final class RetryingHttpClient(
     val requestId = UUID.randomUUID().toString
     val headers   = Map("X-Request-Id" -> requestId)
     var lastStatus = -1
+    var lastError: Option[Throwable] = None
     var attempt    = 1
     while (attempt <= policy.attempts) {
       val resp =
         try Some(transport.request(method, path, body, headers))
-        catch { case scala.util.control.NonFatal(_) => None } // network error → retryable
+        catch { // network error → retryable; keep it for the give-up diagnosis
+          case scala.util.control.NonFatal(e) => lastError = Some(e); None
+        }
       resp match {
         case Some(r) if r.status >= 200 && r.status < 300 => return r
         case Some(r) if r.status == 422 =>
           throw ValidationHttpException(AnimalsJson.errorDetail(r.body), method, path)
         case Some(r) if r.status >= 400 && r.status < 500 =>
           throw ClientHttpException(r.status, method, path)
-        case Some(r) if policy.retryStatuses.contains(r.status) => lastStatus = r.status
+        case Some(r) if policy.retryStatuses.contains(r.status) =>
+          lastStatus = r.status; lastError = None
         // 3xx: returned outright, like the reference (redirect handling is
         // the caller's concern; raise_for_status passes them through).
         case Some(r) if r.status >= 300 && r.status < 400 => return r
@@ -117,7 +126,7 @@ final class RetryingHttpClient(
       if (attempt < policy.attempts) Thread.sleep(policy.backoffMs(attempt))
       attempt += 1
     }
-    throw RetriesExhaustedException(lastStatus, policy.attempts, method, path)
+    throw RetriesExhaustedException(lastStatus, policy.attempts, method, path, lastError)
   }
 }
 

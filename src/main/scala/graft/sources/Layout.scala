@@ -23,12 +23,19 @@ object Layout {
     * acceptable exactly because partition columns are low-cardinality
     * dimensions whose per-value volume a day/region split already bounds.
     * For a skewed dimension pass `saltFiles` > 1: the repartition key
-    * gains a random salt (files per directory ≤ saltFiles) WITHOUT
-    * touching the directory layout. */
+    * gains a salt (files per directory ≤ saltFiles) WITHOUT touching the
+    * directory layout. The salt is a DETERMINISTIC hash of the full row,
+    * never rand(): a random repartition key re-rolls on task retry, and
+    * rows recomputed after a shuffle-fetch failure then hash to different
+    * reducers than the outputs already consumed — the classic silent
+    * lose-or-duplicate hazard of repartition-by-rand. Identical rows
+    * share a salt (they co-locate), which is harmless for a write. */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String], saltFiles: Int = 1): Unit = {
     val keys =
       if (saltFiles > 1)
-        cols.map(col) :+ (org.apache.spark.sql.functions.rand() * saltFiles).cast("int")
+        cols.map(col) :+ org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(df.columns.map(col): _*),
+          org.apache.spark.sql.functions.lit(saltFiles))
       else cols.map(col)
     df.repartition(keys: _*)
       .write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
@@ -102,15 +109,20 @@ object Layout {
     val root =
       if (warehouse.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(warehouse))
       else java.nio.file.Paths.get(warehouse)
-    val loc = root.resolve(table)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files
-        .walk(loc)
-        .sorted(java.util.Comparator.reverseOrder())
-        .iterator()
-        .asScala
-        .foreach(java.nio.file.Files.delete)
+    // the metastore lowercases managed-table directory names, so a
+    // mixed-case caller ("DedupIndex") would otherwise miss the leftover
+    // at warehouse/dedupindex — exactly the LOCATION_ALREADY_EXISTS this
+    // helper exists to prevent; clear both spellings defensively
+    import scala.jdk.CollectionConverters._
+    Seq(table, table.toLowerCase(java.util.Locale.ROOT)).distinct.foreach { name =>
+      val loc = root.resolve(name)
+      if (java.nio.file.Files.exists(loc))
+        java.nio.file.Files
+          .walk(loc)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator()
+          .asScala
+          .foreach(java.nio.file.Files.delete)
     }
   }
 }

@@ -130,19 +130,27 @@ object EventStream {
     * key-omission JSON). Returns the started query; at-least-once —
     * micro-batch replay can re-POST, same as the reference's non-idempotent
     * sink (README.md:151-154).
-    */
+    *
+    * `checkpointDir` bounds the replay window to ONE micro-batch: without
+    * a durable checkpoint a restarted query has no committed offsets and
+    * re-reads the entire source — every historical file re-POSTed to the
+    * non-idempotent sink, far beyond the documented per-micro-batch
+    * at-least-once. Required for any restartable deployment; tests may
+    * pass None to keep Spark's temp checkpoint (single-run lifetime). */
   def toHttpSink(
       aggregated: DataFrame,
       transportClass: String,
-      batchSize: Int = 100
-  ): org.apache.spark.sql.streaming.StreamingQuery =
-    aggregated.writeStream
+      batchSize: Int = 100,
+      checkpointDir: Option[String] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = aggregated.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val n = graft.sinks.HttpBatchSink.post(batch, transportClass, batchSize)
         println(s"[stream-sink] micro-batch $batchId -> $n POSTs")
       }
-      .start()
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
 
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserState(nEvents: Long, totalValue: Double)
