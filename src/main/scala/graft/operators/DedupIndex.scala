@@ -54,10 +54,49 @@ import graft.sources.Layout
 object DedupIndex {
 
   val IndexPrefix = "graft_dedup_idx"
-  /** Matches the engine-wide shuffle parallelism so bucketed scans line up
-    * with exchange partitioning at test scale; production sizes buckets to
-    * the base corpus (thousands). */
+  /** Bucket-count FLOOR: matches the engine-wide shuffle parallelism so
+    * bucketed scans line up with exchange partitioning at test scale. The
+    * actual count is sized per-build by [[autoNumBuckets]]; every gate
+    * corpus sits far under one [[TargetRowsPerBucket]] × this floor, so
+    * the oracles see exactly 32. */
   val NumBuckets = 32
+
+  /** [[autoNumBuckets]]'s target: rows of index state per bucket. Sized so
+    * a bucket's shingle file stays a comfortable task unit (~250k docs ×
+    * ~a few hundred bytes of fingerprint+shingle state ≈ low tens of MB
+    * compressed) — small enough to scan/sort in one task, large enough
+    * that file count, not file size, never dominates. */
+  val TargetRowsPerBucket = 1L << 18
+  /** Cap: 4096 write tasks per build/absorb is ample parallelism for a
+    * 1000-executor cluster, and ~4k files per index table stays trivially
+    * listable. Beyond ~10^9 docs, bucket files grow past the target —
+    * that is the scale where the index would shard by corpus partition
+    * (date/source) ABOVE the bucketing, not grow the bucket count. */
+  val MaxBuckets = 4096
+
+  /** Production bucket sizing, the q39 `autoEmbBits` discipline applied to
+    * the index: the smallest power of two giving ≤ [[TargetRowsPerBucket]]
+    * rows per bucket, clamped to [[[NumBuckets]], [[MaxBuckets]]].
+    * Power-of-two keeps bucket counts across generations of the index
+    * divisible into each other (an old 512-bucket table and a rebuilt
+    * 1024-bucket one still co-partition pairwise-cleanly for a migration
+    * join). Build writes the chosen count into the catalog's bucket spec;
+    * probe needs no number at all (bucketed scans carry their
+    * outputPartitioning); absorb reads the spec BACK from the catalog
+    * ([[tableBuckets]]) so appends keep validating against what the table
+    * actually is, never against what today's sizing rule would pick. */
+  def autoNumBuckets(rows: Long): Int = {
+    val needed = math.max(1L, (rows + TargetRowsPerBucket - 1) / TargetRowsPerBucket)
+    val pow2   = java.lang.Long.highestOneBit(needed)
+    val up     = if (pow2 == needed) needed else pow2 << 1
+    math.min(MaxBuckets.toLong, math.max(NumBuckets.toLong, up)).toInt
+  }
+
+  /** The PERSISTED bucket count of an index table — absorb's append spec
+    * must match the catalog entry (Spark validates and fails loudly on
+    * drift), so it is read from the catalog, not recomputed. */
+  private def tableBuckets(s: SparkSession, table: String): Int =
+    org.apache.spark.sql.GraftBridge.bucketSpec(s, table).map(_._1).getOrElse(NumBuckets)
 
   /** ONE text projection computing both dedup signals — every index path
     * ([[build]], [[probe]], [[probeAndAbsorb]]) materializes this once and
@@ -84,15 +123,21 @@ object DedupIndex {
     * fingerprints as a skinny column scan, bands as the (doc_id, long[])
     * scan through the band-key expression. At corpus scale reading and
     * hashing raw text is the dominant build cost; one pass per rebuild is
-    * the whole point of the pay-once index. */
-  def build(docs: DataFrame, prefix: String = IndexPrefix): Unit = {
+    * the whole point of the pay-once index.
+    *
+    * `numBuckets` ≤ 0 (the default) sizes buckets from the corpus row
+    * count via [[autoNumBuckets]] — the count is a doc_id-only job
+    * (column-pruned, no text IO), marginal next to the text pass the
+    * build pays anyway. */
+  def build(docs: DataFrame, prefix: String = IndexPrefix, numBuckets: Int = 0): Unit = {
     val s = docs.sparkSession
+    val n = if (numBuckets > 0) numBuckets else autoNumBuckets(docs.count())
     Seq(s"${prefix}_fp", s"${prefix}_shingles", s"${prefix}_bands").foreach(reset(s, _))
-    Layout.writeBucketed(hashed(docs), s"${prefix}_shingles", "doc_id", NumBuckets)
+    Layout.writeBucketed(hashed(docs), s"${prefix}_shingles", "doc_id", n)
     val shTable = s.table(s"${prefix}_shingles")
     Layout.writeBucketed(
       shTable.select("fingerprint").distinct(),
-      s"${prefix}_fp", "fingerprint", NumBuckets)
+      s"${prefix}_fp", "fingerprint", n)
     val bands = FuzzyDedup.boundedBands(
       shTable
         .filter(size(col("shingles")) > 0)
@@ -103,7 +148,7 @@ object DedupIndex {
       "band",
       FuzzyDedup.MaxBandOccupancy
     )
-    Layout.writeBucketed(bands.select("band", "doc_id"), s"${prefix}_bands", "band", NumBuckets)
+    Layout.writeBucketed(bands.select("band", "doc_id"), s"${prefix}_bands", "band", n)
   }
 
   /** Screen a delta batch against the persisted index: q58's output shape —
@@ -182,10 +227,12 @@ object DedupIndex {
     val verdicts = probeHashed(s, h, prefix).localCheckpoint()
     // survivor-sized: both checkpointed sides, three consumers below
     val kept = h.join(verdicts.filter(col("keep") === 1L).select("doc_id"), Seq("doc_id"))
+    // append with the PERSISTED spec of each table (whatever build() sized),
+    // read from the catalog — Spark then re-validates on the write
     Layout.appendBucketed(
       kept.select("fingerprint").distinct(),
-      s"${prefix}_fp", "fingerprint", NumBuckets)
-    Layout.appendBucketed(kept, s"${prefix}_shingles", "doc_id", NumBuckets)
+      s"${prefix}_fp", "fingerprint", tableBuckets(s, s"${prefix}_fp"))
+    Layout.appendBucketed(kept, s"${prefix}_shingles", "doc_id", tableBuckets(s, s"${prefix}_shingles"))
     val bands = FuzzyDedup.boundedBands(
       kept
         .filter(size(col("shingles")) > 0)
@@ -196,7 +243,9 @@ object DedupIndex {
       "band",
       FuzzyDedup.MaxBandOccupancy
     )
-    Layout.appendBucketed(bands.select("band", "doc_id"), s"${prefix}_bands", "band", NumBuckets)
+    Layout.appendBucketed(
+      bands.select("band", "doc_id"),
+      s"${prefix}_bands", "band", tableBuckets(s, s"${prefix}_bands"))
     verdicts
   }
 
@@ -268,6 +317,40 @@ object DedupIndex {
   private def hwKey(s: SparkSession, vt: String): String =
     s"${s.conf.get("spark.sql.warehouse.dir", "")}::$vt"
 
+  /** The replay state machine, keyed so marks never cross warehouses —
+    * extracted (and exercised by DedupIndexSpec's two-warehouse test,
+    * which a single test JVM cannot stage live: `spark.sql.warehouse.dir`
+    * is a STATIC conf, one value per SparkContext, so the two-sessions-
+    * different-warehouses scenario only arises across sequential contexts
+    * — precisely when the per-JVM map would have carried a stale mark
+    * under table-name-only keying). `seenInTable` is by-name: the verdict
+    * table is only scanned when this JVM holds no trusted mark. */
+  private[graft] def replayDecision(
+      key: String,
+      batchId: Long,
+      tableExists: Boolean,
+      seenInTable: () => Boolean): Boolean =
+    committedHighWater.get(key) match {
+      case Some(hw) if tableExists => batchId <= hw
+      case _ =>
+        committedHighWater.remove(key) // drop any stale mark
+        val seen = tableExists && seenInTable()
+        // a found batchId IS a valid high-water mark (ids are monotone):
+        // install it so the NEXT batch answers from memory, not the table
+        if (seen) committedHighWater.update(key, batchId)
+        seen
+    }
+
+  /** Test hook: the live key [[probeAndAbsorbBatch]] uses for a session —
+    * lets the two-warehouse spec assert the warehouse is PART of the key. */
+  private[graft] def replayKeyFor(s: SparkSession, prefix: String = IndexPrefix): String =
+    hwKey(s, s"${prefix}_verdicts")
+
+  /** Test hook: commit a mark directly (a stream that ran in some other
+    * warehouse/context). */
+  private[graft] def installReplayMark(key: String, hw: Long): Unit =
+    committedHighWater.update(key, hw)
+
   def probeAndAbsorbBatch(prefix: String = IndexPrefix)(batch: DataFrame, batchId: Long): Unit = {
     val s  = batch.sparkSession
     val vt = s"${prefix}_verdicts"
@@ -278,17 +361,11 @@ object DedupIndex {
     // restarts from a FRESH checkpoint must go through resetVerdicts —
     // the same contract the marker table itself already imposes.
     val key = hwKey(s, vt)
-    val replayed = committedHighWater.get(key) match {
-      case Some(hw) if s.catalog.tableExists(vt) => batchId <= hw
-      case _ =>
-        committedHighWater.remove(key) // drop any stale mark
-        val seen = s.catalog.tableExists(vt) &&
-          !s.table(vt).filter(col("batch_id") === batchId).isEmpty
-        // a found batchId IS a valid high-water mark (ids are monotone):
-        // install it so the NEXT batch answers from memory, not the table
-        if (seen) committedHighWater.update(key, batchId)
-        seen
-    }
+    val replayed = replayDecision(
+      key,
+      batchId,
+      tableExists = s.catalog.tableExists(vt),
+      seenInTable = () => !s.table(vt).filter(col("batch_id") === batchId).isEmpty)
     // replay skips must be OBSERVABLE: if a stale mark (or a foreign
     // verdict table under a fresh checkpoint without resetVerdicts) ever
     // misclassifies a live batch, the failure mode is silent data loss —
@@ -316,6 +393,46 @@ object DedupIndex {
     // keys are (warehouse :: table); a fresh JVM forgets ALL warehouses
     val suffix = s"::${prefix}_verdicts"
     committedHighWater.keys.filter(_.endsWith(suffix)).foreach(committedHighWater.remove)
+  }
+
+  /** Reconciliation audit for the mid-absorb crash window
+    * ([[probeAndAbsorbBatch]]'s documented residue: a kill strictly between
+    * the three index appends and the verdict-marker write leaves survivors
+    * in the index with no verdicts). The residue is healed by the periodic
+    * [[build]] compaction but was invisible until then — this makes it
+    * visible ON DEMAND so a caller can decide whether to trust a maintained
+    * index or force the compaction early.
+    *
+    * `base` is the corpus the index was BUILT from (its docs legitimately
+    * have no verdicts); accountable docs = base ∪ verdict survivors. One
+    * row per table with its orphan count:
+    *  - `shingles` / `bands`: doc_ids in the table but not accountable
+    *  - `fp`: fingerprints with NO shingle-table backing (catches the
+    *    narrower crash-after-fp-append-only window, where doc_ids never
+    *    landed)
+    * All joins are id/fingerprint-sized LEFT ANTIs — no text, no shingle
+    * arrays ever shuffle; cost is a skinny column scan per table. A clean
+    * maintained index audits to three zeros. */
+  def auditResidue(s: SparkSession, base: DataFrame, prefix: String = IndexPrefix): DataFrame = {
+    val vt = s"${prefix}_verdicts"
+    val survivors =
+      if (s.catalog.tableExists(vt))
+        s.table(vt).filter(col("keep") === 1L).select("doc_id")
+      else s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+    val accountable = base.select("doc_id").union(survivors).distinct()
+    val sh  = s.table(s"${prefix}_shingles")
+    val shOrphans = sh.select("doc_id").distinct()
+      .join(accountable, Seq("doc_id"), "left_anti").count()
+    val bandOrphans = s.table(s"${prefix}_bands").select("doc_id").distinct()
+      .join(accountable, Seq("doc_id"), "left_anti").count()
+    val fpOrphans = s.table(s"${prefix}_fp").select("fingerprint").distinct()
+      .join(sh.select("fingerprint").distinct(), Seq("fingerprint"), "left_anti").count()
+    import s.implicits._
+    Seq(
+      ("shingles", shOrphans),
+      ("bands", bandOrphans),
+      ("fp", fpOrphans)
+    ).toDF("table", "orphans")
   }
 
   /** Drop the verdict table (and clear its location) before starting a new

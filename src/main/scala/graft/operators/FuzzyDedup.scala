@@ -596,6 +596,8 @@ object FuzzyDedup extends QueryModule {
     * Override with `spark.graft.nearContamination.checkpointMaxRows`. */
   val NearCheckpointMaxRows = 2000000L
   val NearCheckpointConf    = "spark.graft.nearContamination.checkpointMaxRows"
+  private val nearPersistCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def nearContamination(s: SparkSession, dir: String): DataFrame = {
     // (doc_id, source, shingles) feeds FIVE consumers (eval bands, train
@@ -627,7 +629,14 @@ object FuzzyDedup extends QueryModule {
     // with other cache-hungry work should clearCache() between phases.
     val docs =
       if (Tables.rowCountCached(s, dir, "documents") <= ceiling) projected.localCheckpoint()
-      else projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else
+        // One persisted handle per dir (mirrors rowCountCached): repeated
+        // invocations in one session — bench reps on a large corpus —
+        // previously each persisted a FRESH corpus-sized MEMORY_AND_DISK
+        // entry and never released the old one.
+        nearPersistCache.computeIfAbsent(
+          s"${System.identityHashCode(s)}:$dir",
+          _ => projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val isEval = col("doc_id") % TrainingPrep.EvalMod === 0
     val eval   = docs.filter(isEval)
     val train  = docs.filter(!isEval)

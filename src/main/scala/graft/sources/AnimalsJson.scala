@@ -15,6 +15,20 @@ object AnimalsJson {
   final case class AnimalPage(page: Int, totalPages: Int, items: Seq[ListedAnimal])
   final case class AnimalDetailRec(id: Long, name: String, friends: Option[String], bornAt: Option[Long])
 
+  /** Reference parity for `int(item["id"])` (pipeline.py:15): Python's
+    * `int()` accepts numbers and numeric strings but RAISES on anything
+    * else, whereas Jackson's `asLong()` silently defaults non-numeric
+    * nodes to 0 — two docs with bad ids would then collide on id 0. */
+  private def strictLong(v: JsonNode, what: => String): Long =
+    if (v.isNumber && v.canConvertToLong) v.asLong()
+    else if (v.isTextual)
+      try v.asText().trim.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$what is not an integer: ${v.asText()}")
+      }
+    else throw new IllegalArgumentException(s"$what is not an integer: $v")
+
   private def optLong(n: JsonNode, field: String): Option[Long] = {
     val v = n.get(field)
     if (v == null || v.isNull) None else Some(v.asLong())
@@ -47,7 +61,10 @@ object AnimalsJson {
               throw new IllegalArgumentException(
                 s"animals page item $i has no 'id' (page=${optText(root, "page").orNull})")
             }
-            ListedAnimal(id.asLong(), optText(it, "name").getOrElse(""), optLong(it, "born_at"))
+            ListedAnimal(
+              strictLong(id, s"animals page item $i 'id'"),
+              optText(it, "name").getOrElse(""),
+              optLong(it, "born_at"))
           }.toSeq
         }.getOrElse(Seq.empty)
         AnimalPage(
@@ -63,7 +80,7 @@ object AnimalsJson {
     Try {
       val root = mapper.readTree(body)
       AnimalDetailRec(
-        root.get("id").asLong(),
+        strictLong(root.get("id"), "animal detail 'id'"),
         optText(root, "name").getOrElse(""),
         optText(root, "friends"),
         optLong(root, "born_at")

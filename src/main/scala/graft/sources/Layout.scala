@@ -29,14 +29,38 @@ object Layout {
     * rows recomputed after a shuffle-fetch failure then hash to different
     * reducers than the outputs already consumed — the classic silent
     * lose-or-duplicate hazard of repartition-by-rand. Identical rows
-    * share a salt (they co-locate), which is harmless for a write. */
+    * share a salt (they co-locate), which is harmless for a write.
+    *
+    * The salt hashes only HASHABLE columns: Spark's `hash()` rejects
+    * MapType at analysis time (map iteration order is undefined, so a
+    * map hash would be non-deterministic — the exact retry hazard the
+    * deterministic salt exists to avoid), so any column containing a map
+    * anywhere in its type (e.g. `events.props`) is excluded. If NO
+    * column is hashable the salt falls back to `hash(to_json(struct(*)))`
+    * — to_json renders maps with a stable entry order for a given row
+    * value, costlier but still deterministic under retry.
+    *
+    * Behavior note (since r8): `saltFiles = 1` also repartitions (on the
+    * partition columns alone) — that is what buys one-file-per-directory
+    * — so a hot partition value serializes into one write task where
+    * pre-r8 callers got parallel (but tasks × partitions-file) writes.
+    * Callers with a skewed dimension should pass `saltFiles` > 1. */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String], saltFiles: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{hash, lit, pmod, struct, to_json}
+    def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
     val keys =
-      if (saltFiles > 1)
-        cols.map(col) :+ org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.hash(df.columns.map(col): _*),
-          org.apache.spark.sql.functions.lit(saltFiles))
-      else cols.map(col)
+      if (saltFiles > 1) {
+        val saltCols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+        val saltHash =
+          if (saltCols.nonEmpty) hash(saltCols.toIndexedSeq: _*)
+          else hash(to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
+        cols.map(col) :+ pmod(saltHash, lit(saltFiles))
+      } else cols.map(col)
     df.repartition(keys: _*)
       .write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
   }

@@ -22,6 +22,19 @@ object GraftBridge {
       plan
     )
 
+  /** Bucket spec of a catalog table: (numBuckets, bucketColumnNames), None
+    * for an unbucketed table. The catalog metadata API (`sessionState
+    * .catalog`) is `private[sql]`, hence the bridge — `spark.catalog` has
+    * no bucket accessor and DESCRIBE-output parsing is format-fragile.
+    * Readers that must follow a table's PERSISTED layout (e.g. appending
+    * to a bucketed index with whatever spec `build()` chose) read it from
+    * here instead of re-deriving the build-time sizing. */
+  def bucketSpec(spark: SparkSession, table: String): Option[(Int, Seq[String])] = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val id = cs.sessionState.sqlParser.parseTableIdentifier(table)
+    cs.sessionState.catalog.getTableMetadata(id).bucketSpec.map(b => (b.numBuckets, b.bucketColumnNames))
+  }
+
   /** Register a function on a LIVE session (the builder-time path is
     * `graft.plans.GraftExtensions` via `withExtensions` /
     * `spark.sql.extensions`; this covers sessions created elsewhere, e.g.

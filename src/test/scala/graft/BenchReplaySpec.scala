@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Replays the RECORDED round-8 bench series — the run where the r8
+  * run-level `contended` flag false-negatived — through the round-9
+  * per-query detection, and the paired quiet run (commit 9eb29ff, same
+  * code) to prove the detection doesn't cry wolf. The r8 driver run
+  * inflated identical-code queries 8-35x (q73 0.49->8.11 s wall /
+  * 0.40->4.21 cpu-s; q121 1.44->10.81 / 21.5->146) under a PARTIAL load
+  * burst: 10 of 148 probes elevated, clustered exactly at the inflated
+  * queries, which beat both the p90/p10 probe ratio (1.106 < 1.5) and
+  * the later-rep spread check (0.114 < 0.25).
+  */
+class BenchReplaySpec extends AnyFunSuite {
+
+  // 147 query names in bench order (sorted), from BENCH_r08 bench_detail.json
+  private val r8Names: Seq[String] = Seq("q01_pricing_summary","q02_filter_revenue","q03_top_orders","q04_order_priority","q05_region_revenue","q06_window_topk","q07_anti_join","q08_rollup","q09_distinct_stats","q100_embedding_drift","q101_containment","q102_packed_export","q103_bm25_retrieval","q104_growth_curve","q105_containment_lsh","q106_dedup_index","q106b_index_build","q106p_index_probe","q107_dedup_survivors","q108_boiler_strip","q109_survivors_quality","q10_pivot","q110_hashed_classifier","q111_ann_recall","q112_index_absorb","q112a_index_absorb","q113_near_contamination","q114_cluster_quality","q115_shard_drift","q116_span_ownership","q117_weighted_sample","q118_ngram_exposure","q119_semdedup","q11_set_ops","q120_cdc_chunks","q121_dsir_selection","q122_winnowing","q123_pca_covariance","q124_bucketed_join","q124b_layout_build","q124p_bucketed_probe","q125_rollup_maintenance","q126_skew_diagnosis","q127_k_anonymity","q128_journey_paths","q129_token_budget","q12_scalar_subquery","q130_split_leakage","q131_source_divergence","q132_curriculum_order","q133_deletion_audit","q134_triangle_count","q135_mi_features","q136_rank_fusion","q137_triangle_delta","q138_edge_similarity","q139_kcore","q13_cube","q140_retrieval_eval","q141_cluster_purity","q142_assortativity","q14_approx_distinct","q15_window_funcs","q16_unpivot","q17_salted_agg","q18_argmax","q19_or_of_ands","q20_epoch_normalize","q21_split_explode","q22_json_extract","q23_iso_validate","q24_grouping_sets","q25_window_tumbling","q26_window_session","q27_window_sliding","q28_asof_join","q29_typed_agg_mask","q30_dedup_exact","q31_dedup_canonical","q32_dedup_jaccard","q33_dedup_minhash_lsh","q34_simhash_fingerprint","q35_simhash_pairs","q36_rolling_fingerprint","q37_dedup_embedding","q38_dedup_clusters","q39_dedup_embedding_lsh","q40_text_stats","q41_lang_id","q42_quality","q43_token_count","q44_tfidf_top_terms","q45_stratified_sample","q46_sequence_packing","q47_repetition_score","q48_bigram_topk","q49_length_quantile","q50_binary_meta","q51_decode_stats","q52_media_features","q53_frame_sample","q54_contamination","q55_training_order","q56_shard_assign","q57_doc_chunking","q58_incremental_dedup","q59_lm_score","q60_knn_brute","q61_lsh_pairs","q62_ivf_knn","q63_min_cost_offer","q64_important_suppliers","q65_range_join","q66_moving_avg","q67_heavy_hitters","q68_clean_funnel","q69_source_mixing","q70_kmeans","q71_span_dedup","q72_gopher_rules","q73_pii_scrub","q74_url_canonical","q75_length_digest","q76_embedding_clusters","q77_pagerank","q78_salted_join","q79_int8_quant","q80_snapshot_diff","q81_sketch_rollup","q82_transitions","q83_upsert_merge","q84_asof_native","q85_bpe_pairs","q86_domain_cap","q87_zorder_layout","q88_global_ntile","q89_bloom_join","q90_source_overlap","q91_scd2_intervals","q92_event_funnel","q93_boilerplate","q94_mix_allocation","q95_cohort_retention","q96_rate_anomaly","q97_pmi_pairs","q98_data_profile","q99_fk_integrity")
+  // the r8 DRIVER run probe walls (the contaminated run the flag missed)
+  private val r8Probes: Seq[Double] = Seq(0.085,0.086,0.09,0.086,0.086,0.082,0.081,0.081,0.082,0.081,0.08,0.083,0.081,0.084,0.081,0.081,0.081,0.08,0.081,0.081,0.08,0.081,0.291,0.178,0.086,0.083,0.094,0.085,0.085,0.084,0.08,0.081,0.082,0.152,0.334,0.256,0.421,0.296,0.08,0.091,0.082,0.082,0.081,0.081,0.083,0.081,0.08,0.081,0.081,0.081,0.081,0.08,0.08,0.085,0.081,0.08,0.081,0.082,0.085,0.081,0.08,0.08,0.081,0.082,0.089,0.081,0.081,0.084,0.083,0.081,0.085,0.082,0.082,0.082,0.085,0.089,0.081,0.084,0.081,0.089,0.081,0.081,0.081,0.081,0.082,0.081,0.083,0.087,0.084,0.083,0.083,0.083,0.084,0.083,0.083,0.085,0.086,0.084,0.085,0.085,0.083,0.083,0.086,0.084,0.083,0.083,0.083,0.089,0.089,0.084,0.083,0.082,0.083,0.085,0.234,0.084,0.083,0.083,0.083,0.083,0.082,0.083,0.084,0.082,0.085,0.081,0.084,0.081,0.08,0.087,0.085,0.081,0.081,0.082,0.08,0.081,0.081,0.082,0.08,0.082,0.081,0.085,0.447,0.149,0.08,0.089,0.081,0.082)
+  // the builder quiet run (commit 9eb29ff) probe walls on identical code
+  private val quietProbes: Seq[Double] = Seq(0.081,0.083,0.081,0.083,0.081,0.081,0.081,0.081,0.081,0.081,0.083,0.082,0.082,0.086,0.083,0.081,0.08,0.083,0.082,0.081,0.08,0.083,0.08,0.082,0.084,0.082,0.082,0.086,0.085,0.082,0.081,0.081,0.08,0.081,0.081,0.081,0.081,0.08,0.082,0.084,0.08,0.081,0.08,0.08,0.082,0.08,0.084,0.084,0.085,0.082,0.086,0.08,0.082,0.08,0.08,0.081,0.083,0.082,0.08,0.08,0.082,0.082,0.082,0.081,0.083,0.087,0.082,0.081,0.083,0.081,0.081,0.081,0.08,0.08,0.081,0.081,0.084,0.086,0.087,0.086,0.085,0.082,0.084,0.084,0.084,0.084,0.098,0.093,0.086,0.092,0.081,0.085,0.094,0.083,0.084,0.082,0.095,0.099,0.096,0.097,0.098,0.08,0.08,0.08,0.08,0.081,0.081,0.08,0.08,0.08,0.08,0.08,0.087,0.082,0.082,0.081,0.081,0.081,0.08,0.08,0.08,0.081,0.082,0.08,0.08,0.08,0.08,0.08,0.08,0.08,0.08,0.081,0.08,0.081,0.08,0.089,0.089,0.084,0.081,0.081,0.08,0.08,0.08,0.08,0.08,0.083,0.08,0.08)
+  private val r8Cpu: Seq[(String, Double)] = Seq("q01_pricing_summary"->1.346,"q02_filter_revenue"->0.084,"q03_top_orders"->0.322,"q04_order_priority"->0.105,"q05_region_revenue"->0.253,"q06_window_topk"->0.261,"q07_anti_join"->0.052,"q08_rollup"->0.078,"q09_distinct_stats"->0.875,"q100_embedding_drift"->2.604,"q101_containment"->10.46,"q102_packed_export"->0.401,"q103_bm25_retrieval"->6.419,"q104_growth_curve"->6.941,"q105_containment_lsh"->5.746,"q106_dedup_index"->18.392,"q106b_index_build"->13.256,"q106p_index_probe"->4.332,"q107_dedup_survivors"->7.324,"q108_boiler_strip"->5.472,"q109_survivors_quality"->10.919,"q10_pivot"->0.966,"q110_hashed_classifier"->20.402,"q111_ann_recall"->20.055,"q112_index_absorb"->109.635,"q112a_index_absorb"->7.256,"q113_near_contamination"->7.446,"q114_cluster_quality"->14.978,"q115_shard_drift"->2.641,"q116_span_ownership"->6.018,"q117_weighted_sample"->3.266,"q118_ngram_exposure"->13.941,"q119_semdedup"->61.979,"q11_set_ops"->0.858,"q120_cdc_chunks"->89.356,"q121_dsir_selection"->146.277,"q122_winnowing"->10.862,"q123_pca_covariance"->12.156,"q124_bucketed_join"->5.725,"q124b_layout_build"->1.893,"q124p_bucketed_probe"->0.945,"q125_rollup_maintenance"->3.934,"q126_skew_diagnosis"->0.216,"q127_k_anonymity"->3.903,"q128_journey_paths"->0.245,"q129_token_budget"->3.48,"q12_scalar_subquery"->0.065,"q130_split_leakage"->9.216,"q131_source_divergence"->4.855,"q132_curriculum_order"->7.487,"q133_deletion_audit"->4.41,"q134_triangle_count"->11.884,"q135_mi_features"->6.64,"q136_rank_fusion"->6.108,"q137_triangle_delta"->1.244,"q138_edge_similarity"->15.368,"q139_kcore"->46.106,"q13_cube"->0.423,"q140_retrieval_eval"->6.99,"q141_cluster_purity"->14.6,"q142_assortativity"->0.319,"q14_approx_distinct"->1.06,"q15_window_funcs"->0.601,"q16_unpivot"->0.682,"q17_salted_agg"->0.337,"q18_argmax"->0.049,"q19_or_of_ands"->0.174,"q20_epoch_normalize"->2.114,"q21_split_explode"->0.13,"q22_json_extract"->1.778,"q23_iso_validate"->1.976,"q24_grouping_sets"->0.82,"q25_window_tumbling"->0.129,"q26_window_session"->0.624,"q27_window_sliding"->0.111,"q28_asof_join"->0.246,"q29_typed_agg_mask"->0.065,"q30_dedup_exact"->4.671,"q31_dedup_canonical"->4.931,"q32_dedup_jaccard"->8.289,"q33_dedup_minhash_lsh"->5.534,"q34_simhash_fingerprint"->0.2,"q35_simhash_pairs"->2.401,"q36_rolling_fingerprint"->0.77,"q37_dedup_embedding"->3.391,"q38_dedup_clusters"->6.536,"q39_dedup_embedding_lsh"->5.991,"q40_text_stats"->0.085,"q41_lang_id"->1.512,"q42_quality"->0.246,"q43_token_count"->0.206,"q44_tfidf_top_terms"->8.968,"q45_stratified_sample"->0.031,"q46_sequence_packing"->0.159,"q47_repetition_score"->0.205,"q48_bigram_topk"->5.965,"q49_length_quantile"->0.054,"q50_binary_meta"->0.026,"q51_decode_stats"->0.116,"q52_media_features"->0.018,"q53_frame_sample"->0.126,"q54_contamination"->8.272,"q55_training_order"->7.01,"q56_shard_assign"->0.009,"q57_doc_chunking"->0.205,"q58_incremental_dedup"->11.526,"q59_lm_score"->4.809,"q60_knn_brute"->0.644,"q61_lsh_pairs"->6.734,"q62_ivf_knn"->3.555,"q63_min_cost_offer"->0.282,"q64_important_suppliers"->0.984,"q65_range_join"->0.142,"q66_moving_avg"->0.327,"q67_heavy_hitters"->7.447,"q68_clean_funnel"->7.593,"q69_source_mixing"->0.032,"q70_kmeans"->18.283,"q71_span_dedup"->5.915,"q72_gopher_rules"->11.989,"q73_pii_scrub"->4.208,"q74_url_canonical"->1.062,"q75_length_digest"->0.297,"q76_embedding_clusters"->7.685,"q77_pagerank"->36.759,"q78_salted_join"->1.508,"q79_int8_quant"->7.111,"q80_snapshot_diff"->6.502,"q81_sketch_rollup"->4.703,"q82_transitions"->0.245,"q83_upsert_merge"->5.475,"q84_asof_native"->0.214,"q85_bpe_pairs"->2.589,"q86_domain_cap"->2.771,"q87_zorder_layout"->0.05,"q88_global_ntile"->10.364,"q89_bloom_join"->0.28,"q90_source_overlap"->4.744,"q91_scd2_intervals"->0.354,"q92_event_funnel"->0.244,"q93_boilerplate"->4.486,"q94_mix_allocation"->8.933,"q95_cohort_retention"->18.506,"q96_rate_anomaly"->0.849,"q97_pmi_pairs"->8.136,"q98_data_profile"->19.413,"q99_fk_integrity"->0.256)
+  private val quietCpu: Map[String, Double] = Map("q01_pricing_summary"->0.941,"q02_filter_revenue"->0.076,"q03_top_orders"->0.23,"q04_order_priority"->0.092,"q05_region_revenue"->0.2,"q06_window_topk"->0.273,"q07_anti_join"->0.052,"q08_rollup"->0.07,"q09_distinct_stats"->0.759,"q100_embedding_drift"->3.88,"q101_containment"->9.8,"q102_packed_export"->0.297,"q103_bm25_retrieval"->7.142,"q104_growth_curve"->7.546,"q105_containment_lsh"->5.264,"q106_dedup_index"->20.678,"q106b_index_build"->14.308,"q106p_index_probe"->5.697,"q107_dedup_survivors"->11.506,"q108_boiler_strip"->8.124,"q109_survivors_quality"->15.455,"q10_pivot"->0.283,"q110_hashed_classifier"->9.532,"q111_ann_recall"->7.125,"q112_index_absorb"->28.022,"q112a_index_absorb"->5.416,"q113_near_contamination"->6.053,"q114_cluster_quality"->12.372,"q115_shard_drift"->1.723,"q116_span_ownership"->4.761,"q117_weighted_sample"->1.837,"q118_ngram_exposure"->10.629,"q119_semdedup"->25.799,"q11_set_ops"->0.201,"q120_cdc_chunks"->9.388,"q121_dsir_selection"->21.524,"q122_winnowing"->6.791,"q123_pca_covariance"->8.51,"q124_bucketed_join"->3.131,"q124b_layout_build"->1.401,"q124p_bucketed_probe"->0.762,"q125_rollup_maintenance"->2.089,"q126_skew_diagnosis"->6.724,"q127_k_anonymity"->3.463,"q128_journey_paths"->5.065,"q129_token_budget"->3.923,"q12_scalar_subquery"->0.054,"q130_split_leakage"->7.737,"q131_source_divergence"->9.026,"q132_curriculum_order"->9.316,"q133_deletion_audit"->3.293,"q134_triangle_count"->11.753,"q135_mi_features"->6.784,"q136_rank_fusion"->7.53,"q137_triangle_delta"->1.732,"q138_edge_similarity"->14.727,"q139_kcore"->47.576,"q13_cube"->0.421,"q140_retrieval_eval"->7.056,"q141_cluster_purity"->14.659,"q142_assortativity"->0.43,"q14_approx_distinct"->0.994,"q15_window_funcs"->0.554,"q16_unpivot"->0.649,"q17_salted_agg"->0.358,"q18_argmax"->0.046,"q19_or_of_ands"->0.207,"q20_epoch_normalize"->2.229,"q21_split_explode"->0.142,"q22_json_extract"->1.837,"q23_iso_validate"->1.847,"q24_grouping_sets"->0.938,"q25_window_tumbling"->4.901,"q26_window_session"->5.343,"q27_window_sliding"->4.787,"q28_asof_join"->0.394,"q29_typed_agg_mask"->0.074,"q30_dedup_exact"->6.305,"q31_dedup_canonical"->6.12,"q32_dedup_jaccard"->9.362,"q33_dedup_minhash_lsh"->5.425,"q34_simhash_fingerprint"->0.205,"q35_simhash_pairs"->5.772,"q36_rolling_fingerprint"->1.208,"q37_dedup_embedding"->3.264,"q38_dedup_clusters"->6.963,"q39_dedup_embedding_lsh"->6.537,"q40_text_stats"->0.09,"q41_lang_id"->1.856,"q42_quality"->0.207,"q43_token_count"->0.154,"q44_tfidf_top_terms"->11.436,"q45_stratified_sample"->0.021,"q46_sequence_packing"->0.183,"q47_repetition_score"->0.197,"q48_bigram_topk"->6.577,"q49_length_quantile"->0.046,"q50_binary_meta"->0.021,"q51_decode_stats"->0.132,"q52_media_features"->0.021,"q53_frame_sample"->0.097,"q54_contamination"->10.099,"q55_training_order"->6.338,"q56_shard_assign"->0.007,"q57_doc_chunking"->0.188,"q58_incremental_dedup"->10.069,"q59_lm_score"->5.824,"q60_knn_brute"->0.747,"q61_lsh_pairs"->6.128,"q62_ivf_knn"->2.263,"q63_min_cost_offer"->0.151,"q64_important_suppliers"->0.832,"q65_range_join"->4.714,"q66_moving_avg"->5.203,"q67_heavy_hitters"->6.149,"q68_clean_funnel"->6.298,"q69_source_mixing"->0.027,"q70_kmeans"->14.64,"q71_span_dedup"->4.907,"q72_gopher_rules"->6.148,"q73_pii_scrub"->0.4,"q74_url_canonical"->0.032,"q75_length_digest"->0.028,"q76_embedding_clusters"->5.465,"q77_pagerank"->26.012,"q78_salted_join"->1.322,"q79_int8_quant"->5.543,"q80_snapshot_diff"->6.133,"q81_sketch_rollup"->4.464,"q82_transitions"->4.69,"q83_upsert_merge"->5.665,"q84_asof_native"->0.16,"q85_bpe_pairs"->3.548,"q86_domain_cap"->2.421,"q87_zorder_layout"->0.079,"q88_global_ntile"->12.036,"q89_bloom_join"->0.28,"q90_source_overlap"->4.288,"q91_scd2_intervals"->4.628,"q92_event_funnel"->6.321,"q93_boilerplate"->5.386,"q94_mix_allocation"->1.826,"q95_cohort_retention"->7.001,"q96_rate_anomaly"->6.173,"q97_pmi_pairs"->8.84,"q98_data_profile"->13.039,"q99_fk_integrity"->0.233)
+
+  test("r8 replay: run-level checks miss the partial burst (the recorded false negative)") {
+    val (flag, ratio, _) = Bench.contentionFlags(r8Probes, Nil)
+    assert(!flag && ratio < Bench.ProbeRatioThreshold,
+      s"run-level probe check now fires on the r8 series (ratio $ratio) — replay premise changed")
+  }
+
+  test("r8 replay: adjacent-probe elevation flags the inflated query cluster") {
+    val dirty = Bench.probeDirtyQueries(r8Names, r8Probes).toSet
+    val expected = Set(
+      "q110_hashed_classifier", "q111_ann_recall", "q119_semdedup", "q120_cdc_chunks",
+      "q121_dsir_selection", "q122_winnowing", "q123_pca_covariance",
+      "q95_cohort_retention", "q96_rate_anomaly")
+    val missed = expected -- dirty
+    assert(missed.isEmpty, s"probe mechanism missed: $missed (flagged: $dirty)")
+    // adjacency sweeps in immediate neighbors of the burst windows — that
+    // is correct (their numbers ran in the same dirty window) but the set
+    // must stay burst-sized, not run-sized
+    assert(dirty.size <= 20, s"probe mechanism flagged ${dirty.size} of ${r8Names.size} — overfiring")
+  }
+
+  test("r8 replay: cpu-vs-quiet-baseline flags the queries the probes missed") {
+    val dirty = Bench.cpuDirtyQueries(r8Cpu, quietCpu).toSet
+    // q73 inflated 10.5x in cpu with QUIET adjacent probes (burst between
+    // samples) — only the baseline mechanism can catch it; q112/q120/q121
+    // are the big-cpu casualties the VERDICT adjudicated by hand
+    val expected = Set("q73_pii_scrub", "q112_index_absorb", "q120_cdc_chunks", "q121_dsir_selection")
+    val missed = expected -- dirty
+    assert(missed.isEmpty, s"cpu mechanism missed: $missed (flagged: $dirty)")
+  }
+
+  test("r8 replay: the per-query union is material and flips contended") {
+    val union = (Bench.probeDirtyQueries(r8Names, r8Probes) ++
+      Bench.cpuDirtyQueries(r8Cpu, quietCpu)).distinct
+    assert(union.size >= Bench.DirtyCountThreshold,
+      s"union ${union.size} below threshold — r8 would still read clean")
+  }
+
+  test("quiet replay: same code, quiet box — detection stays silent") {
+    // probe side: the quiet run's own recorded series
+    val probeDirty = Bench.probeDirtyQueries(r8Names, quietProbes)
+    assert(probeDirty.size < Bench.DirtyCountThreshold,
+      s"quiet probes flagged $probeDirty")
+    // cpu side: quiet run measured against its own committed baseline
+    val cpuDirty = Bench.cpuDirtyQueries(quietCpu.toSeq, quietCpu)
+    assert(cpuDirty.isEmpty, s"quiet cpu flagged $cpuDirty")
+  }
+
+  test("synthetic: a single GC blip flags at most its two neighbors, below the contended bar") {
+    val names  = (1 to 40).map(i => f"q$i%02d")
+    val probes = Seq.fill(20)(0.082) ++ Seq(0.234) ++ Seq.fill(20)(0.083)
+    val dirty  = Bench.probeDirtyQueries(names, probes)
+    assert(dirty.nonEmpty && dirty.size <= 2, s"blip flagged $dirty")
+    assert(dirty.size < Bench.DirtyCountThreshold)
+  }
+
+  test("cpu floors: tiny queries and immaterial excess never flag") {
+    // 0.1 s baseline doubling (GC jitter on a small query) — floored out
+    assert(Bench.cpuDirtyQueries(Seq("a" -> 0.35), Map("a" -> 0.1)).isEmpty)
+    // big ratio but sub-second absolute excess — floored out
+    assert(Bench.cpuDirtyQueries(Seq("b" -> 0.9), Map("b" -> 0.3)).isEmpty)
+    // material both ways — flags
+    assert(Bench.cpuDirtyQueries(Seq("c" -> 4.2), Map("c" -> 0.4)) == Seq("c"))
+    // no baseline row — never flags
+    assert(Bench.cpuDirtyQueries(Seq("d" -> 100.0), Map.empty).isEmpty)
+  }
+}

@@ -168,6 +168,118 @@ class DedupIndexSpec extends AnyFunSuite {
     )
   }
 
+  test("autoNumBuckets: power-of-two, clamped, tracks corpus size") {
+    import DedupIndex.{autoNumBuckets, MaxBuckets, NumBuckets, TargetRowsPerBucket}
+    // gate corpora: far under the floor's capacity -> exactly the floor,
+    // so every oracle sees the same 32-bucket layout as before
+    assert(autoNumBuckets(1L) == NumBuckets)
+    assert(autoNumBuckets(60000L) == NumBuckets)
+    assert(autoNumBuckets(TargetRowsPerBucket * NumBuckets) == NumBuckets)
+    // one row over the floor's capacity -> next power of two
+    assert(autoNumBuckets(TargetRowsPerBucket * NumBuckets + 1) == NumBuckets * 2)
+    // mid-range: a billion docs -> 4096 (the cap is exactly 2^30 docs)
+    assert(autoNumBuckets(1L << 30) == MaxBuckets)
+    assert(autoNumBuckets(Long.MaxValue / 4) == MaxBuckets)
+    // always a power of two
+    for (rows <- Seq(1L, 12345L, 10000000L, 123456789L, 1L << 33))
+      assert(Integer.bitCount(autoNumBuckets(rows)) == 1, s"rows=$rows")
+  }
+
+  test("non-default bucket count: build persists it, probe stays exchange-free, absorb follows the catalog") {
+    import scala.jdk.CollectionConverters._
+    val prefix = "widebucket_idx"
+    val docs   = spark.read.parquet(s"$dir/documents.parquet").repartition(8)
+    val base   = docs.filter(col("doc_id") % FuzzyDedup.DeltaMod < 8)
+    val batch  = docs.filter(col("doc_id") % FuzzyDedup.DeltaMod === 8)
+    // reference answer from the default-bucket index
+    DedupIndex.build(base, "refbucket_idx")
+    val expected = DedupIndex.probe(spark, batch, "refbucket_idx").collect().map(_.toSeq).toSet
+    // a production-sized (64-bucket) build of the same base
+    DedupIndex.build(base, prefix, numBuckets = 64)
+    for ((t, key) <- Seq((s"${prefix}_fp", "fingerprint"), (s"${prefix}_bands", "band"), (s"${prefix}_shingles", "doc_id"))) {
+      // the chosen spec is IN the catalog (what absorb will read back)
+      assert(org.apache.spark.sql.GraftBridge.bucketSpec(spark, t) == Some((64, Seq(key))), t)
+      // and bucketed scans still aggregate exchange-free on the key
+      val agg  = spark.table(t).groupBy(key).count()
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange hashpartitioning"), s"$t shuffles on $key at 64 buckets:\n$plan")
+    }
+    // verdicts identical to the default layout — bucket count is pure layout
+    assert(DedupIndex.probe(spark, batch, prefix).collect().map(_.toSeq).toSet == expected)
+    // absorb appends with the CATALOG spec (64), not the floor constant:
+    // Spark validates the spec on write, so a mismatch would throw; prove
+    // the appended batch then answers as absorbed
+    val verdicts = DedupIndex.probeAndAbsorb(spark, batch, prefix).collect()
+    val survivors = verdicts.filter(_.getAs[Long]("keep") == 1L).map(_.getAs[Long]("doc_id")).toSet
+    assert(survivors.nonEmpty, "fixture absorbed nothing — append path untested")
+    // re-probe: every absorbed survivor is now its own exact dup; every
+    // doc (survivor or not) is blocked — the absorbed batch is visible
+    val again = DedupIndex.probe(spark, batch, prefix).collect()
+    assert(
+      again.filter(r => survivors(r.getAs[Long]("doc_id"))).forall(_.getAs[Long]("exact_dup") == 1L),
+      "absorbed survivors not visible through 64-bucket index")
+    assert(again.forall(_.getAs[Long]("keep") == 0L), "a re-probed doc still reads as novel")
+  }
+
+  test("two-warehouse replay marks: one JVM, same prefix, neither stream drops the other's batches") {
+    // spark.sql.warehouse.dir is a STATIC conf — two live sessions with
+    // different warehouses cannot coexist on one SparkContext, so the
+    // scenario that motivated (warehouse, table) keying arises across
+    // SEQUENTIAL contexts in one JVM, where the per-JVM mark map survives.
+    // Drive the extracted state machine with the two live keys directly.
+    val k1 = DedupIndex.replayKeyFor(spark, "twowh_idx")
+    val k2 = "file:/somewhere/else/warehouse::" + "twowh_idx_verdicts"
+    assert(k1 != k2 && k1.contains(spark.conf.get("spark.sql.warehouse.dir")),
+      s"replay key does not incorporate the warehouse: $k1")
+    DedupIndex.clearReplayMark("twowh_idx")
+    // stream A (warehouse 1) commits batches 0..1
+    assert(!DedupIndex.replayDecision(k1, 0L, tableExists = false, () => false))
+    DedupIndex.installReplayMark(k1, 0L)
+    assert(!DedupIndex.replayDecision(k1, 1L, tableExists = true, () => fail("mark should answer")))
+    DedupIndex.installReplayMark(k1, 1L)
+    // stream B: same table NAME, different warehouse, fresh batch 0 — a
+    // table-name-keyed mark (hw=1) would classify it as a replay and
+    // silently drop it; the warehouse-keyed mark must not
+    assert(!DedupIndex.replayDecision(k2, 0L, tableExists = true, () => false),
+      "stream B's batch 0 dropped by stream A's mark — warehouse leaked out of the key")
+    // and a TRUE replay in each warehouse still skips, independently
+    assert(DedupIndex.replayDecision(k1, 1L, tableExists = true, () => fail("mark should answer")))
+    DedupIndex.installReplayMark(k2, 0L)
+    assert(DedupIndex.replayDecision(k2, 0L, tableExists = true, () => fail("mark should answer")))
+    DedupIndex.clearReplayMark("twowh_idx")
+  }
+
+  test("auditResidue: clean maintained index audits to zeros; a mid-absorb crash residue is reported exactly") {
+    val prefix = "audit_idx"
+    val docs   = spark.read.parquet(s"$dir/documents.parquet")
+    val base   = docs.filter(col("doc_id") % FuzzyDedup.DeltaMod < 8)
+    val b1     = docs.filter(col("doc_id") % FuzzyDedup.DeltaMod === 8)
+    val b2     = docs.filter(col("doc_id") % FuzzyDedup.DeltaMod === 9)
+    DedupIndex.build(base, prefix)
+    DedupIndex.resetVerdicts(spark, prefix)
+    // batch 1 commits cleanly (verdict marker written) -> all zeros
+    DedupIndex.probeAndAbsorbBatch(prefix)(b1, 0L)
+    val clean = DedupIndex.auditResidue(spark, base, prefix)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.values.forall(_ == 0L), s"clean index reports residue: $clean")
+    // batch 2 CRASHES mid-absorb: index appends land, verdict write never
+    // happens — exactly probeAndAbsorb without the marker step
+    val v2 = DedupIndex.probeAndAbsorb(spark, b2, prefix)
+    val orphaned = v2.filter(col("keep") === 1L).count()
+    assert(orphaned > 0, "fixture produced no survivors — audit untested")
+    val resid = DedupIndex.auditResidue(spark, base, prefix)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(resid("shingles") == orphaned, s"expected $orphaned shingle orphans: $resid")
+    assert(resid("bands") <= orphaned && resid("fp") == 0L, s"residue shape off: $resid")
+    // the documented heal — build() compaction — restores three zeros
+    DedupIndex.build(base.unionByName(b1).unionByName(b2), prefix)
+    DedupIndex.resetVerdicts(spark, prefix)
+    val healed = DedupIndex.auditResidue(spark, base.unionByName(b1).unionByName(b2), prefix)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(healed.values.forall(_ == 0L), s"post-compaction residue: $healed")
+  }
+
   test("pre-r7 2-column shingle layout: probe still answers, absorb fails upfront, build migrates") {
     import org.apache.spark.sql.functions.col
     val prefix = "oldlayout_idx"
