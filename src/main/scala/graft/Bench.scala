@@ -176,13 +176,24 @@ object Bench {
         else {
           val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
             java.nio.file.Files.readAllBytes(p))
-          import scala.jdk.CollectionConverters._
-          root
-            .fieldNames()
-            .asScala
-            .flatMap(k =>
-              Option(root.get(k)).flatMap(n => Option(n.get("cpu_sec"))).map(v => k -> v.asDouble()))
-            .toMap
+          // cpu is code-determined ONLY at matching data scale: a spot-run
+          // against a scale corpus would trip every big query's ratio, so
+          // the check disarms when the baseline's recorded sf dir differs
+          val baseSf = Option(root.get("_sf")).flatMap(n => Option(n.get("dir"))).map(_.asText())
+          if (baseSf.exists(_ != sfDir)) {
+            System.err.println(
+              s"[bench] baseline is for ${baseSf.get}, run is $sfDir — cpu contamination check off")
+            Map.empty
+          } else {
+            import scala.jdk.CollectionConverters._
+            root
+              .fieldNames()
+              .asScala
+              .filterNot(_.startsWith("_"))
+              .flatMap(k =>
+                Option(root.get(k)).flatMap(n => Option(n.get("cpu_sec"))).map(v => k -> v.asDouble()))
+              .toMap
+          }
         }
       } catch {
         case e: Throwable =>

@@ -48,17 +48,16 @@ object Clustering extends QueryModule {
 
   private def dot(a: Column, b: Column): Column = graft.plans.VectorExpressions.dotProduct(a, b)
 
-  /** Integer squared-L2 distance to each literal centroid; argmin as
-    * array_min over struct(dist, cid) — smallest distance, then smallest
-    * cluster id. Returns struct(d, c). */
-  private def nearest(qv: Column, centroids: Seq[(Long, Array[Double])]): Column = {
-    val sqx = dot(qv, qv)
-    array_min(array(centroids.map { case (cid, qc) =>
-      val qcLit = array(qc.toIndexedSeq.map(lit): _*)
-      val qcSq  = qc.map(v => v * v).sum // exact: integer-valued doubles < 2^53
-      struct((sqx - lit(2.0) * dot(qv, qcLit) + lit(qcSq)).as("d"), lit(cid).as("c"))
-    }: _*))
-  }
+  /** Integer squared-L2 distance to the nearest centroid; argmin with
+    * smallest distance, then smallest cluster id. Returns struct(d, c).
+    * One native expression carrying the whole model
+    * ([[graft.plans.NearestCentroid]]) rather than array_min over K
+    * struct literals: identical exact-integer arithmetic (the gate
+    * oracles cannot move), but the plan stays O(1) in K — which is what
+    * lets [[semDedup]] raise K with the corpus instead of melting on a
+    * K×dim literal tree. */
+  private def nearest(qv: Column, centroids: Seq[(Long, Array[Double])]): Column =
+    graft.plans.VectorExpressions.nearestCentroid(qv, centroids)
 
   /** One centroid update: per-dimension exact LONG sums per cluster
     * (map-side partial agg; K·dim rows reach the driver), floor-mean. */
@@ -196,6 +195,21 @@ object Clustering extends QueryModule {
     * via `graft.semdedup.maxClusterSize`). */
   val SemDedupDefaultMaxCluster = 100000L
 
+  /** [[semDedup]]'s K sizing — the q39 `autoEmbBits` / index `autoNumBuckets`
+    * discipline applied to the LAST fixed knob with a quadratic term behind
+    * it: at fixed K the intra-cluster pair scan is Σ|c|² ≈ n²/K (measured:
+    * the 30× replica corpus at K = 10 cost 51.9 s / 258 cpu-s — 17× the 10×
+    * wall for 3× the rows). Sizing K to n/[[SemDedupTargetCluster]] makes
+    * the scan ≈ n·target — linear — which is exactly the paper's remedy
+    * (SemDeDup runs 50k clusters on LAION). Floored at [[K]] so every gate
+    * corpus (≤ ~6k vectors) fits the same 10-centroid model the oracles
+    * replay; the assignment stays map-side at any K via the native
+    * [[graft.plans.NearestCentroid]] argmin (a K×dim literal tree would
+    * melt codegen at exactly the K values the sizing exists to reach). */
+  val SemDedupTargetCluster = 1024L
+  def autoSemK(n: Long, floor: Int = K): Int =
+    math.max(floor.toLong, (n + SemDedupTargetCluster - 1) / SemDedupTargetCluster).toInt
+
   /** q119: SemDeDup (Abbas et al. 2023) — semantic dedup with k-means
     * cluster scoping: near-duplicate pairs are only searched WITHIN each
     * cluster of q70's fitted model, turning the global O(n²) pair scan
@@ -220,18 +234,21 @@ object Clustering extends QueryModule {
     * d) with d the exact integer squared-L2 to the owning centroid.
     * Shared by [[semDedup]] and its spec (which re-applies the keep rule
     * independently over these d's). */
-  def assignments(s: SparkSession, dir: String): DataFrame = {
-    val (emb, centroids) = fit(s, dir)
+  def assignments(s: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val (emb, centroids) = fit(s, dir, k)
     emb
       .withColumn("best", nearest(col("qv"), centroids))
       .select(col("vec_id"), col("qv"), col("best.c").as("cid"), col("best.d").as("d"))
   }
 
   def semDedup(s: SparkSession, dir: String): DataFrame = {
+    // K tracks the corpus ([[autoSemK]]): parquet-footer row count, no
+    // data read; gate corpora stay at the oracle-replayed K = 10 floor
+    val k = autoSemK(Tables.rowCountCached(s, dir, "embeddings"))
     // the assignment is consumed four times (sizes, the fail-fast probe,
     // both self-join sides) — materialize the skinny clustered corpus once
-    // instead of re-running the K-literal argmin per consumer
-    val assigned = assignments(s, dir).localCheckpoint()
+    // instead of re-running the per-row argmin per consumer
+    val assigned = assignments(s, dir, k).localCheckpoint()
     val sizes    = assigned.groupBy("cid").agg(count(lit(1)).as("n_points"))
     val maxCluster = s.conf
       .getOption("graft.semdedup.maxClusterSize")

@@ -128,6 +128,78 @@ case class HyperplaneBandKeys(child: Expression, bits: Int, bands: Int) extends 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** ARRAY<DOUBLE> vector → STRUCT(d: DOUBLE, c: BIGINT): exact integer
+  * squared-L2 to the nearest of `centroids` (ties → smallest cid) — the
+  * k-means assignment argmin as ONE expression holding the whole centroid
+  * matrix as a referenced object.
+  *
+  * The literal formulation (array_min over K struct(dist, cid) entries,
+  * each with a dim-element CreateArray of centroid literals) builds a
+  * K×dim expression tree — the same plan-explosion wall
+  * [[HyperplaneBandKeys]] documents for LSH planes. At the fixed gate
+  * K = 10 that is harmless; at SemDeDup-remedy K (hundreds to thousands —
+  * the knob that keeps q119's Σ|cluster|² pair scan linear in the corpus)
+  * it blows past the codegen method-size limit and falls back to a
+  * 30k-node interpreted tree. Here the matrix rides along as task-binary
+  * data (K×dim doubles) and the argmin is a tight primitive loop behind
+  * one static-shaped call.
+  *
+  * Arithmetic is IDENTICAL to the literal form — d = |x|² − 2·x·c + |c|²
+  * with the dot in sequential order and |c|² pre-summed left-to-right —
+  * and every operand is an integer-valued double far below 2⁵³
+  * (quantized components ≤ 1e6, 64-dim sums ≤ 6.4e13), so the distances
+  * are EXACT integers either way: swapping the formulations cannot move
+  * any oracle by even an ulp. Ties prefer the smaller cid, matching
+  * array_min's struct ordering (d first, then c). */
+case class NearestCentroid(
+    child: Expression,
+    cids: Array[Long],
+    centroids: Array[Array[Double]]) extends UnaryExpression {
+  require(cids.length == centroids.length && cids.nonEmpty, "empty or misaligned centroid model")
+
+  // |c|² per centroid, summed left-to-right exactly like the literal form's
+  // qc.map(v => v*v).sum — computed once per expression instance
+  private lazy val centroidSq: Array[Double] = centroids.map(_.map(v => v * v).sum)
+
+  override def dataType: DataType =
+    StructType(Seq(StructField("d", DoubleType, nullable = false), StructField("c", LongType, nullable = false)))
+
+  def evalVec(input: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val dim = input.numElements()
+    val x   = new Array[Double](dim)
+    var i   = 0
+    while (i < dim) { x(i) = input.getDouble(i); i += 1 }
+    var sqx = 0.0
+    i = 0
+    while (i < dim) { sqx += x(i) * x(i); i += 1 }
+    var bestD = Double.PositiveInfinity
+    var bestC = Long.MaxValue
+    var k     = 0
+    while (k < centroids.length) {
+      val c   = centroids(k)
+      val n   = math.min(dim, c.length)
+      var dot = 0.0
+      var j   = 0
+      while (j < n) { dot += x(j) * c(j); j += 1 }
+      val d = sqx - 2.0 * dot + centroidSq(k)
+      if (d < bestD || (d == bestD && cids(k) < bestC)) { bestD = d; bestC = cids(k) }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](bestD, bestC))
+  }
+
+  override def nullSafeEval(input: Any): Any = evalVec(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the expression instance (with its matrix) becomes a task-binary
+    // reference object; generated code pays one virtual call per row
+    val ref = ctx.addReferenceObj("nearestCentroid", this, classOf[NearestCentroid].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.evalVec($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd sequential-order dot product of two ARRAY<DOUBLE> columns. */
   def dotProduct(a: Column, b: Column): Column =
@@ -136,4 +208,12 @@ object VectorExpressions {
   /** Codegen'd banded hyperplane-LSH band keys of an ARRAY<DOUBLE> column. */
   def hyperplaneBandKeys(v: Column, bits: Int, bands: Int): Column =
     GraftBridge.column(HyperplaneBandKeys(GraftBridge.expression(v), bits, bands))
+
+  /** Codegen'd k-means assignment argmin over a driver-resident centroid
+    * model — struct(d, c) per vector. */
+  def nearestCentroid(v: Column, model: Seq[(Long, Array[Double])]): Column =
+    GraftBridge.column(NearestCentroid(
+      GraftBridge.expression(v),
+      model.map(_._1).toArray,
+      model.map(_._2).toArray))
 }

@@ -122,6 +122,53 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("native argmin equals the literal array_min formulation bit-for-bit") {
+    import graft.plans.VectorExpressions
+    // the pre-r9 formulation, kept here as the reference implementation
+    def literalNearest(qv: org.apache.spark.sql.Column, centroids: Seq[(Long, Array[Double])]) = {
+      val sqx = VectorExpressions.dotProduct(qv, qv)
+      array_min(array(centroids.map { case (cid, qc) =>
+        val qcLit = array(qc.toIndexedSeq.map(lit): _*)
+        val qcSq  = qc.map(v => v * v).sum
+        struct((sqx - lit(2.0) * VectorExpressions.dotProduct(qv, qcLit) + lit(qcSq)).as("d"), lit(cid).as("c"))
+      }: _*))
+    }
+    val (emb, centroids) = Clustering.fit(spark, plantedDir, k = 3)
+    def res(c: org.apache.spark.sql.Column) = emb
+      .withColumn("best", c)
+      .select(col("vec_id"), col("best.d"), col("best.c"))
+      .collect().map(_.toSeq).toSet
+    val native  = res(VectorExpressions.nearestCentroid(col("qv"), centroids))
+    val literal = res(literalNearest(col("qv"), centroids))
+    assert(native == literal, "native argmin diverged from the literal formulation")
+    assert(native.nonEmpty)
+  }
+
+  test("autoSemK: floored at gate scale, linear in the corpus past the floor") {
+    import Clustering.{autoSemK, K, SemDedupTargetCluster}
+    // every gate corpus (<= ~6k vectors) keeps the oracle-replayed K
+    assert(autoSemK(600) == K && autoSemK(2000) == K && autoSemK(6000) == K)
+    assert(autoSemK(SemDedupTargetCluster * K) == K)
+    // past the floor K tracks n/target: pair volume n·target, not n²/K
+    assert(autoSemK(SemDedupTargetCluster * K + 1) == K + 1)
+    assert(autoSemK(60000) == 59)
+    assert(autoSemK(200000) == 196)
+  }
+
+  test("SemDeDup-remedy K: assignment stays one map-side pass at K=300") {
+    // the K range the literal tree could not reach (K x dim struct
+    // literals melt codegen); the native expression's plan is O(1) in K
+    import graft.plans.VectorExpressions
+    val cents = (0 until 300).map(c => c.toLong -> Array.tabulate(16)(d => ((c * 31 + d) % 997).toDouble))
+    val emb = Tables.embeddingsDistributed(spark, plantedDir)
+      .select(col("vec_id"), Clustering.quantize(col("embedding")).as("qv"))
+      .withColumn("best", VectorExpressions.nearestCentroid(col("qv"), cents))
+    val plan = emb.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), "K=300 assignment must stay map-side")
+    val rows = emb.select(col("best.c")).collect()
+    assert(rows.nonEmpty && rows.forall(r => { val c = r.getLong(0); c >= 0 && c < 300 }))
+  }
+
   test("assignment plan: no join, no cartesian product — centroids are literals") {
     val emb = Tables.embeddingsDistributed(spark, plantedDir)
       .select(col("vec_id"), Clustering.quantize(col("embedding")).as("qv"))
