@@ -121,11 +121,21 @@ object Multimodal extends QueryModule {
     }
   }
 
-  /** Documents' text bytes treated as opaque media payloads. */
+  /** Documents' text bytes treated as opaque media payloads.
+    *
+    * Fan-out (`documentsDistributed`), per the per-site policy: every
+    * consumer of this frame is per-row CPU (codec decode, byte
+    * histograms, per-frame md5), so a single-split corpus file — the 30×
+    * scale corpus is ONE 17 MB parquet, under one maxPartitionBytes
+    * split — would serialize the whole decode onto one core (measured:
+    * q53 4.2 s wall ≈ 4.9 cpu-s at 30× before; 0.79 s wall after). On a
+    * real media corpus the payload column makes files span many splits,
+    * but the decode stage stays CPU-bound — the fan-out is the correct
+    * production shape, not a test crutch. */
   def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     Tables
-      .documents(s, dir)
+      .documentsDistributed(s, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRecord]
   }
@@ -134,7 +144,7 @@ object Multimodal extends QueryModule {
     * built-ins (the codegen'd subset of the decode). */
   def binaryMeta(s: SparkSession, dir: String): DataFrame =
     Tables
-      .documents(s, dir)
+      .documentsDistributed(s, dir) // per-row md5/encode: same fan-out rationale as [[mediaFromDocuments]]
       .select(
         col("doc_id"),
         length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),
