@@ -633,4 +633,28 @@ class PlanQualitySpec extends AnyFunSuite {
       )
     }
   }
+
+  test("multimodal decode fans out a single-split corpus to all cores") {
+    // The r9 30x sweep caught q53 running wall ~ cpu: the scale corpus is
+    // one parquet file -> one split, and mediaFromDocuments ran the whole
+    // per-row decode (frame md5s, byte histograms) in a single task
+    // (4.2 s -> 0.79 s at 30x with the fan-out). Same per-site policy as
+    // the events pin above: per-row-CPU consumers fan out.
+    val cores = spark.sparkContext.defaultParallelism
+    assume(
+      Tables.documents(spark, dir).rdd.getNumPartitions < cores,
+      "fixture grew multi-split; pin is vacuous here")
+    for (
+      (name, df) <- Seq(
+        "q50" -> graft.operators.Multimodal.binaryMeta(spark, dir),
+        "q53" -> graft.operators.Multimodal.frameSample(spark, dir)
+      )
+    ) {
+      val plan = finalPlan(df)
+      assert(
+        plan.contains("RoundRobinPartitioning"),
+        s"$name reads the single-split documents scan without the fan-out repartition:\n$plan"
+      )
+    }
+  }
 }
