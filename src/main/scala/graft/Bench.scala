@@ -203,6 +203,13 @@ object Bench {
     (1 to 3).foreach(_ => probe.spin()) // JIT-warm the probe loop itself
     val probeWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Release the PREVIOUS query's dead localCheckpoint/persist blocks:
+      // the ContextCleaner frees them only after their frames are GC'd, so
+      // without this nudge block debt accumulates across queries and lands
+      // on whichever neighbor allocates next (the r9 100× sweep OOMed q109
+      // under blocks q105–q108 no longer needed). Outside every measured
+      // window: queries still pay their OWN GC, just not their neighbors'.
+      System.gc()
       probeWalls += probe.spin() // sampled while the session is idle
       val runs = (1 to reps).map { _ =>
         org.apache.spark.GraftSparkBridge.drainListenerBus(sc) // attribute straggler events to the right query

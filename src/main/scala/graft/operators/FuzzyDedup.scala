@@ -488,18 +488,56 @@ object FuzzyDedup extends QueryModule {
     * big graph — fail loudly rather than loop. */
   val MaxCcRounds = 64
 
+  /** Above this source-table row count [[connectedComponents]] stores its
+    * edge list as a serialized columnar persist instead of an eager
+    * `localCheckpoint`. The edge list is OUTPUT-sized, not corpus-skinny:
+    * on a dup-dense corpus true pairs grow ~k² per dup group (25M pairs /
+    * 50M directed edges at the 100× replica corpus), and a localCheckpoint
+    * stores DESERIALIZED row blocks (~2.6 GB there) that Spark re-inflates
+    * into heap on read — the r9 100× sweep OOMed the bench JVM exactly
+    * there (q109). `MEMORY_AND_DISK_SER` is ~4× smaller, spills without
+    * heap re-inflation, and keeps lineage (an executor loss recomputes
+    * instead of failing the job) — but costs ~1.5× task cpu at gate scale
+    * (serde on every CC round's join), so small corpora keep the
+    * deserialized fast path: same adaptive discipline as
+    * [[NearCheckpointMaxRows]] and the q113 checkpoint gate. The 30×
+    * corpus (150k docs) runs clean deserialized; 100× (500k) crashed —
+    * the ceiling sits between. Override with
+    * `spark.graft.connectedComponents.serializedEdgesMinRows`. */
+  val CcSerializedEdgesMinRows = 200000L
+  val CcSerializedEdgesConf    = "spark.graft.connectedComponents.serializedEdgesMinRows"
+  private def ccSerializedEdges(s: SparkSession, dir: String, table: String): Boolean = {
+    val ceiling = s.conf.getOption(CcSerializedEdgesConf).map { v =>
+      try v.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$CcSerializedEdgesConf must be a row count in plain digits, got '$v'")
+      }
+    }.getOrElse(CcSerializedEdgesMinRows)
+    Tables.rowCountCached(s, dir, table) > ceiling
+  }
+
   /** Min-label propagation with pointer jumping over an undirected edge
     * list; returns (node, label) plus the round count (spec surface — a
     * chain-shaped fixture pins the O(log diameter) bound). Each round is
     * ONE action (the label sum, which also materializes the lazy
     * localCheckpoint); min-propagation is monotone decreasing, so an
     * unchanged sum ⇔ fixpoint, and an INCREASED sum is asserted away as a
-    * broken invariant. */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = MaxCcRounds): (DataFrame, Int) = {
-    val edges = pairs
+    * broken invariant. `serializedEdges` picks the edge-list storage (see
+    * [[CcSerializedEdgesMinRows]]); labels are identical either way —
+    * FuzzyDedupSpec pins the equality. */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxRounds: Int = MaxCcRounds,
+      serializedEdges: Boolean = false): (DataFrame, Int) = {
+    val edgesBase = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+    val edges =
+      if (serializedEdges)
+        edgesBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else edgesBase.localCheckpoint()
     val nodes  = edges.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node")).localCheckpoint()
 
@@ -536,11 +574,17 @@ object FuzzyDedup extends QueryModule {
       labels = jumped
       rounds += 1
     }
+    // final labels are checkpoint-materialized (the last labelSum action);
+    // the edge cache is dead weight from here on (localCheckpoint blocks
+    // have no unpersist handle — Bench's between-query GC reclaims them)
+    if (serializedEdges) edges.unpersist(blocking = false)
     (labels, rounds)
   }
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val (labels, _) = connectedComponents(minhashLsh(s, dir).select("id_a", "id_b"))
+    val (labels, _) = connectedComponents(
+      minhashLsh(s, dir).select("id_a", "id_b"),
+      serializedEdges = ccSerializedEdges(s, dir, "documents"))
     labels
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc_id"))
@@ -558,7 +602,9 @@ object FuzzyDedup extends QueryModule {
     * labels-filtered join this derives from, exposed for pipeline callers
     * via the same composition. */
   def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val (labels, _) = connectedComponents(minhashLsh(s, dir).select("id_a", "id_b"))
+    val (labels, _) = connectedComponents(
+      minhashLsh(s, dir).select("id_a", "id_b"),
+      serializedEdges = ccSerializedEdges(s, dir, "documents"))
     // non-representative members: in some cluster, not its min
     val removed = labels
       .filter(col("node") =!= col("label"))
@@ -692,7 +738,9 @@ object FuzzyDedup extends QueryModule {
     * two-step argmax (max qm per label, then min id among ties) avoids
     * struct-ordering subtleties and keeps both engines trivially aligned. */
   def dedupSurvivorsByQuality(s: SparkSession, dir: String): DataFrame = {
-    val (labels, _) = connectedComponents(minhashLsh(s, dir).select("id_a", "id_b"))
+    val (labels, _) = connectedComponents(
+      minhashLsh(s, dir).select("id_a", "id_b"),
+      serializedEdges = ccSerializedEdges(s, dir, "documents"))
     // (doc_id, source, qm) is consumed by the member join AND the final
     // corpus rollup — materialize so the quality-score text pass runs once
     val docs = Tables
@@ -737,7 +785,9 @@ object FuzzyDedup extends QueryModule {
     * plant no cosine-0.9 pairs, so the oracle run is vacuous there (empty =
     * empty); the semantics are pinned by FuzzyDedupSpec's planted corpus. */
   def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
-    val (labels, _) = connectedComponents(embeddingPairsLsh(s, dir).select("id_a", "id_b"))
+    val (labels, _) = connectedComponents(
+      embeddingPairsLsh(s, dir).select("id_a", "id_b"),
+      serializedEdges = ccSerializedEdges(s, dir, "embeddings"))
     labels
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_vec_id"))

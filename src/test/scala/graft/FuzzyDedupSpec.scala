@@ -206,6 +206,36 @@ class FuzzyDedupSpec extends AnyFunSuite {
     assert(l2.select("label").distinct().count() == 2)
   }
 
+  test("connected components: serialized-edges path (100× OOM fix) labels identically to the fast path") {
+    import spark.implicits._
+    // the scale branch swaps the deserialized localCheckpoint (which OOMed
+    // the bench JVM on the 100× corpus's 50M-edge output) for a serialized
+    // columnar persist — storage only, labels must be bit-identical
+    val edges = ((0L until 63L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (101L, 102L)))
+      .toDF("id_a", "id_b")
+    val (fast, fastRounds) = FuzzyDedup.connectedComponents(edges)
+    val (ser, serRounds)   = FuzzyDedup.connectedComponents(edges, serializedEdges = true)
+    assert(ser.collect().map(_.toSeq).toSet == fast.collect().map(_.toSeq).toSet,
+      "serialized-edges branch diverged from localCheckpoint branch")
+    assert(serRounds == fastRounds, "storage choice changed convergence rounds")
+    // q38 at gate SF flows the real pipeline through the serialized branch
+    // when the ceiling is forced to 0 — same clusters either way
+    val dir      = "/root/testdata/sf0.001"
+    val expected = FuzzyDedup.dedupClusters(spark, dir).collect().map(_.toSeq).toSet
+    spark.conf.set(FuzzyDedup.CcSerializedEdgesConf, "0")
+    try {
+      val got = FuzzyDedup.dedupClusters(spark, dir).collect().map(_.toSeq).toSet
+      assert(got == expected, "q38 serialized-edges run diverged")
+      intercept[IllegalArgumentException] {
+        spark.conf.set(FuzzyDedup.CcSerializedEdgesConf, "2e5")
+        FuzzyDedup.dedupClusters(spark, dir)
+      }
+    } finally {
+      spark.conf.unset(FuzzyDedup.CcSerializedEdgesConf)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("q113 persist path (over the checkpoint ceiling) answers identically to the checkpoint path") {
     // the scale branch swaps the unrecoverable localCheckpoint for a
     // lineage-preserving persist — same one-shingle-pass materialization,
