@@ -488,56 +488,66 @@ object FuzzyDedup extends QueryModule {
     * big graph — fail loudly rather than loop. */
   val MaxCcRounds = 64
 
-  /** Above this source-table row count [[connectedComponents]] stores its
-    * edge list as a serialized columnar persist instead of an eager
-    * `localCheckpoint`. The edge list is OUTPUT-sized, not corpus-skinny:
-    * on a dup-dense corpus true pairs grow ~k² per dup group (25M pairs /
-    * 50M directed edges at the 100× replica corpus), and a localCheckpoint
-    * stores DESERIALIZED row blocks (~2.6 GB there) that Spark re-inflates
-    * into heap on read — the r9 100× sweep OOMed the bench JVM exactly
-    * there (q109). `MEMORY_AND_DISK_SER` is ~4× smaller, spills without
-    * heap re-inflation, and keeps lineage (an executor loss recomputes
-    * instead of failing the job) — but costs ~1.5× task cpu at gate scale
-    * (serde on every CC round's join), so small corpora keep the
-    * deserialized fast path: same adaptive discipline as
-    * [[NearCheckpointMaxRows]] and the q113 checkpoint gate. The 30×
-    * corpus (150k docs) runs clean deserialized; 100× (500k) crashed —
-    * the ceiling sits between. Override with
-    * `spark.graft.connectedComponents.serializedEdgesMinRows`. */
-  val CcSerializedEdgesMinRows = 200000L
-  val CcSerializedEdgesConf    = "spark.graft.connectedComponents.serializedEdgesMinRows"
-  private def ccSerializedEdges(s: SparkSession, dir: String, table: String): Boolean = {
-    val ceiling = s.conf.getOption(CcSerializedEdgesConf).map { v =>
-      try v.toLong
-      catch {
-        case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"$CcSerializedEdgesConf must be a row count in plain digits, got '$v'")
-      }
-    }.getOrElse(CcSerializedEdgesMinRows)
-    Tables.rowCountCached(s, dir, table) > ceiling
-  }
+  /** Storage level of [[connectedComponents]]' pair store: serialized
+    * UnsafeRow RDD blocks, disk-spilling, lineage kept. See the scaladoc
+    * on [[connectedComponents]] for why this is the ONLY path. */
+  val CcEdgeStorageLevel: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
-  /** Min-label propagation with pointer jumping over an undirected edge
+  /** Min-label propagation with pointer jumping over an undirected pair
     * list; returns (node, label) plus the round count (spec surface — a
     * chain-shaped fixture pins the O(log diameter) bound). Each round is
     * ONE action (the label sum, which also materializes the lazy
     * localCheckpoint); min-propagation is monotone decreasing, so an
     * unchanged sum ⇔ fixpoint, and an INCREASED sum is asserted away as a
-    * broken invariant. `serializedEdges` picks the edge-list storage (see
-    * [[CcSerializedEdgesMinRows]]); labels are identical either way —
-    * FuzzyDedupSpec pins the equality. */
+    * broken invariant. `pairs` must expose exactly (id_a, id_b) — every
+    * call site selects them first.
+    *
+    * THE PAIR STORE IS OUTPUT-VOLUME-PROOF BY CONSTRUCTION — no routing
+    * variable exists to misroute. History: the pair list is OUTPUT-sized,
+    * not corpus-skinny (~Σ|group|² on a dup-dense corpus; 24.75M pairs /
+    * 50M directed edges at the 100× replica), and an eager
+    * `localCheckpoint` of the doubled union OOMed the r9 100× sweep
+    * (deserialized object blocks + cross-query block debt). Round 9 added
+    * a serialized-persist branch gated on source-table ROW count — the
+    * wrong variable: a dup-dense SMALL corpus (few docs, huge pair output)
+    * routed deserialized with an edge list as large as the one that
+    * crashed, and no pre-materialization signal for the right variable
+    * (pair volume) exists without paying an extra mining pass (measured:
+    * a gating `count()` re-runs candidate generation + verify, +28% wall
+    * at gate scale; a columnar `persist(SER)`+count, +54%; CC rounds over
+    * a columnar SER cache, +70% — InMemoryRelation decompresses per round
+    * scan). This store removes the choice instead: materialize the mined
+    * pairs ONCE into a `MEMORY_AND_DISK_SER` RDD of UnsafeRows via
+    * `internalCreateDataFrame` — UnsafeRow ser/de is a byte copy, so
+    * round scans cost what deserialized blocks cost (paired q38/q76/q107/
+    * q109 at sf0.1: 8.84 s / 30.8 cpu-s vs the r9 fast path's 9.14 /
+    * 32.2) with the serialized capacity profile that fixed the 100× OOM —
+    * at HALF the rows, since the store holds pairs and the undirected
+    * doubling is a lazy union VIEW over it (each round scans the blocks
+    * twice: same bytes moved, half the capacity at risk). Lineage is
+    * kept, so an executor loss recomputes instead of failing the job —
+    * strictly better than the checkpoint it replaces. The store is
+    * unpersisted after convergence (final labels are
+    * checkpoint-materialized by the last label-sum action). */
   def connectedComponents(
       pairs: DataFrame,
-      maxRounds: Int = MaxCcRounds,
-      serializedEdges: Boolean = false): (DataFrame, Int) = {
-    val edgesBase = pairs
+      maxRounds: Int = MaxCcRounds): (DataFrame, Int) = {
+    val s = pairs.sparkSession
+    // toRdd reuses UnsafeRow buffers per partition — copy before storing
+    val storedRdd = pairs.queryExecution.toRdd.map(_.copy()).persist(CcEdgeStorageLevel)
+    storedRdd.count() // materialize: ONE mining pass, not one per union branch
+    val stored =
+      org.apache.spark.sql.GraftBridge.internalCreateDataFrame(s, storedRdd, pairs.schema)
+    val edges = stored
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val edges =
-      if (serializedEdges)
-        edgesBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      else edgesBase.localCheckpoint()
+      .union(stored.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val r = ccLoop(edges, maxRounds)
+    storedRdd.unpersist(blocking = false)
+    r
+  }
+
+  private def ccLoop(edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
     val nodes  = edges.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node")).localCheckpoint()
 
@@ -574,17 +584,11 @@ object FuzzyDedup extends QueryModule {
       labels = jumped
       rounds += 1
     }
-    // final labels are checkpoint-materialized (the last labelSum action);
-    // the edge cache is dead weight from here on (localCheckpoint blocks
-    // have no unpersist handle — Bench's between-query GC reclaims them)
-    if (serializedEdges) edges.unpersist(blocking = false)
     (labels, rounds)
   }
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val (labels, _) = connectedComponents(
-      minhashLsh(s, dir).select("id_a", "id_b"),
-      serializedEdges = ccSerializedEdges(s, dir, "documents"))
+    val (labels, _) = connectedComponents(minhashLsh(s, dir).select("id_a", "id_b"))
     labels
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc_id"))
@@ -602,9 +606,7 @@ object FuzzyDedup extends QueryModule {
     * labels-filtered join this derives from, exposed for pipeline callers
     * via the same composition. */
   def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val (labels, _) = connectedComponents(
-      minhashLsh(s, dir).select("id_a", "id_b"),
-      serializedEdges = ccSerializedEdges(s, dir, "documents"))
+    val (labels, _) = connectedComponents(minhashLsh(s, dir).select("id_a", "id_b"))
     // non-representative members: in some cluster, not its min
     val removed = labels
       .filter(col("node") =!= col("label"))
@@ -738,9 +740,7 @@ object FuzzyDedup extends QueryModule {
     * two-step argmax (max qm per label, then min id among ties) avoids
     * struct-ordering subtleties and keeps both engines trivially aligned. */
   def dedupSurvivorsByQuality(s: SparkSession, dir: String): DataFrame = {
-    val (labels, _) = connectedComponents(
-      minhashLsh(s, dir).select("id_a", "id_b"),
-      serializedEdges = ccSerializedEdges(s, dir, "documents"))
+    val (labels, _) = connectedComponents(minhashLsh(s, dir).select("id_a", "id_b"))
     // (doc_id, source, qm) is consumed by the member join AND the final
     // corpus rollup — materialize so the quality-score text pass runs once
     val docs = Tables
@@ -785,9 +785,7 @@ object FuzzyDedup extends QueryModule {
     * plant no cosine-0.9 pairs, so the oracle run is vacuous there (empty =
     * empty); the semantics are pinned by FuzzyDedupSpec's planted corpus. */
   def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
-    val (labels, _) = connectedComponents(
-      embeddingPairsLsh(s, dir).select("id_a", "id_b"),
-      serializedEdges = ccSerializedEdges(s, dir, "embeddings"))
+    val (labels, _) = connectedComponents(embeddingPairsLsh(s, dir).select("id_a", "id_b"))
     labels
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_vec_id"))

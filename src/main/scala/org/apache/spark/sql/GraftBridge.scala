@@ -35,6 +35,21 @@ object GraftBridge {
     cs.sessionState.catalog.getTableMetadata(id).bucketSpec.map(b => (b.numBuckets, b.bucketColumnNames))
   }
 
+  /** DataFrame over an RDD of InternalRows with a known schema
+    * (`SparkSession.internalCreateDataFrame` is `private[sql]`) — lets an
+    * operator materialize an intermediate ONCE into an RDD persisted at a
+    * storage level of its choosing (e.g. `MEMORY_AND_DISK_SER` UnsafeRow
+    * blocks, bypassing the columnar cache machinery whose per-scan
+    * decompression an iterative consumer would pay per round) and keep
+    * composing DataFrame operators over it. */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Register a function on a LIVE session (the builder-time path is
     * `graft.plans.GraftExtensions` via `withExtensions` /
     * `spark.sql.extensions`; this covers sessions created elsewhere, e.g.

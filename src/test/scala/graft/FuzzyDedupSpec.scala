@@ -206,34 +206,35 @@ class FuzzyDedupSpec extends AnyFunSuite {
     assert(l2.select("label").distinct().count() == 2)
   }
 
-  test("connected components: serialized-edges path (100× OOM fix) labels identically to the fast path") {
+  test("edge store is output-volume-proof: one serialized path, no routing variable") {
     import spark.implicits._
-    // the scale branch swaps the deserialized localCheckpoint (which OOMed
-    // the bench JVM on the 100× corpus's 50M-edge output) for a serialized
-    // columnar persist — storage only, labels must be bit-identical
-    val edges = ((0L until 63L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (101L, 102L)))
-      .toDF("id_a", "id_b")
-    val (fast, fastRounds) = FuzzyDedup.connectedComponents(edges)
-    val (ser, serRounds)   = FuzzyDedup.connectedComponents(edges, serializedEdges = true)
-    assert(ser.collect().map(_.toSeq).toSet == fast.collect().map(_.toSeq).toSet,
-      "serialized-edges branch diverged from localCheckpoint branch")
-    assert(serRounds == fastRounds, "storage choice changed convergence rounds")
-    // q38 at gate SF flows the real pipeline through the serialized branch
-    // when the ceiling is forced to 0 — same clusters either way
-    val dir      = "/root/testdata/sf0.001"
-    val expected = FuzzyDedup.dedupClusters(spark, dir).collect().map(_.toSeq).toSet
-    spark.conf.set(FuzzyDedup.CcSerializedEdgesConf, "0")
-    try {
-      val got = FuzzyDedup.dedupClusters(spark, dir).collect().map(_.toSeq).toSet
-      assert(got == expected, "q38 serialized-edges run diverged")
-      intercept[IllegalArgumentException] {
-        spark.conf.set(FuzzyDedup.CcSerializedEdgesConf, "2e5")
-        FuzzyDedup.dedupClusters(spark, dir)
-      }
-    } finally {
-      spark.conf.unset(FuzzyDedup.CcSerializedEdgesConf)
-      spark.sharedState.cacheManager.clearCache()
-    }
+    // r9 had two stores behind a source-table ROW-count gate — the wrong
+    // variable: a dup-dense SMALL corpus (few docs, Σ|group|² pair output)
+    // routed onto the deserialized path that OOMed the 100× sweep. r10
+    // removed the choice: ONE store, serialized UnsafeRow RDD blocks at
+    // the level below, measured at parity with the old fast path.
+    assert(
+      FuzzyDedup.CcEdgeStorageLevel ==
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER,
+      "pair store must keep the serialized, disk-spilling capacity profile")
+    // the r9 misroute shape: 3 cliques of 20 nodes → 570 pairs from 60 rows
+    val pairs = (0 until 3).flatMap { c =>
+      val ids = (0 until 20).map(i => c * 100L + i)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toDF("id_a", "id_b")
+    val (labels, _) = FuzzyDedup.connectedComponents(pairs)
+    val clusters = labels.groupBy("label").count().collect()
+    assert(clusters.length == 3 && clusters.forall(_.getLong(1) == 20L),
+      "dense-dup fixture labels wrong")
+    assert(clusters.map(_.getLong(0)).toSet == Set(0L, 100L, 200L),
+      "cluster labels are not the component minima")
+    // deterministic: a second run over the same pipeline labels identically
+    // (the store's row copy + serialization round-trip must not reorder
+    // or corrupt), including end-to-end through q38 at gate SF
+    val dir = "/root/testdata/sf0.001"
+    val a   = FuzzyDedup.dedupClusters(spark, dir).collect().map(_.toSeq).toSet
+    val b   = FuzzyDedup.dedupClusters(spark, dir).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty, "q38 runs diverged across the pair store")
   }
 
   test("q113 persist path (over the checkpoint ceiling) answers identically to the checkpoint path") {
