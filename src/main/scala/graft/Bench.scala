@@ -327,6 +327,7 @@ object Bench {
       )
     }
     println(line)
+    graft.operators.FuzzyDedup.releaseCaches(spark)
     spark.stop()
   }
 }

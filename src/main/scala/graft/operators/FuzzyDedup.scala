@@ -644,8 +644,45 @@ object FuzzyDedup extends QueryModule {
     * Override with `spark.graft.nearContamination.checkpointMaxRows`. */
   val NearCheckpointMaxRows = 2000000L
   val NearCheckpointConf    = "spark.graft.nearContamination.checkpointMaxRows"
+  /** One persisted corpus handle per SESSION — a size-1 LRU: screening a
+    * second dir in the same session unpersists the first, so a sweep over
+    * many corpora no longer accretes one corpus-sized persist per dir, and
+    * [[releaseCaches]] drops the entry outright. Keyed WEAKLY by the
+    * session object itself: r9 keyed a never-evicting map by
+    * `System.identityHashCode(session)`, which (a) is a hash, not an
+    * identity — two live sessions can collide and share one session-bound
+    * frame — and (b) retained entries for stopped sessions for the JVM
+    * lifetime; a WeakHashMap entry dies with its session. Re-persists if a
+    * `clearCache()` dropped the handle's storage out from under us. */
   private val nearPersistCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession, (String, DataFrame)]()
+
+  private def nearPersisted(s: SparkSession, dir: String, projected: DataFrame): DataFrame =
+    nearPersistCache.synchronized {
+      Option(nearPersistCache.get(s)) match {
+        case Some((d, df))
+            if d == dir && df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+          df
+        case prev =>
+          prev.foreach(_._2.unpersist(blocking = false))
+          val df = projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          nearPersistCache.put(s, (dir, df))
+          df
+      }
+    }
+
+  /** Test hook: the session's current (dir, persisted frame) entry. */
+  private[graft] def nearCacheEntry(s: SparkSession): Option[(String, DataFrame)] =
+    nearPersistCache.synchronized(Option(nearPersistCache.get(s)))
+
+  /** Release the session's persisted contamination-screen corpus (if any).
+    * Long-lived sessions mixing contamination screens with other
+    * cache-hungry phases call this between phases; [[graft.Bench]] calls it
+    * before shutdown. */
+  def releaseCaches(s: SparkSession): Unit =
+    nearPersistCache.synchronized {
+      Option(nearPersistCache.remove(s)).foreach(_._2.unpersist(blocking = false))
+    }
 
   def nearContamination(s: SparkSession, dir: String): DataFrame = {
     // (doc_id, source, shingles) feeds FIVE consumers (eval bands, train
@@ -668,23 +705,15 @@ object FuzzyDedup extends QueryModule {
             s"$NearCheckpointConf must be a row count in plain digits, got '$v'")
       }
     }.getOrElse(NearCheckpointMaxRows)
-    // cached per (dir): the branch decision is identical every call, so
-    // don't schedule a count job per invocation/bench rep. The persist
-    // branch's cache entry lives until the session ends or the caller
-    // clears it — the production shape runs one contamination screen per
-    // corpus snapshot in its own job, where session lifetime IS the
-    // intended cache lifetime; a long-lived session mixing this at scale
-    // with other cache-hungry work should clearCache() between phases.
+    // The persist branch's handle is cached per session (size-1 LRU, see
+    // [[nearPersistCache]]): repeated invocations in one session — bench
+    // reps on a large corpus — reuse one corpus-sized MEMORY_AND_DISK
+    // entry instead of persisting a fresh one per rep, a second dir
+    // evicts-and-unpersists the first, and [[releaseCaches]] ends the
+    // cache's life explicitly when the screen phase is over.
     val docs =
       if (Tables.rowCountCached(s, dir, "documents") <= ceiling) projected.localCheckpoint()
-      else
-        // One persisted handle per dir (mirrors rowCountCached): repeated
-        // invocations in one session — bench reps on a large corpus —
-        // previously each persisted a FRESH corpus-sized MEMORY_AND_DISK
-        // entry and never released the old one.
-        nearPersistCache.computeIfAbsent(
-          s"${System.identityHashCode(s)}:$dir",
-          _ => projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else nearPersisted(s, dir, projected)
     val isEval = col("doc_id") % TrainingPrep.EvalMod === 0
     val eval   = docs.filter(isEval)
     val train  = docs.filter(!isEval)

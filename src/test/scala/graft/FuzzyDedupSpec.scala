@@ -237,6 +237,30 @@ class FuzzyDedupSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty, "q38 runs diverged across the pair store")
   }
 
+  test("q113 corpus persist: size-1 LRU per session — a second dir unpersists the first") {
+    // force the persist branch at gate SF, screen two dirs in one session:
+    // the r9 cache (keyed by identity hash + dir, never evicting) kept one
+    // corpus-sized persist per dir alive for the JVM lifetime
+    spark.conf.set(FuzzyDedup.NearCheckpointConf, "0")
+    try {
+      FuzzyDedup.nearContamination(spark, "/root/testdata/sf0.001").count()
+      val first = FuzzyDedup.nearCacheEntry(spark).get
+      assert(first._1 == "/root/testdata/sf0.001")
+      assert(first._2.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "first dir's corpus frame is not persisted")
+      FuzzyDedup.nearContamination(spark, "/root/testdata/sf0.01").count()
+      val second = FuzzyDedup.nearCacheEntry(spark).get
+      assert(second._1 == "/root/testdata/sf0.01", "LRU did not advance to the new dir")
+      assert(first._2.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "evicted dir's corpus persist was not released")
+      // explicit release drops the survivor too
+      FuzzyDedup.releaseCaches(spark)
+      assert(FuzzyDedup.nearCacheEntry(spark).isEmpty, "releaseCaches left an entry")
+      assert(second._2.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "releaseCaches did not unpersist the entry")
+    } finally spark.conf.unset(FuzzyDedup.NearCheckpointConf)
+  }
+
   test("q113 persist path (over the checkpoint ceiling) answers identically to the checkpoint path") {
     // the scale branch swaps the unrecoverable localCheckpoint for a
     // lineage-preserving persist — same one-shingle-pass materialization,
