@@ -197,6 +197,26 @@ case class NearestCentroid(
     defineCodeGen(ctx, ev, c => s"$ref.evalVec($c)")
   }
 
+  // Array fields make the case-class equals/hashCode REFERENCE-based:
+  // semantically identical instances built separately would never compare
+  // equal, defeating Catalyst canonicalization / subexpression elimination
+  // / exchange reuse for any plan carrying two independently-constructed
+  // copies of the same model. Compare and hash by CONTENT instead.
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroid =>
+      child == o.child &&
+      java.util.Arrays.equals(cids, o.cids) &&
+      centroids.length == o.centroids.length &&
+      centroids.indices.forall(i => java.util.Arrays.equals(centroids(i), o.centroids(i)))
+    case _ => false
+  }
+  override def hashCode(): Int = {
+    var h = child.hashCode()
+    h = 31 * h + java.util.Arrays.hashCode(cids)
+    centroids.foreach(row => h = 31 * h + java.util.Arrays.hashCode(row))
+    h
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 

@@ -36,31 +36,67 @@ object Layout {
     * map hash would be non-deterministic — the exact retry hazard the
     * deterministic salt exists to avoid), so any column containing a map
     * anywhere in its type (e.g. `events.props`) is excluded. If NO
-    * column is hashable the salt falls back to `hash(to_json(struct(*)))`
-    * — to_json renders maps with a stable entry order for a given row
-    * value, costlier but still deterministic under retry.
+    * column is hashable the salt hashes ALL columns with every map
+    * CANONICALIZED first — entries exploded and SORTED into an array of
+    * (key, value) structs, recursively. An earlier fallback hashed
+    * `to_json(struct(*))`, which renders map entries in their STORED
+    * order: a map materialized downstream of a shuffle/aggregation
+    * (map_from_entries over unordered groups) can re-serialize in a
+    * different order on recompute after a task retry — value-equal rows,
+    * different salt, the exact lose-or-duplicate hazard this salt exists
+    * to prevent. Sorted entry arrays are value-determined AND hashable,
+    * so the fallback needs no JSON rendering at all.
     *
     * Behavior note (since r8): `saltFiles = 1` also repartitions (on the
     * partition columns alone) — that is what buys one-file-per-directory
     * — so a hot partition value serializes into one write task where
     * pre-r8 callers got parallel (but tasks × partitions-file) writes.
     * Callers with a skewed dimension should pass `saltFiles` > 1. */
-  def writePartitioned(df: DataFrame, path: String, cols: Seq[String], saltFiles: Int = 1): Unit = {
-    import org.apache.spark.sql.functions.{hash, lit, pmod, struct, to_json}
+  /** Value-determined full-row salt hash (package-private for the spec):
+    * hashable columns directly when any exist, else all columns with maps
+    * canonicalized via [[canonicalHashable]]. */
+  private[graft] def deterministicSalt(df: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.hash
     def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
       case _: org.apache.spark.sql.types.MapType => false
       case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
       case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
       case _ => true
     }
+    val saltCols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    if (saltCols.nonEmpty) hash(saltCols.toIndexedSeq: _*)
+    else
+      hash(df.schema.fields.toIndexedSeq.map(f => canonicalHashable(col(f.name), f.dataType)): _*)
+  }
+
+  /** Rewrite a column into a value-determined, `hash()`-able form: every
+    * map (at any nesting depth) becomes its entry array SORTED by (key,
+    * value) — storage order, which task retries can change for maps built
+    * from unordered groups, no longer reaches the hash. */
+  private def canonicalHashable(
+      c: org.apache.spark.sql.Column,
+      t: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array_sort, map_entries, struct, transform}
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    t match {
+      case m: MapType =>
+        array_sort(transform(map_entries(c), e =>
+          struct(
+            canonicalHashable(e.getField("key"), m.keyType).as("key"),
+            canonicalHashable(e.getField("value"), m.valueType).as("value"))))
+      case st: StructType =>
+        struct(st.fields.toIndexedSeq.map(f =>
+          canonicalHashable(c.getField(f.name), f.dataType).as(f.name)): _*)
+      case a: ArrayType => transform(c, x => canonicalHashable(x, a.elementType))
+      case _            => c
+    }
+  }
+
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String], saltFiles: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{lit, pmod}
     val keys =
-      if (saltFiles > 1) {
-        val saltCols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
-        val saltHash =
-          if (saltCols.nonEmpty) hash(saltCols.toIndexedSeq: _*)
-          else hash(to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
-        cols.map(col) :+ pmod(saltHash, lit(saltFiles))
-      } else cols.map(col)
+      if (saltFiles > 1) cols.map(col) :+ pmod(deterministicSalt(df), lit(saltFiles))
+      else cols.map(col)
     df.repartition(keys: _*)
       .write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
   }

@@ -144,6 +144,25 @@ class ClusteringSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("NearestCentroid: content-based equality across separately-built instances") {
+    import graft.plans.NearestCentroid
+    import org.apache.spark.sql.GraftBridge
+    // array fields would make the case-class equals/hashCode reference-
+    // based: two independently-constructed copies of the same model would
+    // never canonicalize equal, silently defeating Catalyst subexpression
+    // elimination / exchange reuse for future multi-copy callers
+    // share the child (Column wrappers carry non-comparable stack-trace
+    // Origins); the fix target is the MODEL ARRAYS, freshly built per call
+    val ch = GraftBridge.expression(col("qv"))
+    def mk() = NearestCentroid(ch, Array(1L, 2L), Array(Array(1.0, 2.0), Array(3.0, 4.0)))
+    val a = mk(); val b = mk()
+    assert(a == b, "identical models built separately must compare equal")
+    assert(a.hashCode == b.hashCode, "equal instances must hash equal")
+    assert(a.semanticEquals(b), "Catalyst canonicalization must identify them")
+    val c = NearestCentroid(ch, Array(1L, 2L), Array(Array(1.0, 2.0), Array(3.0, 5.0)))
+    assert(a != c && !a.semanticEquals(c), "different matrices must not compare equal")
+  }
+
   test("autoSemK: floored at gate scale, linear in the corpus past the floor") {
     import Clustering.{autoSemK, K, SemDedupTargetCluster}
     // every gate corpus (<= ~6k vectors) keeps the oracle-replayed K

@@ -13,6 +13,28 @@ class InfraSpec extends AnyFunSuite {
   lazy val spark = GraftSession.get("local[4]", 4)
   private val dir = "/root/testdata/sf0.001"
 
+  test("no-hashable-column salt is value-determined under map entry reordering") {
+    // two rows carrying the SAME logical map built in opposite entry
+    // orders — the retry shape: a map materialized from an unordered group
+    // can re-serialize either way on recompute. The old to_json fallback
+    // hashed the STORED order (different salt per ordering → repartition
+    // loses/duplicates rows on retry); the canonicalized salt must agree.
+    val df = spark.sql(
+      """SELECT map_from_arrays(array('a','b'), array(array(1L,2L), array(3L,4L))) AS m
+        |UNION ALL
+        |SELECT map_from_arrays(array('b','a'), array(array(3L,4L), array(1L,2L))) AS m
+        |""".stripMargin)
+    assert(df.schema.fields.forall(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]))
+    val salts = df.select(Layout.deterministicSalt(df).as("s")).collect().map(_.getInt(0))
+    assert(salts(0) == salts(1),
+      s"value-equal maps with different entry orders salted differently: ${salts.mkString(",")}")
+    // different VALUES must still (generically) salt apart
+    val df2 = spark.sql(
+      "SELECT map_from_arrays(array('a'), array(array(9L))) AS m")
+    val other = df2.select(Layout.deterministicSalt(df2).as("s")).collect().head.getInt(0)
+    assert(other != salts(0), "distinct map values collided (degenerate salt)")
+  }
+
   test("partitioned write prunes partitions at planning time") {
     val out = Files.createTempDirectory("graft_layout").toString
     Layout.writePartitioned(
