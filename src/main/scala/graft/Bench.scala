@@ -112,6 +112,74 @@ object Bench {
         n
     }
 
+  /** Fingerprint of the source files that determine a query's code: first
+    * 12 hex of SHA-256 over the concatenated file bytes, in declared-owner
+    * order. None when any owner file is unreadable (fingerprinting
+    * disarms rather than guesses — e.g. a deployment running from a jar
+    * without the source tree). */
+  def sourceFingerprint(files: Seq[String], root: java.nio.file.Path): Option[String] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val ok = files.nonEmpty && files.forall { f =>
+      val p = root.resolve(f)
+      if (java.nio.file.Files.isReadable(p)) {
+        md.update(java.nio.file.Files.readAllBytes(p)); true
+      } else false
+    }
+    if (ok) Some(md.digest().map("%02x".format(_)).mkString.take(12)) else None
+  }
+
+  /** Parse BENCH_BASELINE.json bytes: name → (cpu_sec, recorded src_sha).
+    * Returns empty — cpu check disarmed, with a stderr warning — unless
+    * the baseline's `_sf.dir` header EXISTS and MATCHES the run's dir: cpu
+    * is code-determined only at matching data scale, and a header-less
+    * file can't prove it matches (a missing header previously stayed
+    * ARMED, which would flag every big query dirty on a scale-corpus
+    * run). */
+  def parseBaseline(bytes: Array[Byte], sfDir: String): Map[String, (Double, Option[String])] = {
+    val root   = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    val baseSf = Option(root.get("_sf")).flatMap(n => Option(n.get("dir"))).map(_.asText())
+    if (!baseSf.contains(sfDir)) {
+      System.err.println(
+        s"[bench] baseline sf '${baseSf.getOrElse("<absent>")}' vs run '$sfDir' — cpu contamination check off")
+      Map.empty
+    } else {
+      import scala.jdk.CollectionConverters._
+      root
+        .fieldNames()
+        .asScala
+        .filterNot(_.startsWith("_"))
+        .flatMap(k =>
+          Option(root.get(k)).flatMap(n => Option(n.get("cpu_sec"))).map { v =>
+            k -> (v.asDouble(), Option(root.get(k).get("src_sha")).map(_.asText()))
+          })
+        .toMap
+    }
+  }
+
+  /** Mechanism (b) with freshness: a query over the cpu thresholds is
+    * DIRTY only when its baseline row is FRESH — its recorded `src_sha`
+    * matches the current source fingerprint, or no fingerprints exist to
+    * compare (legacy rows stay armed). When the code demonstrably changed
+    * since the baseline was recorded, the row reports STALE instead:
+    * refresh the baseline, don't cry contamination. This mechanizes the
+    * r9 "refresh BENCH_BASELINE.json in the same commit" convention into
+    * a check — a forgotten refresh can no longer turn the cpu mechanism
+    * into a false-positive source. */
+  def cpuDirtyOrStale(
+      measured: Seq[(String, Double)],
+      baseline: Map[String, (Double, Option[String])],
+      current: Map[String, String]): (Seq[String], Seq[String]) = {
+    val flagged = cpuDirtyQueries(measured, baseline.map { case (k, v) => k -> v._1 })
+    val (stale, dirty) = flagged.partition { n =>
+      (for {
+        (_, bsha) <- baseline.get(n)
+        b         <- bsha
+        c         <- current.get(n)
+      } yield b != c).getOrElse(false)
+    }
+    (dirty, stale)
+  }
+
   /** The run is contended when either run-level check fires OR the
     * per-query dirty set is material ([[DirtyCountThreshold]]): a single
     * GC blip elevating one probe flags at most its two neighbors and must
@@ -166,39 +234,25 @@ object Bench {
     }
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-    // Committed quiet-run per-query baseline (name -> {wall_sec, cpu_sec}),
-    // refreshed whenever a query's code changes; absent file → cpu check off.
+    // Committed quiet-run per-query baseline (name -> {wall_sec, cpu_sec,
+    // src_sha}); absent file → cpu check off. Refresh mechanically with
+    // SPARK_GRAFT_WRITE_BASELINE=1 on a quiet run.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")
-    val baselineCpu: Map[String, Double] =
+    val baseline: Map[String, (Double, Option[String])] =
       try {
         val p = java.nio.file.Paths.get(baselinePath)
         if (!java.nio.file.Files.exists(p)) Map.empty
-        else {
-          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-            java.nio.file.Files.readAllBytes(p))
-          // cpu is code-determined ONLY at matching data scale: a spot-run
-          // against a scale corpus would trip every big query's ratio, so
-          // the check disarms when the baseline's recorded sf dir differs
-          val baseSf = Option(root.get("_sf")).flatMap(n => Option(n.get("dir"))).map(_.asText())
-          if (baseSf.exists(_ != sfDir)) {
-            System.err.println(
-              s"[bench] baseline is for ${baseSf.get}, run is $sfDir — cpu contamination check off")
-            Map.empty
-          } else {
-            import scala.jdk.CollectionConverters._
-            root
-              .fieldNames()
-              .asScala
-              .filterNot(_.startsWith("_"))
-              .flatMap(k =>
-                Option(root.get(k)).flatMap(n => Option(n.get("cpu_sec"))).map(v => k -> v.asDouble()))
-              .toMap
-          }
-        }
+        else parseBaseline(java.nio.file.Files.readAllBytes(p), sfDir)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] baseline load failed ($baselinePath): $e"); Map.empty
       }
+    // Current source fingerprints per row (declared ownership): rows whose
+    // code changed since their baseline was stamped report STALE, not dirty
+    val srcRoot = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SRC_ROOT", "."))
+    val owners  = SparkEntry.queryOwners ++ BenchExtras.owners
+    val currentSha: Map[String, String] =
+      owners.flatMap { case (n, files) => sourceFingerprint(files, srcRoot).map(n -> _) }
     val probe = new ContentionProbe
     (1 to 3).foreach(_ => probe.spin()) // JIT-warm the probe loop itself
     val probeWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -260,9 +314,14 @@ object Bench {
     // material even if the run-level percentile checks miss a partial burst
     val orderedNames = results.map(_._1)
     val dirtyProbe   = probeDirtyQueries(orderedNames, probeWalls.toSeq)
-    val dirtyCpu     = cpuDirtyQueries(results.map(r => r._1 -> r._3), baselineCpu)
-    val dirtyUnion   = (dirtyProbe ++ dirtyCpu).distinct.sorted
-    val contended    = runContended || dirtyUnion.size >= DirtyCountThreshold
+    val (dirtyCpu, staleCpu) =
+      cpuDirtyOrStale(results.map(r => r._1 -> r._3), baseline, currentSha)
+    if (staleCpu.nonEmpty)
+      System.err.println(
+        s"[bench] stale baseline rows (code changed since stamped — refresh with " +
+          s"SPARK_GRAFT_WRITE_BASELINE=1): ${staleCpu.mkString(", ")}")
+    val dirtyUnion = (dirtyProbe ++ dirtyCpu).distinct.sorted
+    val contended  = runContended || dirtyUnion.size >= DirtyCountThreshold
     // headline totals cover the REGISTRY rows only — bench extras (build/
     // probe splits) must not shift the cross-round total
     val registryResults = results.filter(r => SparkEntry.queries.contains(r._1))
@@ -298,8 +357,9 @@ object Bench {
     // "_run" sorts apart from query names; probe walls kept so a human
     // can see WHEN the load arrived, not just that it did
     val dirtyJson = dirtyUnion.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val staleJson = staleCpu.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val runRow =
-      s""""_run":{"contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"dirty_queries":$dirtyJson,"dirty_probe":${dirtyProbe.size},"dirty_cpu":${dirtyCpu.size},"baseline_loaded":${baselineCpu.nonEmpty},"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
+      s""""_run":{"contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"dirty_queries":$dirtyJson,"stale_queries":$staleJson,"dirty_probe":${dirtyProbe.size},"dirty_cpu":${dirtyCpu.size},"baseline_loaded":${baseline.nonEmpty},"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
     val dirtySet = dirtyUnion.toSet
     val detail = (runRow +: results
       .map { r =>
@@ -307,7 +367,8 @@ object Bench {
         // cpu_ratio vs the committed quiet baseline, when one covers this
         // query — the auto-adjudication signal (code-determined cpu: ~1.0
         // quiet-on-unchanged-code, >2 under contention or after a code change)
-        val ratio = baselineCpu.get(r._1).filter(_ > 0).map(b => s""","cpu_ratio":${s3(r._3 / b)}""").getOrElse("")
+        val ratio =
+          baseline.get(r._1).map(_._1).filter(_ > 0).map(b => s""","cpu_ratio":${s3(r._3 / b)}""").getOrElse("")
         val dirty = if (dirtySet.contains(r._1)) s""","dirty":true""" else ""
         s""""${r._1}":{"wall_sec":${s3(r._2)},"cpu_sec":${s3(r._3)}$ratio$dirty,"rep_walls":$walls}"""
       })
@@ -325,6 +386,43 @@ object Bench {
         "bench stdout line exceeds 1900 chars even at the slowest-10 floor — " +
           "the driver's 2000-char tail window would truncate it"
       )
+    }
+    // SPARK_GRAFT_WRITE_BASELINE=1: stamp this (quiet!) run's medians into
+    // the baseline file — measured rows replaced with {wall, cpu, src_sha},
+    // unmeasured rows preserved (so a BENCH_ONLY subset refreshes exactly
+    // the rows whose code changed), `_sf` set to the run dir. An existing
+    // baseline at a DIFFERENT sf is dropped wholesale (never mix scales).
+    if (sys.env.get("SPARK_GRAFT_WRITE_BASELINE").exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
+      try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val p      = java.nio.file.Paths.get(baselinePath)
+        val prev =
+          if (java.nio.file.Files.exists(p)) mapper.readTree(java.nio.file.Files.readAllBytes(p))
+          else mapper.createObjectNode()
+        val prevSf = Option(prev.get("_sf")).flatMap(n => Option(n.get("dir"))).map(_.asText())
+        val out    = mapper.createObjectNode()
+        out.putObject("_sf").put("dir", sfDir)
+        if (prevSf.contains(sfDir)) {
+          import scala.jdk.CollectionConverters._
+          prev.fieldNames().asScala.filterNot(_.startsWith("_")).foreach { k =>
+            out.set[com.fasterxml.jackson.databind.JsonNode](k, prev.get(k)); ()
+          }
+        } else if (prevSf.nonEmpty)
+          System.err.println(
+            s"[bench] baseline was for ${prevSf.get} — starting fresh at $sfDir")
+        results.foreach { r =>
+          val row = out.putObject(r._1)
+          row.put("wall_sec", BigDecimal(r._2).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          row.put("cpu_sec", BigDecimal(r._3).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          currentSha.get(r._1).foreach(row.put("src_sha", _))
+        }
+        java.nio.file.Files.write(
+          p,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(out))
+        System.err.println(s"[bench] baseline stamped: ${results.size} rows -> $baselinePath")
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] baseline write failed: $e")
+      }
     }
     println(line)
     graft.operators.FuzzyDedup.releaseCaches(spark)

@@ -79,4 +79,24 @@ object BenchExtras {
     "q124b_layout_build"  -> (layoutBuild _),
     "q124p_bucketed_probe" -> (bucketedProbe _)
   )
+
+  /** Freshness-fingerprint owners of the extra rows (see
+    * [[SparkEntry.queryOwners]]): this file plus the operator files the
+    * split rows delegate into. */
+  val owners: Map[String, Seq[String]] = {
+    val index = Seq(
+      "src/main/scala/graft/BenchExtras.scala",
+      "src/main/scala/graft/operators/DedupIndex.scala")
+    val layout = Seq(
+      "src/main/scala/graft/BenchExtras.scala",
+      "src/main/scala/graft/queries/Analytics.scala",
+      "src/main/scala/graft/sources/Layout.scala")
+    Map(
+      "q106b_index_build"    -> index,
+      "q106p_index_probe"    -> index,
+      "q112a_index_absorb"   -> index,
+      "q124b_layout_build"   -> layout,
+      "q124p_bucketed_probe" -> layout
+    )
+  }
 }

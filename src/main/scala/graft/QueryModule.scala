@@ -8,6 +8,18 @@ import org.apache.spark.sql.types._
 trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
+
+  /** Repo-relative source files whose content determines this module's
+    * query code — the freshness fingerprint for BENCH_BASELINE.json rows
+    * (see [[Bench.sourceFingerprint]]). Default: the module's own defining
+    * file (object name == file name throughout this repo); modules
+    * registering queries IMPLEMENTED in other files override and append
+    * them. Declared ownership, not a whole-program hash: a shared-helper
+    * edit outside the declared set won't mark rows stale — the check
+    * covers the overwhelmingly common case (the operator file itself
+    * changed) and errs armed, never silently disarmed. */
+  def sourceFiles: Seq[String] = Seq(
+    "src/main/scala/" + getClass.getName.stripSuffix("$").replace('.', '/') + ".scala")
 }
 
 /** Numeric helpers shared by query modules.

@@ -27,6 +27,11 @@ import graft.{QueryModule, Tables}
   */
 object FuzzyDedup extends QueryModule {
 
+  /** q106/q112 (and q58's index path) are implemented in DedupIndex.scala
+    * but registered here — both files determine this module's rows. */
+  override def sourceFiles: Seq[String] =
+    super.sourceFiles :+ "src/main/scala/graft/operators/DedupIndex.scala"
+
   /** Mersenne-prime-free modulus just above 2^32 (a prime). With a < 2^31
     * and H < 2^32, a*H + b < 2^63 — no signed-64 overflow. */
   val P: Long = 4294967311L

@@ -88,4 +88,48 @@ class BenchReplaySpec extends AnyFunSuite {
     // no baseline row — never flags
     assert(Bench.cpuDirtyQueries(Seq("d" -> 100.0), Map.empty).isEmpty)
   }
+
+  test("freshness: a changed-code query with a stale baseline row reports stale, not dirty") {
+    val measured = Seq("a" -> 10.0, "b" -> 10.0, "c" -> 10.0, "d" -> 0.9)
+    val baseline = Map(
+      "a" -> (1.0, Some("aaa")), // code changed since stamped -> stale
+      "b" -> (1.0, Some("bbb")), // fingerprints match -> genuinely dirty
+      "c" -> (1.0, None),        // legacy row, no recorded sha -> stays armed
+      "d" -> (0.8, Some("ddd"))  // under thresholds -> neither
+    )
+    val current = Map("a" -> "zzz", "b" -> "bbb", "d" -> "zzz")
+    val (dirty, stale) = Bench.cpuDirtyOrStale(measured, baseline, current)
+    assert(stale == Seq("a"), s"stale=$stale")
+    // c has no fingerprint on either side: the check cannot prove a code
+    // change, so it STAYS ARMED (legacy behavior) and flags dirty
+    assert(dirty.toSet == Set("b", "c"), s"dirty=$dirty")
+  }
+
+  test("freshness: baseline parsing disarms on missing or mismatched _sf header") {
+    val rows = """"q1":{"wall_sec":1.0,"cpu_sec":2.5,"src_sha":"abc"},"q2":{"wall_sec":1.0,"cpu_sec":0.5}"""
+    // matching header: rows parsed, src_sha carried, legacy row -> None
+    val ok = Bench.parseBaseline(s"""{"_sf":{"dir":"/d/sf0.1"},$rows}""".getBytes, "/d/sf0.1")
+    assert(ok == Map("q1" -> (2.5, Some("abc")), "q2" -> (0.5, None)))
+    // mismatched header: disarmed (a scale run must not trip gate ratios)
+    assert(Bench.parseBaseline(s"""{"_sf":{"dir":"/d/sf0.1"},$rows}""".getBytes, "/tmp/sf1x30").isEmpty)
+    // MISSING header: disarmed too — r9 left this case armed, so a
+    // hand-trimmed baseline would flag every large query on a quiet run
+    assert(Bench.parseBaseline(s"""{$rows}""".getBytes, "/d/sf0.1").isEmpty)
+  }
+
+  test("freshness: source fingerprints are content-determined and readable for every owner") {
+    val root = java.nio.file.Paths.get(".")
+    val owners = SparkEntry.queryOwners ++ BenchExtras.owners
+    // every registered row must fingerprint from the repo root — a rename
+    // that breaks declared ownership fails here, not silently at bench time
+    val missing = owners.collect { case (n, fs) if Bench.sourceFingerprint(fs, root).isEmpty => n -> fs }
+    assert(missing.isEmpty, s"unreadable owner files: ${missing.take(5)}")
+    // content-determined: same files -> same sha; different file set -> different sha
+    val a = Bench.sourceFingerprint(Seq("src/main/scala/graft/Bench.scala"), root)
+    val b = Bench.sourceFingerprint(Seq("src/main/scala/graft/Bench.scala"), root)
+    val c = Bench.sourceFingerprint(Seq("src/main/scala/graft/Tables.scala"), root)
+    assert(a == b && a.isDefined && a != c)
+    // unreadable member -> None (disarm, never guess)
+    assert(Bench.sourceFingerprint(Seq("src/main/scala/graft/Nope.scala"), root).isEmpty)
+  }
 }
