@@ -180,6 +180,39 @@ object Bench {
     (dirty, stale)
   }
 
+  /** Merge a (quiet, full-context) run's medians into the baseline JSON:
+    * measured rows replaced with {wall, cpu, src_sha}, unmeasured rows
+    * PRESERVED (so a BENCH_ONLY subset refresh touches exactly the rows it
+    * measured — though see the skill note: stamp from FULL runs), `_sf`
+    * set to the run dir, and an existing baseline at a DIFFERENT sf
+    * dropped wholesale (cpu baselines never mix scales). Pure: bytes in,
+    * bytes out (spec surface). */
+  def mergeBaseline(
+      prev: Option[Array[Byte]],
+      rows: Seq[(String, Double, Double)],
+      currentSha: Map[String, String],
+      sfDir: String): Array[Byte] = {
+    val mapper   = new com.fasterxml.jackson.databind.ObjectMapper()
+    val prevRoot = prev.map(mapper.readTree).getOrElse(mapper.createObjectNode())
+    val prevSf   = Option(prevRoot.get("_sf")).flatMap(n => Option(n.get("dir"))).map(_.asText())
+    val out      = mapper.createObjectNode()
+    out.putObject("_sf").put("dir", sfDir)
+    if (prevSf.contains(sfDir)) {
+      import scala.jdk.CollectionConverters._
+      prevRoot.fieldNames().asScala.filterNot(_.startsWith("_")).foreach { k =>
+        out.set[com.fasterxml.jackson.databind.JsonNode](k, prevRoot.get(k)); ()
+      }
+    } else if (prevSf.nonEmpty)
+      System.err.println(s"[bench] baseline was for ${prevSf.get} — starting fresh at $sfDir")
+    rows.foreach { case (name, wall, cpuSec) =>
+      val row = out.putObject(name)
+      row.put("wall_sec", BigDecimal(wall).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      row.put("cpu_sec", BigDecimal(cpuSec).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      currentSha.get(name).foreach(row.put("src_sha", _))
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(out)
+  }
+
   /** The run is contended when either run-level check fires OR the
     * per-query dirty set is material ([[DirtyCountThreshold]]): a single
     * GC blip elevating one probe flags at most its two neighbors and must
@@ -394,31 +427,12 @@ object Bench {
     // baseline at a DIFFERENT sf is dropped wholesale (never mix scales).
     if (sys.env.get("SPARK_GRAFT_WRITE_BASELINE").exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
       try {
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val p      = java.nio.file.Paths.get(baselinePath)
+        val p = java.nio.file.Paths.get(baselinePath)
         val prev =
-          if (java.nio.file.Files.exists(p)) mapper.readTree(java.nio.file.Files.readAllBytes(p))
-          else mapper.createObjectNode()
-        val prevSf = Option(prev.get("_sf")).flatMap(n => Option(n.get("dir"))).map(_.asText())
-        val out    = mapper.createObjectNode()
-        out.putObject("_sf").put("dir", sfDir)
-        if (prevSf.contains(sfDir)) {
-          import scala.jdk.CollectionConverters._
-          prev.fieldNames().asScala.filterNot(_.startsWith("_")).foreach { k =>
-            out.set[com.fasterxml.jackson.databind.JsonNode](k, prev.get(k)); ()
-          }
-        } else if (prevSf.nonEmpty)
-          System.err.println(
-            s"[bench] baseline was for ${prevSf.get} — starting fresh at $sfDir")
-        results.foreach { r =>
-          val row = out.putObject(r._1)
-          row.put("wall_sec", BigDecimal(r._2).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
-          row.put("cpu_sec", BigDecimal(r._3).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
-          currentSha.get(r._1).foreach(row.put("src_sha", _))
-        }
+          if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readAllBytes(p)) else None
         java.nio.file.Files.write(
           p,
-          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(out))
+          mergeBaseline(prev, results.map(r => (r._1, r._2, r._3)), currentSha, sfDir))
         System.err.println(s"[bench] baseline stamped: ${results.size} rows -> $baselinePath")
       } catch {
         case e: Throwable => System.err.println(s"[bench] baseline write failed: $e")

@@ -117,6 +117,24 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(Bench.parseBaseline(s"""{$rows}""".getBytes, "/d/sf0.1").isEmpty)
   }
 
+  test("baseline writer: subset merge preserves unmeasured rows; scale mismatch starts fresh") {
+    val prev = """{"_sf":{"dir":"/d/sf0.1"},"qa":{"wall_sec":1.0,"cpu_sec":2.0,"src_sha":"old"},"qb":{"wall_sec":3.0,"cpu_sec":4.0}}"""
+    // same sf, subset rows: qa replaced (with fresh sha), qb preserved verbatim
+    val merged = Bench.mergeBaseline(
+      Some(prev.getBytes), Seq(("qa", 1.5, 2.5)), Map("qa" -> "new"), "/d/sf0.1")
+    val got = Bench.parseBaseline(merged, "/d/sf0.1")
+    assert(got == Map("qa" -> (2.5, Some("new")), "qb" -> (4.0, None)), s"got $got")
+    // different sf: old rows dropped wholesale — cpu baselines never mix scales
+    val fresh = Bench.parseBaseline(
+      Bench.mergeBaseline(Some(prev.getBytes), Seq(("qc", 9.0, 8.0)), Map.empty, "/tmp/sf1x30"),
+      "/tmp/sf1x30")
+    assert(fresh == Map("qc" -> (8.0, None)), s"got $fresh")
+    // no previous file: rows + header written
+    val first = Bench.parseBaseline(
+      Bench.mergeBaseline(None, Seq(("qd", 1.0, 1.0)), Map("qd" -> "d"), "/d/sf0.1"), "/d/sf0.1")
+    assert(first == Map("qd" -> (1.0, Some("d"))))
+  }
+
   test("freshness: source fingerprints are content-determined and readable for every owner") {
     val root = java.nio.file.Paths.get(".")
     val owners = SparkEntry.queryOwners ++ BenchExtras.owners
