@@ -539,7 +539,11 @@ object FuzzyDedup extends QueryModule {
       pairs: DataFrame,
       maxRounds: Int = MaxCcRounds): (DataFrame, Int) = {
     val s = pairs.sparkSession
-    // toRdd reuses UnsafeRow buffers per partition — copy before storing
+    // toRdd reuses UnsafeRow objects per partition, and the default
+    // JavaSerializer writes a BACK-REFERENCE (not bytes) for an object
+    // identity it already serialized in the stream — identity-reused rows
+    // inside one block could silently collapse to one value. The per-row
+    // copy() breaks identity; its cost is inside the measured parity.
     val storedRdd = pairs.queryExecution.toRdd.map(_.copy()).persist(CcEdgeStorageLevel)
     storedRdd.count() // materialize: ONE mining pass, not one per union branch
     val stored =
