@@ -493,11 +493,69 @@ object FuzzyDedup extends QueryModule {
     * big graph — fail loudly rather than loop. */
   val MaxCcRounds = 64
 
-  /** Storage level of [[connectedComponents]]' pair store: serialized
-    * UnsafeRow RDD blocks, disk-spilling, lineage kept. See the scaladoc
+  /** Storage level of [[connectedComponents]]' packed pair store. The
+    * blocks hold length-prefixed UnsafeRow BYTES packed into ≤
+    * [[CcPackChunkBytes]] chunks, so "deserialized" here means compact
+    * binary buffers (~data-sized heap, a handful of objects per
+    * partition), spillable to disk, with lineage kept. See the scaladoc
     * on [[connectedComponents]] for why this is the ONLY path. */
   val CcEdgeStorageLevel: org.apache.spark.storage.StorageLevel =
-    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Chunk ceiling for the packed pair store: bounds transient packing
+    * memory and keeps MemoryStore unroll granularity block-friendly. */
+  val CcPackChunkBytes: Int = 4 << 20
+
+  /** Pack UnsafeRows into length-prefixed byte chunks of ≤ `ceiling`
+    * bytes (a chunk always holds ≥ 1 row, so a ceiling smaller than a
+    * row degrades to row-per-chunk, never an infinite loop). Wire shape
+    * per row: big-endian int32 length, then the row bytes — the
+    * UnsafeRowSerializer pattern, minus streams. Pure iterator→iterator
+    * (spec surface: chunk-boundary roundtrip at a tiny ceiling). */
+  def packUnsafeRows(
+      it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      ceiling: Int): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private val buf         = new java.io.ByteArrayOutputStream(64 << 10)
+      private val dos         = new java.io.DataOutputStream(buf)
+      private val writeBuffer = new Array[Byte](4 << 10) // off-heap-row staging
+      def hasNext: Boolean = it.hasNext
+      def next(): Array[Byte] = {
+        buf.reset()
+        while (it.hasNext && buf.size < ceiling) {
+          val u = it.next().asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow]
+          dos.writeInt(u.getSizeInBytes)
+          u.writeToStream(buf, writeBuffer)
+        }
+        buf.toByteArray
+      }
+    }
+
+  /** Inverse of [[packUnsafeRows]]: yields each chunk's rows through ONE
+    * reused UnsafeRow wrapper per chunk (`pointTo` into the chunk bytes —
+    * zero deserialization). Consumers must copy field values before the
+    * next `next()`: the standard scan contract, same as every
+    * columnar/shuffle reader. */
+  def unpackUnsafeRows(
+      chunks: Iterator[Array[Byte]],
+      nFields: Int): Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    chunks.flatMap { chunk =>
+      new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+        private val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(nFields)
+        private var off = 0
+        def hasNext: Boolean = off < chunk.length
+        def next(): org.apache.spark.sql.catalyst.InternalRow = {
+          val len = ((chunk(off) & 0xff) << 24) | ((chunk(off + 1) & 0xff) << 16) |
+            ((chunk(off + 2) & 0xff) << 8) | (chunk(off + 3) & 0xff)
+          row.pointTo(
+            chunk,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off + 4L,
+            len)
+          off += 4 + len
+          row
+        }
+      }
+    }
 
   /** Min-label propagation with pointer jumping over an undirected pair
     * list; returns (node, label) plus the round count (spec surface — a
@@ -513,46 +571,46 @@ object FuzzyDedup extends QueryModule {
     * not corpus-skinny (~Σ|group|² on a dup-dense corpus; 24.75M pairs /
     * 50M directed edges at the 100× replica), and an eager
     * `localCheckpoint` of the doubled union OOMed the r9 100× sweep
-    * (deserialized object blocks + cross-query block debt). Round 9 added
-    * a serialized-persist branch gated on source-table ROW count — the
-    * wrong variable: a dup-dense SMALL corpus (few docs, huge pair output)
-    * routed deserialized with an edge list as large as the one that
-    * crashed, and no pre-materialization signal for the right variable
-    * (pair volume) exists without paying an extra mining pass (measured:
-    * a gating `count()` re-runs candidate generation + verify, +28% wall
-    * at gate scale; a columnar `persist(SER)`+count, +54%; CC rounds over
-    * a columnar SER cache, +70% — InMemoryRelation decompresses per round
-    * scan). This store removes the choice instead: materialize the mined
-    * pairs ONCE into a `MEMORY_AND_DISK_SER` RDD of UnsafeRows via
-    * `internalCreateDataFrame` — UnsafeRow ser/de is a byte copy, so
-    * round scans cost what deserialized blocks cost (paired q38/q76/q107/
-    * q109 at sf0.1: 8.84 s / 30.8 cpu-s vs the r9 fast path's 9.14 /
-    * 32.2) with the serialized capacity profile that fixed the 100× OOM —
-    * at HALF the rows, since the store holds pairs and the undirected
-    * doubling is a lazy union VIEW over it (each round scans the blocks
-    * twice: same bytes moved, half the capacity at risk). Lineage is
-    * kept, so an executor loss recomputes instead of failing the job —
-    * strictly better than the checkpoint it replaces. The store is
-    * unpersisted after convergence (final labels are
-    * checkpoint-materialized by the last label-sum action). */
+    * (per-row object blocks + cross-query block debt). Round 9 added a
+    * serialized-persist branch gated on source-table ROW count — the
+    * wrong variable: a dup-dense SMALL corpus (few docs, huge pair
+    * output) routed onto the object-block path with an edge list as
+    * large as the one that crashed, and no pre-materialization signal
+    * for the right variable (pair volume) exists without paying an extra
+    * mining pass (measured: a gating `count()` re-runs candidate
+    * generation + verify, +28% wall at gate scale; a columnar
+    * `persist(SER)`+count, +54%; CC rounds over a columnar SER cache,
+    * +70% — InMemoryRelation decompresses per round scan; CC rounds over
+    * `MEMORY_AND_DISK_SER` RDD rows, +38%/+48% wall/cpu on the 100×
+    * embedding replica — JavaSerializer pays per-row framing on every
+    * round). This store removes the choice AND the serde: each partition
+    * packs its mined UnsafeRows ONCE into length-prefixed byte chunks
+    * (the UnsafeRowSerializer wire pattern as a store), held at
+    * `MEMORY_AND_DISK` — heap cost is the data bytes themselves at HALF
+    * the r9 rows (the store holds pairs; the undirected doubling is a
+    * lazy union VIEW over it), spills chunk-at-a-time under pressure,
+    * keeps lineage, and every round's scan just WRAPS the buffers
+    * (`pointTo`, zero deserialization). The store is unpersisted after
+    * convergence (final labels are checkpoint-materialized by the last
+    * label-sum action). */
   def connectedComponents(
       pairs: DataFrame,
       maxRounds: Int = MaxCcRounds): (DataFrame, Int) = {
-    val s = pairs.sparkSession
-    // toRdd reuses UnsafeRow objects per partition, and the default
-    // JavaSerializer writes a BACK-REFERENCE (not bytes) for an object
-    // identity it already serialized in the stream — identity-reused rows
-    // inside one block could silently collapse to one value. The per-row
-    // copy() breaks identity; its cost is inside the measured parity.
-    val storedRdd = pairs.queryExecution.toRdd.map(_.copy()).persist(CcEdgeStorageLevel)
-    storedRdd.count() // materialize: ONE mining pass, not one per union branch
-    val stored =
-      org.apache.spark.sql.GraftBridge.internalCreateDataFrame(s, storedRdd, pairs.schema)
+    val s            = pairs.sparkSession
+    val nFields      = pairs.schema.length
+    val chunkCeiling = CcPackChunkBytes
+    val packed = pairs.queryExecution.toRdd
+      .mapPartitions(packUnsafeRows(_, chunkCeiling))
+      .persist(CcEdgeStorageLevel)
+    packed.count() // materialize: ONE mining pass, not one per union branch
+    val rowsRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+      packed.mapPartitions(unpackUnsafeRows(_, nFields))
+    val stored = org.apache.spark.sql.GraftBridge.internalCreateDataFrame(s, rowsRdd, pairs.schema)
     val edges = stored
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(stored.select(col("id_b").as("src"), col("id_a").as("dst")))
     val r = ccLoop(edges, maxRounds)
-    storedRdd.unpersist(blocking = false)
+    packed.unpersist(blocking = false)
     r
   }
 

@@ -213,10 +213,13 @@ class FuzzyDedupSpec extends AnyFunSuite {
     // routed onto the deserialized path that OOMed the 100× sweep. r10
     // removed the choice: ONE store, serialized UnsafeRow RDD blocks at
     // the level below, measured at parity with the old fast path.
-    assert(
-      FuzzyDedup.CcEdgeStorageLevel ==
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER,
-      "pair store must keep the serialized, disk-spilling capacity profile")
+    // the store packs UnsafeRow BYTES into chunks (compactness comes from
+    // the packing, not the storage level), and the level must spill to
+    // disk rather than recompute-or-die under memory pressure
+    assert(FuzzyDedup.CcEdgeStorageLevel.useDisk && FuzzyDedup.CcEdgeStorageLevel.useMemory,
+      "pair store must keep a memory+disk-spilling capacity profile")
+    assert(FuzzyDedup.CcPackChunkBytes >= (1 << 20),
+      "pack chunks must stay block-sized, not per-row")
     // the r9 misroute shape: 3 cliques of 20 nodes → 570 pairs from 60 rows
     val pairs = (0 until 3).flatMap { c =>
       val ids = (0 until 20).map(i => c * 100L + i)
@@ -235,6 +238,35 @@ class FuzzyDedupSpec extends AnyFunSuite {
     val a   = FuzzyDedup.dedupClusters(spark, dir).collect().map(_.toSeq).toSet
     val b   = FuzzyDedup.dedupClusters(spark, dir).collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty, "q38 runs diverged across the pair store")
+  }
+
+  test("packed pair store: chunk-boundary roundtrip at a tiny ceiling") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    // variable-width rows (long + string of growing length) force rows to
+    // straddle chunk decisions; ceiling 64 B forces MANY chunks, ceiling 1
+    // degrades to row-per-chunk — both must reproduce the rows exactly,
+    // pinning the length-prefix codec (big-endian int32 + pointTo offsets)
+    val proj = UnsafeProjection.create(Array[DataType](LongType, StringType))
+    val rows = (0 until 200).map { i =>
+      proj(InternalRow(i.toLong, UTF8String.fromString("s" * (i % 17)))).copy()
+    }
+    for (ceiling <- Seq(1, 64, 1 << 20)) {
+      val chunks = FuzzyDedup.packUnsafeRows(rows.iterator, ceiling).toVector
+      if (ceiling == 1) assert(chunks.length == rows.length, "ceiling 1 must give row-per-chunk")
+      if (ceiling == 64) assert(chunks.length > 10, "tiny ceiling should produce many chunks")
+      if (ceiling == (1 << 20)) assert(chunks.length == 1, "huge ceiling should give one chunk")
+      assert(chunks.forall(c => ceiling == 1 || c.length <= ceiling + 4 + 64),
+        "chunk overshoots ceiling by more than one row")
+      val back = FuzzyDedup
+        .unpackUnsafeRows(chunks.iterator, nFields = 2)
+        .map(r => (r.getLong(0), r.getUTF8String(1).toString))
+        .toVector
+      assert(back == rows.map(r => (r.getLong(0), r.getUTF8String(1).toString)),
+        s"roundtrip at ceiling $ceiling corrupted rows")
+    }
   }
 
   test("q113 corpus persist: size-1 LRU per session — a second dir unpersists the first") {
