@@ -511,19 +511,34 @@ object FuzzyDedup extends QueryModule {
     * row degrades to row-per-chunk, never an infinite loop). Wire shape
     * per row: big-endian int32 length, then the row bytes — the
     * UnsafeRowSerializer pattern, minus streams. Pure iterator→iterator
-    * (spec surface: chunk-boundary roundtrip at a tiny ceiling). */
+    * (spec surface: chunk-boundary roundtrip at a tiny ceiling).
+    *
+    * `toRdd` rows are UnsafeRow whenever the root operator codegens (every
+    * current call site), but that is a convention, not a contract — a root
+    * that emits GenericInternalRow/JoinedRow would CCE here. `schema`
+    * arms a lazy UnsafeProjection fallback for that case (projection
+    * reuse is safe: `writeToStream` copies the bytes out immediately);
+    * without a schema a non-Unsafe row still fails loudly. */
   def packUnsafeRows(
       it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
-      ceiling: Int): Iterator[Array[Byte]] =
+      ceiling: Int,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Iterator[Array[Byte]] =
     new Iterator[Array[Byte]] {
       private val buf         = new java.io.ByteArrayOutputStream(64 << 10)
       private val dos         = new java.io.DataOutputStream(buf)
       private val writeBuffer = new Array[Byte](4 << 10) // off-heap-row staging
+      private lazy val toUnsafe =
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+          schema.getOrElse(throw new IllegalStateException(
+            "packUnsafeRows: non-UnsafeRow input but no schema for the projection fallback")))
       def hasNext: Boolean = it.hasNext
       def next(): Array[Byte] = {
         buf.reset()
         while (it.hasNext && buf.size < ceiling) {
-          val u = it.next().asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow]
+          val u = it.next() match {
+            case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow => u
+            case r                                                      => toUnsafe(r)
+          }
           dos.writeInt(u.getSizeInBytes)
           u.writeToStream(buf, writeBuffer)
         }
@@ -599,8 +614,9 @@ object FuzzyDedup extends QueryModule {
     val s            = pairs.sparkSession
     val nFields      = pairs.schema.length
     val chunkCeiling = CcPackChunkBytes
+    val schema = pairs.schema
     val packed = pairs.queryExecution.toRdd
-      .mapPartitions(packUnsafeRows(_, chunkCeiling))
+      .mapPartitions(packUnsafeRows(_, chunkCeiling, Some(schema)))
       .persist(CcEdgeStorageLevel)
     packed.count() // materialize: ONE mining pass, not one per union branch
     val rowsRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =

@@ -269,6 +269,27 @@ class FuzzyDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("packed pair store: non-Unsafe rows route through the schema projection fallback") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    // toRdd emits UnsafeRow under codegen — a convention, not a contract. A
+    // generic-row source must pack via the schema projection, and without a
+    // schema it must fail loudly instead of silently mis-framing bytes.
+    val schema  = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    val generic = (0 until 50).map(i => InternalRow(i.toLong, UTF8String.fromString("g" * (i % 7))))
+    val chunks  = FuzzyDedup.packUnsafeRows(generic.iterator, 128, Some(schema)).toVector
+    val back = FuzzyDedup
+      .unpackUnsafeRows(chunks.iterator, nFields = 2)
+      .map(r => (r.getLong(0), r.getUTF8String(1).toString))
+      .toVector
+    assert(back == generic.map(r => (r.getLong(0), r.getUTF8String(1).toString)),
+      "generic rows corrupted through the projection fallback")
+    intercept[IllegalStateException] {
+      FuzzyDedup.packUnsafeRows(generic.iterator, 128).foreach(_ => ())
+    }
+  }
+
   test("q113 corpus persist: size-1 LRU per session — a second dir unpersists the first") {
     // force the persist branch at gate SF, screen two dirs in one session:
     // the r9 cache (keyed by identity hash + dir, never evicting) kept one
