@@ -625,9 +625,10 @@ object FuzzyDedup extends QueryModule {
     val edges = stored
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(stored.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val r = ccLoop(edges, maxRounds)
-    packed.unpersist(blocking = false)
-    r
+    // unpersist on EVERY exit: the loud-failure path (maxRounds assert)
+    // must not strand the output-sized store in a long-lived session
+    try ccLoop(edges, maxRounds)
+    finally packed.unpersist(blocking = false)
   }
 
   private def ccLoop(edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {

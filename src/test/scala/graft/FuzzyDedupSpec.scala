@@ -269,6 +269,24 @@ class FuzzyDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("pair store unpersists on the loud-failure path, not just on convergence") {
+    import spark.implicits._
+    // maxRounds=0 trips the non-convergence require() on the first round;
+    // the output-sized packed store must not outlive the failure (a
+    // long-lived session would otherwise strand it until GC).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs  = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      FuzzyDedup.connectedComponents(pairs, maxRounds = 0)
+    }
+    // labels localCheckpoints legitimately persist and have no unpersist
+    // handle (reclaimed by GC — see Bench's between-query nudge); the
+    // store is the only non-checkpoint persist in the operator
+    val leaked = (spark.sparkContext.getPersistentRDDs -- before)
+      .filterNot(_._2.isCheckpointed)
+    assert(leaked.isEmpty, s"packed pair store leaked persisted RDDs: ${leaked.keySet}")
+  }
+
   test("packed pair store: non-Unsafe rows route through the schema projection fallback") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types._
