@@ -82,6 +82,26 @@ object Similarity extends QueryModule {
     * (or the banded multi-table shape of q39 for recall). */
   val LshBucketBits = 8
 
+  /** Target expected bucket occupancy for [[autoLshBits]]: keeps per-bucket
+    * candidate work n·occupancy — linear — while buckets stay fat enough
+    * that ≥0.95-cosine neighbours still collide at useful recall. */
+  val LshTargetOccupancy = 128L
+
+  /** q119-`autoSemK` discipline applied to the hyperplane count — the
+    * fixed-bits knob had the same quadratic term behind it (measured: the
+    * 100× replica at 8 bits packed ~780 vectors/bucket → Σocc² ≈ 156M
+    * candidate pairs, 404 s / 10,006 cpu-s where the 30× corpus ran
+    * 12.5 s / 220 — 45× the cpu for 3.3× the rows). Smallest bits ≥
+    * `floor` with expected occupancy n/2^bits ≤ [[LshTargetOccupancy]];
+    * gate corpora (≤ ~6k vectors) stay at the oracle-replayed 8-bit
+    * floor, and the 24-bit ceiling (16M buckets) is far past any
+    * single-node corpus. */
+  def autoLshBits(n: Long, floor: Int = LshBucketBits): Int = {
+    var bits = floor
+    while (bits < 24 && (1L << bits) * LshTargetOccupancy < n) bits += 1
+    bits
+  }
+
   /** Deterministic pseudo-random ±1 hyperplane matrix (bits × 64 dims),
     * derived from md5("plane<b>:<i>") parity at build time. Embedded as
     * literals in both the Spark plan and the DuckDB oracle, so the bucketing
@@ -114,7 +134,10 @@ object Similarity extends QueryModule {
     * verify (q39's shape), so the wide columns never ride the bucket
     * shuffle. A vector lives in exactly one bucket, so candidate pairs are
     * already distinct. */
-  def lshPairs(s: SparkSession, dir: String, bits: Int = LshBucketBits): DataFrame = {
+  def lshPairs(s: SparkSession, dir: String, bitsFloor: Int = LshBucketBits): DataFrame = {
+    // bits track the corpus ([[autoLshBits]]): parquet-footer row count, no
+    // data read; gate corpora stay at the oracle-replayed 8-bit floor
+    val bits = autoLshBits(Tables.rowCountCached(s, dir, "embeddings"), bitsFloor)
     // bucketing + both verify sides — one embedding scan + norm pass
     val emb = embWithNorm(s, dir).localCheckpoint()
     val skinny = FuzzyDedup.boundedBands(

@@ -172,6 +172,23 @@ class PlanQualitySpec extends AnyFunSuite {
     )
   }
 
+  test("q61 autoLshBits: floored at gate scale, occupancy-bounded past the floor") {
+    import graft.operators.Similarity.{autoLshBits, LshBucketBits, LshTargetOccupancy}
+    // every gate corpus (<= ~32k vectors at 8 bits x 128 target) keeps the
+    // oracle-replayed bucketing
+    assert(autoLshBits(200) == LshBucketBits && autoLshBits(2000) == LshBucketBits)
+    assert(autoLshBits((1L << LshBucketBits) * LshTargetOccupancy) == LshBucketBits)
+    // past the floor, bits keep expected occupancy <= target — candidate
+    // volume n·occ, linear, not n²/2^bits at fixed bits (the 100x replica
+    // at fixed 8 bits ran 404 s / 10,006 cpu-s; see SCALING.md)
+    assert(autoLshBits((1L << LshBucketBits) * LshTargetOccupancy + 1) == LshBucketBits + 1)
+    val n100x = 200000L
+    val bits  = autoLshBits(n100x)
+    assert((1L << bits) * LshTargetOccupancy >= n100x, "occupancy above target")
+    assert((1L << (bits - 1)) * LshTargetOccupancy < n100x, "bits overshoot (candidates lost to recall for nothing)")
+    assert(autoLshBits(Long.MaxValue) == 24, "ceiling must bound the plane count")
+  }
+
   test("q46 running sum is chunked (lang, g) — no full-corpus |langs|-task window") {
     val plan    = finalPlan(graft.operators.TrainingPrep.sequencePacking(spark, dir))
     val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toList
