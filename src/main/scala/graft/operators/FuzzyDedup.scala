@@ -728,6 +728,16 @@ object FuzzyDedup extends QueryModule {
     * Override with `spark.graft.nearContamination.checkpointMaxRows`. */
   val NearCheckpointMaxRows = 2000000L
   val NearCheckpointConf    = "spark.graft.nearContamination.checkpointMaxRows"
+  /** The contamination screen's (doc_id, source, shingles) projection —
+    * deterministic construction from (session, dir), so a rebuilt frame is
+    * plan-canonically identical to the one [[nearPersisted]] cached (the
+    * property the weak-value cache leans on). */
+  private def nearProjected(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), col("source"), Dedup.shingles(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
   /** One persisted corpus handle per SESSION — a size-1 LRU: screening a
     * second dir in the same session unpersists the first, so a sweep over
     * many corpora no longer accretes one corpus-sized persist per dir, and
@@ -736,28 +746,94 @@ object FuzzyDedup extends QueryModule {
     * `System.identityHashCode(session)`, which (a) is a hash, not an
     * identity — two live sessions can collide and share one session-bound
     * frame — and (b) retained entries for stopped sessions for the JVM
-    * lifetime; a WeakHashMap entry dies with its session. Re-persists if a
-    * `clearCache()` dropped the handle's storage out from under us. */
+    * lifetime.
+    *
+    * The VALUE holds the frame through a `WeakReference` because a
+    * `DataFrame` strongly references its own `SparkSession`
+    * (`queryExecution.sparkSession`), and the JDK `WeakHashMap` contract
+    * voids key eviction when a value strongly refers to its own key — r10
+    * stored the frame directly, so the advertised dies-with-its-session
+    * eviction was unreachable. A GC-cleared handle is re-wrapped
+    * plan-canonically ([[nearProjected]]): the shared `CacheManager` keys
+    * cached data by canonical plan, not by wrapper object, so a rebuilt
+    * wrapper reads the same storage and a re-`persist` dedupes instead of
+    * double-caching (the `clearCache()` re-persist path, reused). Stopped
+    * sessions' entries are additionally purged eagerly on every access —
+    * their blocks died with the context; only the map row lingers. */
   private val nearPersistCache =
-    new java.util.WeakHashMap[SparkSession, (String, DataFrame)]()
+    new java.util.WeakHashMap[SparkSession, (String, java.lang.ref.WeakReference[DataFrame])]()
+
+  /** Drop entries of stopped sessions (callers hold the lock). */
+  private def purgeStoppedSessions(): Unit = {
+    val it = nearPersistCache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+  }
+
+  /** The entry's frame, re-wrapped from (session, dir) when the weak ref
+    * was GC-cleared. Plan-canonical reconstruction reaches the same
+    * CacheManager entry, so storage-level reads and unpersists on the
+    * rebuilt wrapper hit the original persist. None when the dir can no
+    * longer even be analyzed (deleted between screens) — nothing readable
+    * is left to release. Callers hold the lock. */
+  private def entryFrame(
+      s: SparkSession,
+      d: String,
+      ref: java.lang.ref.WeakReference[DataFrame]): Option[DataFrame] =
+    Option(ref.get).orElse(scala.util.Try(nearProjected(s, d)).toOption)
 
   private def nearPersisted(s: SparkSession, dir: String, projected: DataFrame): DataFrame =
     nearPersistCache.synchronized {
-      Option(nearPersistCache.get(s)) match {
-        case Some((d, df))
-            if d == dir && df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
-          df
+      purgeStoppedSessions()
+      val cached = Option(nearPersistCache.get(s))
+      cached match {
+        case Some((d, ref)) if d == dir =>
+          Option(ref.get).filter(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE) match {
+            case Some(df) => df
+            case None     =>
+              // wrapper GC'd or clearCache()'d: re-persist; the CacheManager
+              // dedupes by canonical plan, so a still-cached build is reused
+              val df = projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              nearPersistCache.put(s, (dir, new java.lang.ref.WeakReference(df)))
+              df
+          }
         case prev =>
-          prev.foreach(_._2.unpersist(blocking = false))
+          prev.foreach { case (d, ref) =>
+            entryFrame(s, d, ref).foreach(_.unpersist(blocking = false))
+          }
           val df = projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          nearPersistCache.put(s, (dir, df))
+          nearPersistCache.put(s, (dir, new java.lang.ref.WeakReference(df)))
           df
       }
     }
 
-  /** Test hook: the session's current (dir, persisted frame) entry. */
+  /** Test hook: the session's current (dir, persisted frame) entry; a
+    * GC-cleared frame is re-wrapped plan-canonically, so storage-level
+    * assertions are unaffected by wrapper lifetime. */
   private[graft] def nearCacheEntry(s: SparkSession): Option[(String, DataFrame)] =
-    nearPersistCache.synchronized(Option(nearPersistCache.get(s)))
+    nearPersistCache.synchronized {
+      Option(nearPersistCache.get(s)).map { case (d, ref) =>
+        (d, Option(ref.get).getOrElse(nearProjected(s, d)))
+      }
+    }
+
+  /** Test hook: live entry count (stale WeakHashMap keys expunged by
+    * size()) — the GC-eviction spec's observable. */
+  private[graft] def nearCacheSize: Int =
+    nearPersistCache.synchronized(nearPersistCache.size)
+
+  /** Test hook: the raw map, for the no-strong-path reachability spec. */
+  private[graft] def nearCacheInternal: AnyRef = nearPersistCache
+
+  /** Test hook: insert an entry in the production tuple shape WITHOUT
+    * persisting or running a job — the GC-eviction spec needs an entry
+    * whose session is rooted by nothing else (a persisted frame is rooted
+    * by the shared CacheManager; a run query is captured by Spark's
+    * pool-thread inheritable locals). */
+  private[graft] def nearCachePutForTest(s: SparkSession, dir: String): Unit =
+    nearPersistCache.synchronized {
+      nearPersistCache.put(s, (dir, new java.lang.ref.WeakReference(nearProjected(s, dir))))
+      ()
+    }
 
   /** Release the session's persisted contamination-screen corpus (if any).
     * Long-lived sessions mixing contamination screens with other
@@ -765,7 +841,11 @@ object FuzzyDedup extends QueryModule {
     * before shutdown. */
   def releaseCaches(s: SparkSession): Unit =
     nearPersistCache.synchronized {
-      Option(nearPersistCache.remove(s)).foreach(_._2.unpersist(blocking = false))
+      purgeStoppedSessions()
+      Option(nearPersistCache.remove(s)).foreach { case (d, ref) =>
+        if (!s.sparkContext.isStopped)
+          entryFrame(s, d, ref).foreach(_.unpersist(blocking = false))
+      }
     }
 
   def nearContamination(s: SparkSession, dir: String): DataFrame = {
@@ -777,10 +857,7 @@ object FuzzyDedup extends QueryModule {
     // ceiling (parquet-footer row count — no text read) the reliable
     // persist path takes over, trading replay-on-loss for the checkpoint's
     // unrecoverable executor-local blocks.
-    val projected = Tables
-      .documentsDistributed(s, dir)
-      .select(col("doc_id"), col("source"), Dedup.shingles(col("text")).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    val projected = nearProjected(s, dir)
     val ceiling = s.conf.getOption(NearCheckpointConf).map { v =>
       try v.toLong
       catch {

@@ -332,6 +332,88 @@ class FuzzyDedupSpec extends AnyFunSuite {
     } finally spark.conf.unset(FuzzyDedup.NearCheckpointConf)
   }
 
+  /** Is `target` STRONGLY reachable from `root`? Reflective BFS over the
+    * object graph; fields declared by java.lang.ref.Reference (referent &
+    * queue plumbing) are not followed, so weak edges don't count — the
+    * JDK WeakHashMap eviction question, asked directly of the heap. */
+  private def stronglyReaches(root: AnyRef, target: AnyRef, maxNodes: Int = 500000): Boolean = {
+    import java.lang.reflect.Modifier
+    val seen  = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    val queue = scala.collection.mutable.Queue[AnyRef](root)
+    seen.add(root)
+    var n = 0
+    while (queue.nonEmpty && n < maxNodes) {
+      val cur = queue.dequeue(); n += 1
+      if (cur eq target) return true
+      cur match {
+        case arr: Array[AnyRef] =>
+          arr.foreach(v => if (v != null && seen.add(v)) queue += v)
+        case _: Array[_] => // primitive array: no refs
+        case o =>
+          var k: Class[_] = o.getClass
+          while (k != null) {
+            if (k != classOf[java.lang.ref.Reference[_]])
+              k.getDeclaredFields.foreach { f =>
+                if (!Modifier.isStatic(f.getModifiers) && !f.getType.isPrimitive)
+                  try {
+                    f.setAccessible(true)
+                    val v = f.get(o)
+                    if (v != null && seen.add(v.asInstanceOf[AnyRef])) queue += v.asInstanceOf[AnyRef]
+                  } catch { case _: Throwable => }
+              }
+            k = k.getSuperclass
+          }
+      }
+    }
+    false
+  }
+
+  test("q113 persist cache: the map does not strongly root its session (value→key cycle broken)") {
+    // r10 stored the DataFrame STRONGLY in the WeakHashMap value; a
+    // DataFrame strongly references its SparkSession, and per the JDK
+    // WeakHashMap contract a value that strongly refers to its own key
+    // pins the entry for the map's lifetime — the advertised
+    // dies-with-its-session eviction was unreachable. A full
+    // GC-observation spec is flaky by SPARK's design (AQE/broadcast pool
+    // threads inherit the active-session InheritableThreadLocal and retain
+    // any session that ran a query — measured: the rooter of a dropped
+    // scratch session is ResultQueryStageExecution-1's inherited thread
+    // locals), so this asserts the map's own contribution directly:
+    // no STRONG path may exist from the cache map to the session.
+    val s2 = spark.newSession()
+    s2.conf.set(FuzzyDedup.NearCheckpointConf, "0")
+    try {
+      FuzzyDedup.nearContamination(s2, "/root/testdata/sf0.001").count()
+      assert(FuzzyDedup.nearCacheEntry(s2).nonEmpty, "persist path did not cache an entry")
+      assert(!stronglyReaches(FuzzyDedup.nearCacheInternal, s2),
+        "nearPersistCache strongly reaches the session it is weakly keyed by — " +
+          "the WeakHashMap can never evict this entry (the r10 defect)")
+    } finally FuzzyDedup.releaseCaches(s2)
+  }
+
+  test("q113 persist cache: an entry GC-evicts with its session (no queries — Spark thread-local capture excluded)") {
+    // The GC half of the contract, made deterministic: a session that never
+    // RAN a query is not captured by Spark's pool-thread locals, and an
+    // entry whose frame was never persisted is not rooted by the shared
+    // CacheManager — what remains is exactly the map's tuple shape. Under
+    // the r10 shape ((String, DataFrame) strong value) this session would
+    // be pinned through its own entry and never clear.
+    def makeEntry(): java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession] = {
+      val s2 = spark.newSession()
+      FuzzyDedup.nearCachePutForTest(s2, "/root/testdata/sf0.001")
+      new java.lang.ref.WeakReference(s2)
+    }
+    val before     = FuzzyDedup.nearCacheSize
+    val sessionRef = makeEntry()
+    assert(FuzzyDedup.nearCacheSize == before + 1, "test entry missing")
+    var tries = 0
+    while (sessionRef.get != null && tries < 100) { System.gc(); Thread.sleep(20); tries += 1 }
+    assert(sessionRef.get == null,
+      "query-free scratch session never became unreachable — the map's value shape roots it")
+    assert(FuzzyDedup.nearCacheSize == before, "session was GC'd but its cache entry survived")
+  }
+
   test("q113 persist path (over the checkpoint ceiling) answers identically to the checkpoint path") {
     // the scale branch swaps the unrecoverable localCheckpoint for a
     // lineage-preserving persist — same one-shingle-pass materialization,
