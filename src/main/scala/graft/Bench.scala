@@ -72,13 +72,29 @@ object Bench {
     * the queries around it — a neighbor swept in by a real burst is
     * correctly untrusted, its numbers ran in the same dirty window. */
   val ProbeElevatedFactor = 1.5
+
+  /** Absolute-delta floor on probe elevation: a probe is elevated only when
+    * it ALSO sits [[ProbeElevatedAbsFloorSec]] above the run median. At this
+    * box's ~0.08 s probes the 1.5× ratio alone fires on routine GC blips —
+    * the two round-10 re-stamp runs flagged disjoint 4-row sets (deltas
+    * 0.042/0.065 s, commit 04d886c) and the final-stamp run a 0.099 s blip
+    * (c491055) on a probe-flat box, each time flipping `contended` on a run
+    * whose cpu medians agreed at ~1.00 with the quiet baseline. The recorded
+    * r8 burst's probes sit ≥0.152 s above median (0.152–0.365), so 0.12
+    * splits the observed gap: all three recorded quiet-run blip series go
+    * quiet, every burst probe that mattered still fires (the two burst
+    * probes below the floor — 0.096/0.070 s — bracket queries the cpu
+    * mechanism independently catches: q111 2.8×, q119 2.4× their quiet
+    * baselines). Replay-pinned both ways in BenchReplaySpec. */
+  val ProbeElevatedAbsFloorSec = 0.12
   def probeDirtyQueries(names: Seq[String], probeWalls: Seq[Double]): Seq[String] =
     if (probeWalls.size < 2 || names.isEmpty) Seq.empty
     else {
       val med = median(probeWalls)
       if (med <= 0) Seq.empty
       else {
-        val elevated = probeWalls.map(_ > ProbeElevatedFactor * med)
+        val elevated =
+          probeWalls.map(p => p > ProbeElevatedFactor * med && p - med > ProbeElevatedAbsFloorSec)
         names.zipWithIndex.collect {
           case (n, i)
               if elevated.lift(i).getOrElse(false) || elevated.lift(i + 1).getOrElse(false) =>
@@ -103,12 +119,48 @@ object Bench {
   val CpuRatioThreshold   = 2.0
   val CpuBaselineFloorSec = 0.2
   val CpuExcessFloorSec   = 1.0
-  def cpuDirtyQueries(measured: Seq[(String, Double)], baselineCpu: Map[String, Double]): Seq[String] =
+
+  /** Tighter ratio for rows stamped at their HIGH quiet mode (the ones
+    * carrying a recorded `cpu_lo`): the high-mode stamp already contains the
+    * headroom the 2× ratio was meant to provide, so these rows flag at
+    * 1.5× hi instead of 2× hi. Parameter choice is replayed against the
+    * nine recorded full quiet runs of rounds 8–10 (BenchReplaySpec): every
+    * recorded quiet value stays under 1.5× its hi stamp (worst margin: q60
+    * 3.497 vs 4.05), while contamination in the previously-invisible band
+    * (1.5×hi, 2×hi] — e.g. q119 at 55 cpu-s vs its 69.6 old threshold —
+    * now flags. A lo-anchored `min(2·hi, k·lo)` rule is NOT satisfiable by
+    * any k against that history: the recorded quiet envelope demands k ≥ 9
+    * on q60 (lo 0.396, quiet max 3.497) where tightening anything needs
+    * k ≤ 5 — the quiet cpu of these warm-up rows is a decay CONTINUUM
+    * (q119: 11.4–37.3 across runs), not two separable modes, so hi is the
+    * only safe anchor and `cpu_lo` is the machine-readable record of the
+    * steady mode, not a threshold. */
+  val CpuHiModeRatio = 1.5
+
+  /** One committed baseline row: `cpu` is the quiet-run stamp (the HIGH
+    * quiet mode for warm-up-bimodal rows), `cpuLo` the recorded steady
+    * (warm-JVM) mode for those rows — presence marks the row hi-stamped and
+    * arms the tighter [[CpuHiModeRatio]] — and `srcSha` the source
+    * fingerprint at stamp time (freshness). */
+  final case class BaselineRow(cpu: Double, cpuLo: Option[Double], srcSha: Option[String])
+
+  /** Whether a requested baseline stamp may proceed: a contended run's
+    * inflated cpu medians would be stamped with FRESH src_sha and then
+    * false-flag every later quiet run — refuse unless explicitly forced
+    * (hand-adjudicated stamps only). */
+  def shouldStampBaseline(requested: Boolean, contended: Boolean, forced: Boolean): Boolean =
+    requested && (!contended || forced)
+
+  private def cpuThreshold(row: BaselineRow): Double =
+    (if (row.cpuLo.isDefined) CpuHiModeRatio else CpuRatioThreshold) * row.cpu
+
+  def cpuDirtyQueries(measured: Seq[(String, Double)], baseline: Map[String, BaselineRow]): Seq[String] =
     measured.collect {
       case (n, c)
-          if baselineCpu
+          if baseline
             .get(n)
-            .exists(b => b >= CpuBaselineFloorSec && c > CpuRatioThreshold * b && c - b > CpuExcessFloorSec) =>
+            .exists(b =>
+              b.cpu >= CpuBaselineFloorSec && c > cpuThreshold(b) && c - b.cpu > CpuExcessFloorSec) =>
         n
     }
 
@@ -135,7 +187,7 @@ object Bench {
     * file can't prove it matches (a missing header previously stayed
     * ARMED, which would flag every big query dirty on a scale-corpus
     * run). */
-  def parseBaseline(bytes: Array[Byte], sfDir: String): Map[String, (Double, Option[String])] = {
+  def parseBaseline(bytes: Array[Byte], sfDir: String): Map[String, BaselineRow] = {
     val root   = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
     val baseSf = Option(root.get("_sf")).flatMap(n => Option(n.get("dir"))).map(_.asText())
     if (!baseSf.contains(sfDir)) {
@@ -150,7 +202,10 @@ object Bench {
         .filterNot(_.startsWith("_"))
         .flatMap(k =>
           Option(root.get(k)).flatMap(n => Option(n.get("cpu_sec"))).map { v =>
-            k -> (v.asDouble(), Option(root.get(k).get("src_sha")).map(_.asText()))
+            k -> BaselineRow(
+              v.asDouble(),
+              Option(root.get(k).get("cpu_lo")).map(_.asDouble()),
+              Option(root.get(k).get("src_sha")).map(_.asText()))
           })
         .toMap
     }
@@ -167,14 +222,14 @@ object Bench {
     * into a false-positive source. */
   def cpuDirtyOrStale(
       measured: Seq[(String, Double)],
-      baseline: Map[String, (Double, Option[String])],
+      baseline: Map[String, BaselineRow],
       current: Map[String, String]): (Seq[String], Seq[String]) = {
-    val flagged = cpuDirtyQueries(measured, baseline.map { case (k, v) => k -> v._1 })
+    val flagged = cpuDirtyQueries(measured, baseline)
     val (stale, dirty) = flagged.partition { n =>
       (for {
-        (_, bsha) <- baseline.get(n)
-        b         <- bsha
-        c         <- current.get(n)
+        row <- baseline.get(n)
+        b   <- row.srcSha
+        c   <- current.get(n)
       } yield b != c).getOrElse(false)
     }
     (dirty, stale)
@@ -185,8 +240,11 @@ object Bench {
     * PRESERVED (so a BENCH_ONLY subset refresh touches exactly the rows it
     * measured — though see the skill note: stamp from FULL runs), `_sf`
     * set to the run dir, and an existing baseline at a DIFFERENT sf
-    * dropped wholesale (cpu baselines never mix scales). Pure: bytes in,
-    * bytes out (spec surface). */
+    * dropped wholesale (cpu baselines never mix scales). A row carrying a
+    * `cpu_lo` (warm-up-bimodal, hi-stamped) keeps it across re-stamps,
+    * converged downward: lo := min(old lo, this run's cpu) — successive
+    * quiet stamps can only sharpen the recorded steady mode, never lose
+    * the hi-mode marker. Pure: bytes in, bytes out (spec surface). */
   def mergeBaseline(
       prev: Option[Array[Byte]],
       rows: Seq[(String, Double, Double)],
@@ -205,9 +263,15 @@ object Bench {
     } else if (prevSf.nonEmpty)
       System.err.println(s"[bench] baseline was for ${prevSf.get} — starting fresh at $sfDir")
     rows.foreach { case (name, wall, cpuSec) =>
+      val prevLo =
+        if (prevSf.contains(sfDir))
+          Option(prevRoot.get(name)).flatMap(n => Option(n.get("cpu_lo"))).map(_.asDouble())
+        else None
       val row = out.putObject(name)
       row.put("wall_sec", BigDecimal(wall).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
       row.put("cpu_sec", BigDecimal(cpuSec).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      prevLo.foreach(lo =>
+        row.put("cpu_lo", BigDecimal(math.min(lo, cpuSec)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble))
       currentSha.get(name).foreach(row.put("src_sha", _))
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(out)
@@ -271,7 +335,7 @@ object Bench {
     // src_sha}); absent file → cpu check off. Refresh mechanically with
     // SPARK_GRAFT_WRITE_BASELINE=1 on a quiet run.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")
-    val baseline: Map[String, (Double, Option[String])] =
+    val baseline: Map[String, BaselineRow] =
       try {
         val p = java.nio.file.Paths.get(baselinePath)
         if (!java.nio.file.Files.exists(p)) Map.empty
@@ -316,7 +380,7 @@ object Bench {
         org.apache.spark.GraftSparkBridge.drainListenerBus(sc)
         (wall, (cpu.cpuNs.sum() - cpu0) / 1e9)
       }
-      (name, median(runs.map(_._1)), median(runs.map(_._2)), runs.map(_._1))
+      (name, median(runs.map(_._1)), median(runs.map(_._2)), runs.map(_._1), runs.map(_._2))
     }
     def s3(v: Double): String   = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def json(kv: Seq[(String, Double)]): String =
@@ -401,9 +465,12 @@ object Bench {
         // query — the auto-adjudication signal (code-determined cpu: ~1.0
         // quiet-on-unchanged-code, >2 under contention or after a code change)
         val ratio =
-          baseline.get(r._1).map(_._1).filter(_ > 0).map(b => s""","cpu_ratio":${s3(r._3 / b)}""").getOrElse("")
+          baseline.get(r._1).map(_.cpu).filter(_ > 0).map(b => s""","cpu_ratio":${s3(r._3 / b)}""").getOrElse("")
         val dirty = if (dirtySet.contains(r._1)) s""","dirty":true""" else ""
-        s""""${r._1}":{"wall_sec":${s3(r._2)},"cpu_sec":${s3(r._3)}$ratio$dirty,"rep_walls":$walls}"""
+        // per-rep cpu alongside per-rep walls: warm-up-bimodal rows (the
+        // cpu_lo five) are diagnosable only from the rep-over-rep cpu decay
+        val cpus = r._5.map(s3).mkString("[", ",", "]")
+        s""""${r._1}":{"wall_sec":${s3(r._2)},"cpu_sec":${s3(r._3)}$ratio$dirty,"rep_walls":$walls,"rep_cpus":$cpus}"""
       })
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(
@@ -425,7 +492,22 @@ object Bench {
     // unmeasured rows preserved (so a BENCH_ONLY subset refreshes exactly
     // the rows whose code changed), `_sf` set to the run dir. An existing
     // baseline at a DIFFERENT sf is dropped wholesale (never mix scales).
-    if (sys.env.get("SPARK_GRAFT_WRITE_BASELINE").exists(v => v == "1" || v.equalsIgnoreCase("true"))) {
+    // A CONTENDED run must not stamp: its inflated cpu rows carry fresh
+    // src_sha, so they'd false-flag every later quiet run as dirty — the
+    // quiet-run requirement previously lived only in the skill doc; this
+    // mechanizes it the way staleness already is. SPARK_GRAFT_FORCE_BASELINE=1
+    // overrides (for adjudicated-by-hand stamps), loudly.
+    val writeRequested =
+      sys.env.get("SPARK_GRAFT_WRITE_BASELINE").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    val writeForced =
+      sys.env.get("SPARK_GRAFT_FORCE_BASELINE").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    if (writeRequested && contended && !writeForced) {
+      System.err.println(
+        s"[bench] REFUSING baseline stamp: run is contended (probe_ratio ${s3(probeRatio)}, " +
+          s"spread_frac ${s3(spreadFrac)}, dirty: ${dirtyUnion.mkString(", ")}) — rerun quiet, " +
+          "or set SPARK_GRAFT_FORCE_BASELINE=1 after adjudicating the flagged rows by hand")
+    }
+    if (shouldStampBaseline(writeRequested, contended, writeForced)) {
       try {
         val p = java.nio.file.Paths.get(baselinePath)
         val prev =

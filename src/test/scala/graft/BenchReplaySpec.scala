@@ -23,18 +23,35 @@ class BenchReplaySpec extends AnyFunSuite {
   private val r8Cpu: Seq[(String, Double)] = Seq("q01_pricing_summary"->1.346,"q02_filter_revenue"->0.084,"q03_top_orders"->0.322,"q04_order_priority"->0.105,"q05_region_revenue"->0.253,"q06_window_topk"->0.261,"q07_anti_join"->0.052,"q08_rollup"->0.078,"q09_distinct_stats"->0.875,"q100_embedding_drift"->2.604,"q101_containment"->10.46,"q102_packed_export"->0.401,"q103_bm25_retrieval"->6.419,"q104_growth_curve"->6.941,"q105_containment_lsh"->5.746,"q106_dedup_index"->18.392,"q106b_index_build"->13.256,"q106p_index_probe"->4.332,"q107_dedup_survivors"->7.324,"q108_boiler_strip"->5.472,"q109_survivors_quality"->10.919,"q10_pivot"->0.966,"q110_hashed_classifier"->20.402,"q111_ann_recall"->20.055,"q112_index_absorb"->109.635,"q112a_index_absorb"->7.256,"q113_near_contamination"->7.446,"q114_cluster_quality"->14.978,"q115_shard_drift"->2.641,"q116_span_ownership"->6.018,"q117_weighted_sample"->3.266,"q118_ngram_exposure"->13.941,"q119_semdedup"->61.979,"q11_set_ops"->0.858,"q120_cdc_chunks"->89.356,"q121_dsir_selection"->146.277,"q122_winnowing"->10.862,"q123_pca_covariance"->12.156,"q124_bucketed_join"->5.725,"q124b_layout_build"->1.893,"q124p_bucketed_probe"->0.945,"q125_rollup_maintenance"->3.934,"q126_skew_diagnosis"->0.216,"q127_k_anonymity"->3.903,"q128_journey_paths"->0.245,"q129_token_budget"->3.48,"q12_scalar_subquery"->0.065,"q130_split_leakage"->9.216,"q131_source_divergence"->4.855,"q132_curriculum_order"->7.487,"q133_deletion_audit"->4.41,"q134_triangle_count"->11.884,"q135_mi_features"->6.64,"q136_rank_fusion"->6.108,"q137_triangle_delta"->1.244,"q138_edge_similarity"->15.368,"q139_kcore"->46.106,"q13_cube"->0.423,"q140_retrieval_eval"->6.99,"q141_cluster_purity"->14.6,"q142_assortativity"->0.319,"q14_approx_distinct"->1.06,"q15_window_funcs"->0.601,"q16_unpivot"->0.682,"q17_salted_agg"->0.337,"q18_argmax"->0.049,"q19_or_of_ands"->0.174,"q20_epoch_normalize"->2.114,"q21_split_explode"->0.13,"q22_json_extract"->1.778,"q23_iso_validate"->1.976,"q24_grouping_sets"->0.82,"q25_window_tumbling"->0.129,"q26_window_session"->0.624,"q27_window_sliding"->0.111,"q28_asof_join"->0.246,"q29_typed_agg_mask"->0.065,"q30_dedup_exact"->4.671,"q31_dedup_canonical"->4.931,"q32_dedup_jaccard"->8.289,"q33_dedup_minhash_lsh"->5.534,"q34_simhash_fingerprint"->0.2,"q35_simhash_pairs"->2.401,"q36_rolling_fingerprint"->0.77,"q37_dedup_embedding"->3.391,"q38_dedup_clusters"->6.536,"q39_dedup_embedding_lsh"->5.991,"q40_text_stats"->0.085,"q41_lang_id"->1.512,"q42_quality"->0.246,"q43_token_count"->0.206,"q44_tfidf_top_terms"->8.968,"q45_stratified_sample"->0.031,"q46_sequence_packing"->0.159,"q47_repetition_score"->0.205,"q48_bigram_topk"->5.965,"q49_length_quantile"->0.054,"q50_binary_meta"->0.026,"q51_decode_stats"->0.116,"q52_media_features"->0.018,"q53_frame_sample"->0.126,"q54_contamination"->8.272,"q55_training_order"->7.01,"q56_shard_assign"->0.009,"q57_doc_chunking"->0.205,"q58_incremental_dedup"->11.526,"q59_lm_score"->4.809,"q60_knn_brute"->0.644,"q61_lsh_pairs"->6.734,"q62_ivf_knn"->3.555,"q63_min_cost_offer"->0.282,"q64_important_suppliers"->0.984,"q65_range_join"->0.142,"q66_moving_avg"->0.327,"q67_heavy_hitters"->7.447,"q68_clean_funnel"->7.593,"q69_source_mixing"->0.032,"q70_kmeans"->18.283,"q71_span_dedup"->5.915,"q72_gopher_rules"->11.989,"q73_pii_scrub"->4.208,"q74_url_canonical"->1.062,"q75_length_digest"->0.297,"q76_embedding_clusters"->7.685,"q77_pagerank"->36.759,"q78_salted_join"->1.508,"q79_int8_quant"->7.111,"q80_snapshot_diff"->6.502,"q81_sketch_rollup"->4.703,"q82_transitions"->0.245,"q83_upsert_merge"->5.475,"q84_asof_native"->0.214,"q85_bpe_pairs"->2.589,"q86_domain_cap"->2.771,"q87_zorder_layout"->0.05,"q88_global_ntile"->10.364,"q89_bloom_join"->0.28,"q90_source_overlap"->4.744,"q91_scd2_intervals"->0.354,"q92_event_funnel"->0.244,"q93_boilerplate"->4.486,"q94_mix_allocation"->8.933,"q95_cohort_retention"->18.506,"q96_rate_anomaly"->0.849,"q97_pmi_pairs"->8.136,"q98_data_profile"->19.413,"q99_fk_integrity"->0.256)
   private val quietCpu: Map[String, Double] = Map("q01_pricing_summary"->0.941,"q02_filter_revenue"->0.076,"q03_top_orders"->0.23,"q04_order_priority"->0.092,"q05_region_revenue"->0.2,"q06_window_topk"->0.273,"q07_anti_join"->0.052,"q08_rollup"->0.07,"q09_distinct_stats"->0.759,"q100_embedding_drift"->3.88,"q101_containment"->9.8,"q102_packed_export"->0.297,"q103_bm25_retrieval"->7.142,"q104_growth_curve"->7.546,"q105_containment_lsh"->5.264,"q106_dedup_index"->20.678,"q106b_index_build"->14.308,"q106p_index_probe"->5.697,"q107_dedup_survivors"->11.506,"q108_boiler_strip"->8.124,"q109_survivors_quality"->15.455,"q10_pivot"->0.283,"q110_hashed_classifier"->9.532,"q111_ann_recall"->7.125,"q112_index_absorb"->28.022,"q112a_index_absorb"->5.416,"q113_near_contamination"->6.053,"q114_cluster_quality"->12.372,"q115_shard_drift"->1.723,"q116_span_ownership"->4.761,"q117_weighted_sample"->1.837,"q118_ngram_exposure"->10.629,"q119_semdedup"->25.799,"q11_set_ops"->0.201,"q120_cdc_chunks"->9.388,"q121_dsir_selection"->21.524,"q122_winnowing"->6.791,"q123_pca_covariance"->8.51,"q124_bucketed_join"->3.131,"q124b_layout_build"->1.401,"q124p_bucketed_probe"->0.762,"q125_rollup_maintenance"->2.089,"q126_skew_diagnosis"->6.724,"q127_k_anonymity"->3.463,"q128_journey_paths"->5.065,"q129_token_budget"->3.923,"q12_scalar_subquery"->0.054,"q130_split_leakage"->7.737,"q131_source_divergence"->9.026,"q132_curriculum_order"->9.316,"q133_deletion_audit"->3.293,"q134_triangle_count"->11.753,"q135_mi_features"->6.784,"q136_rank_fusion"->7.53,"q137_triangle_delta"->1.732,"q138_edge_similarity"->14.727,"q139_kcore"->47.576,"q13_cube"->0.421,"q140_retrieval_eval"->7.056,"q141_cluster_purity"->14.659,"q142_assortativity"->0.43,"q14_approx_distinct"->0.994,"q15_window_funcs"->0.554,"q16_unpivot"->0.649,"q17_salted_agg"->0.358,"q18_argmax"->0.046,"q19_or_of_ands"->0.207,"q20_epoch_normalize"->2.229,"q21_split_explode"->0.142,"q22_json_extract"->1.837,"q23_iso_validate"->1.847,"q24_grouping_sets"->0.938,"q25_window_tumbling"->4.901,"q26_window_session"->5.343,"q27_window_sliding"->4.787,"q28_asof_join"->0.394,"q29_typed_agg_mask"->0.074,"q30_dedup_exact"->6.305,"q31_dedup_canonical"->6.12,"q32_dedup_jaccard"->9.362,"q33_dedup_minhash_lsh"->5.425,"q34_simhash_fingerprint"->0.205,"q35_simhash_pairs"->5.772,"q36_rolling_fingerprint"->1.208,"q37_dedup_embedding"->3.264,"q38_dedup_clusters"->6.963,"q39_dedup_embedding_lsh"->6.537,"q40_text_stats"->0.09,"q41_lang_id"->1.856,"q42_quality"->0.207,"q43_token_count"->0.154,"q44_tfidf_top_terms"->11.436,"q45_stratified_sample"->0.021,"q46_sequence_packing"->0.183,"q47_repetition_score"->0.197,"q48_bigram_topk"->6.577,"q49_length_quantile"->0.046,"q50_binary_meta"->0.021,"q51_decode_stats"->0.132,"q52_media_features"->0.021,"q53_frame_sample"->0.097,"q54_contamination"->10.099,"q55_training_order"->6.338,"q56_shard_assign"->0.007,"q57_doc_chunking"->0.188,"q58_incremental_dedup"->10.069,"q59_lm_score"->5.824,"q60_knn_brute"->0.747,"q61_lsh_pairs"->6.128,"q62_ivf_knn"->2.263,"q63_min_cost_offer"->0.151,"q64_important_suppliers"->0.832,"q65_range_join"->4.714,"q66_moving_avg"->5.203,"q67_heavy_hitters"->6.149,"q68_clean_funnel"->6.298,"q69_source_mixing"->0.027,"q70_kmeans"->14.64,"q71_span_dedup"->4.907,"q72_gopher_rules"->6.148,"q73_pii_scrub"->0.4,"q74_url_canonical"->0.032,"q75_length_digest"->0.028,"q76_embedding_clusters"->5.465,"q77_pagerank"->26.012,"q78_salted_join"->1.322,"q79_int8_quant"->5.543,"q80_snapshot_diff"->6.133,"q81_sketch_rollup"->4.464,"q82_transitions"->4.69,"q83_upsert_merge"->5.665,"q84_asof_native"->0.16,"q85_bpe_pairs"->3.548,"q86_domain_cap"->2.421,"q87_zorder_layout"->0.079,"q88_global_ntile"->12.036,"q89_bloom_join"->0.28,"q90_source_overlap"->4.288,"q91_scd2_intervals"->4.628,"q92_event_funnel"->6.321,"q93_boilerplate"->5.386,"q94_mix_allocation"->1.826,"q95_cohort_retention"->7.001,"q96_rate_anomaly"->6.173,"q97_pmi_pairs"->8.84,"q98_data_profile"->13.039,"q99_fk_integrity"->0.233)
 
+  // 147 query names (sorted run order) of the round-10 re-stamp runs
+  private val r10Names: Seq[String] = Seq("q01_pricing_summary","q02_filter_revenue","q03_top_orders","q04_order_priority","q05_region_revenue","q06_window_topk","q07_anti_join","q08_rollup","q09_distinct_stats","q100_embedding_drift","q101_containment","q102_packed_export","q103_bm25_retrieval","q104_growth_curve","q105_containment_lsh","q106_dedup_index","q106b_index_build","q106p_index_probe","q107_dedup_survivors","q108_boiler_strip","q109_survivors_quality","q10_pivot","q110_hashed_classifier","q111_ann_recall","q112_index_absorb","q112a_index_absorb","q113_near_contamination","q114_cluster_quality","q115_shard_drift","q116_span_ownership","q117_weighted_sample","q118_ngram_exposure","q119_semdedup","q11_set_ops","q120_cdc_chunks","q121_dsir_selection","q122_winnowing","q123_pca_covariance","q124_bucketed_join","q124b_layout_build","q124p_bucketed_probe","q125_rollup_maintenance","q126_skew_diagnosis","q127_k_anonymity","q128_journey_paths","q129_token_budget","q12_scalar_subquery","q130_split_leakage","q131_source_divergence","q132_curriculum_order","q133_deletion_audit","q134_triangle_count","q135_mi_features","q136_rank_fusion","q137_triangle_delta","q138_edge_similarity","q139_kcore","q13_cube","q140_retrieval_eval","q141_cluster_purity","q142_assortativity","q14_approx_distinct","q15_window_funcs","q16_unpivot","q17_salted_agg","q18_argmax","q19_or_of_ands","q20_epoch_normalize","q21_split_explode","q22_json_extract","q23_iso_validate","q24_grouping_sets","q25_window_tumbling","q26_window_session","q27_window_sliding","q28_asof_join","q29_typed_agg_mask","q30_dedup_exact","q31_dedup_canonical","q32_dedup_jaccard","q33_dedup_minhash_lsh","q34_simhash_fingerprint","q35_simhash_pairs","q36_rolling_fingerprint","q37_dedup_embedding","q38_dedup_clusters","q39_dedup_embedding_lsh","q40_text_stats","q41_lang_id","q42_quality","q43_token_count","q44_tfidf_top_terms","q45_stratified_sample","q46_sequence_packing","q47_repetition_score","q48_bigram_topk","q49_length_quantile","q50_binary_meta","q51_decode_stats","q52_media_features","q53_frame_sample","q54_contamination","q55_training_order","q56_shard_assign","q57_doc_chunking","q58_incremental_dedup","q59_lm_score","q60_knn_brute","q61_lsh_pairs","q62_ivf_knn","q63_min_cost_offer","q64_important_suppliers","q65_range_join","q66_moving_avg","q67_heavy_hitters","q68_clean_funnel","q69_source_mixing","q70_kmeans","q71_span_dedup","q72_gopher_rules","q73_pii_scrub","q74_url_canonical","q75_length_digest","q76_embedding_clusters","q77_pagerank","q78_salted_join","q79_int8_quant","q80_snapshot_diff","q81_sketch_rollup","q82_transitions","q83_upsert_merge","q84_asof_native","q85_bpe_pairs","q86_domain_cap","q87_zorder_layout","q88_global_ntile","q89_bloom_join","q90_source_overlap","q91_scd2_intervals","q92_event_funnel","q93_boilerplate","q94_mix_allocation","q95_cohort_retention","q96_rate_anomaly","q97_pmi_pairs","q98_data_profile","q99_fk_integrity")
+  // commit 04d886c: quiet re-stamp run, probe-flat box (ratio 1.063), two GC-blip
+  // probes (deltas 0.065/0.042 s) flagged 4 rows and flipped contended
+  private val r10StampProbes: Seq[Double] = Seq(0.081,0.081,0.085,0.083,0.082,0.08,0.082,0.082,0.081,0.084,0.082,0.082,0.08,0.087,0.086,0.086,0.084,0.081,0.081,0.085,0.085,0.082,0.085,0.082,0.081,0.083,0.084,0.083,0.085,0.083,0.084,0.082,0.085,0.083,0.087,0.082,0.083,0.081,0.083,0.083,0.084,0.084,0.086,0.083,0.084,0.084,0.081,0.083,0.082,0.087,0.084,0.085,0.084,0.082,0.084,0.081,0.082,0.081,0.083,0.084,0.086,0.087,0.083,0.086,0.085,0.087,0.086,0.084,0.082,0.086,0.082,0.083,0.082,0.081,0.081,0.081,0.081,0.082,0.081,0.083,0.083,0.082,0.084,0.088,0.092,0.083,0.086,0.084,0.081,0.086,0.084,0.084,0.085,0.084,0.083,0.084,0.085,0.084,0.084,0.082,0.083,0.148,0.081,0.081,0.081,0.081,0.084,0.085,0.085,0.082,0.082,0.089,0.081,0.082,0.081,0.081,0.082,0.082,0.081,0.081,0.082,0.081,0.081,0.084,0.083,0.083,0.082,0.082,0.086,0.084,0.125,0.081,0.081,0.082,0.083,0.083,0.085,0.084,0.082,0.081,0.081,0.082,0.081,0.083,0.081,0.086,0.082,0.081)
+  // commit c491055: the second re-stamp run — disjoint blip (delta 0.099 s at the
+  // closing probe), again on a probe-flat box (ratio 1.049)
+  private val r10Stamp2Probes: Seq[Double] = Seq(0.082,0.083,0.083,0.083,0.083,0.083,0.082,0.084,0.084,0.084,0.082,0.081,0.083,0.093,0.083,0.082,0.083,0.082,0.083,0.085,0.082,0.083,0.086,0.092,0.087,0.085,0.082,0.083,0.081,0.082,0.083,0.096,0.083,0.083,0.084,0.084,0.083,0.083,0.084,0.082,0.083,0.084,0.084,0.083,0.094,0.084,0.083,0.085,0.083,0.084,0.084,0.084,0.082,0.082,0.083,0.083,0.085,0.085,0.083,0.085,0.082,0.085,0.084,0.086,0.083,0.084,0.084,0.084,0.082,0.083,0.084,0.083,0.083,0.083,0.084,0.086,0.085,0.083,0.087,0.084,0.083,0.084,0.082,0.083,0.082,0.081,0.083,0.085,0.087,0.082,0.084,0.085,0.084,0.083,0.084,0.083,0.084,0.083,0.082,0.083,0.084,0.083,0.082,0.083,0.082,0.083,0.083,0.084,0.082,0.083,0.082,0.083,0.081,0.082,0.082,0.082,0.084,0.084,0.083,0.082,0.084,0.082,0.113,0.082,0.082,0.083,0.085,0.082,0.082,0.083,0.083,0.084,0.084,0.084,0.084,0.084,0.083,0.083,0.083,0.083,0.116,0.086,0.084,0.094,0.118,0.11,0.121,0.182)
+
   test("r8 replay: run-level checks miss the partial burst (the recorded false negative)") {
     val (flag, ratio, _) = Bench.contentionFlags(r8Probes, Nil)
     assert(!flag && ratio < Bench.ProbeRatioThreshold,
       s"run-level probe check now fires on the r8 series (ratio $ratio) — replay premise changed")
   }
 
+  // baseline fixture maps hold bare cpu values; lift into the row shape
+  private def rows(m: Map[String, Double]): Map[String, Bench.BaselineRow] =
+    m.map { case (k, v) => k -> Bench.BaselineRow(v, None, None) }
+
   test("r8 replay: adjacent-probe elevation flags the inflated query cluster") {
     val dirty = Bench.probeDirtyQueries(r8Names, r8Probes).toSet
+    // the burst's core cluster — probes ≥0.152 s over the run median, far
+    // above the GC-blip absolute floor. q111/q119 (burst-edge probes at
+    // +0.096/+0.070 s, below the floor) moved to the cpu mechanism's
+    // books: see the union test.
     val expected = Set(
-      "q110_hashed_classifier", "q111_ann_recall", "q119_semdedup", "q120_cdc_chunks",
+      "q110_hashed_classifier", "q120_cdc_chunks",
       "q121_dsir_selection", "q122_winnowing", "q123_pca_covariance",
-      "q95_cohort_retention", "q96_rate_anomaly")
+      "q94_mix_allocation", "q95_cohort_retention")
     val missed = expected -- dirty
     assert(missed.isEmpty, s"probe mechanism missed: $missed (flagged: $dirty)")
     // adjacency sweeps in immediate neighbors of the burst windows — that
@@ -43,8 +60,20 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(dirty.size <= 20, s"probe mechanism flagged ${dirty.size} of ${r8Names.size} — overfiring")
   }
 
+  test("r10 re-stamp replay: recorded quiet-run GC blips stay below the absolute floor") {
+    // both recorded re-stamp series ran on a probe-flat box (ratios
+    // 1.063/1.049) with cpu medians agreeing at ~1.00 against the quiet
+    // baseline, yet the ratio-only rule flagged disjoint 4-row/1-row sets
+    // (deltas 0.042–0.099 s) and flipped `contended`. Under the absolute
+    // floor both series must go quiet.
+    assert(Bench.probeDirtyQueries(r10Names, r10StampProbes).isEmpty,
+      s"04d886c blips still flag: ${Bench.probeDirtyQueries(r10Names, r10StampProbes)}")
+    assert(Bench.probeDirtyQueries(r10Names, r10Stamp2Probes).isEmpty,
+      s"c491055 blip still flags: ${Bench.probeDirtyQueries(r10Names, r10Stamp2Probes)}")
+  }
+
   test("r8 replay: cpu-vs-quiet-baseline flags the queries the probes missed") {
-    val dirty = Bench.cpuDirtyQueries(r8Cpu, quietCpu).toSet
+    val dirty = Bench.cpuDirtyQueries(r8Cpu, rows(quietCpu)).toSet
     // q73 inflated 10.5x in cpu with QUIET adjacent probes (burst between
     // samples) — only the baseline mechanism can catch it; q112/q120/q121
     // are the big-cpu casualties the VERDICT adjudicated by hand
@@ -55,9 +84,13 @@ class BenchReplaySpec extends AnyFunSuite {
 
   test("r8 replay: the per-query union is material and flips contended") {
     val union = (Bench.probeDirtyQueries(r8Names, r8Probes) ++
-      Bench.cpuDirtyQueries(r8Cpu, quietCpu)).distinct
+      Bench.cpuDirtyQueries(r8Cpu, rows(quietCpu))).distinct
     assert(union.size >= Bench.DirtyCountThreshold,
       s"union ${union.size} below threshold — r8 would still read clean")
+    // the two burst rows whose probes fell below the absolute floor must
+    // still be caught — by cpu (q111 2.8×, q119 2.4× their quiet baselines)
+    assert(Set("q111_ann_recall", "q119_semdedup").subsetOf(union.toSet),
+      s"burst-edge rows escaped both mechanisms: $union")
   }
 
   test("quiet replay: same code, quiet box — detection stays silent") {
@@ -66,7 +99,7 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(probeDirty.size < Bench.DirtyCountThreshold,
       s"quiet probes flagged $probeDirty")
     // cpu side: quiet run measured against its own committed baseline
-    val cpuDirty = Bench.cpuDirtyQueries(quietCpu.toSeq, quietCpu)
+    val cpuDirty = Bench.cpuDirtyQueries(quietCpu.toSeq, rows(quietCpu))
     assert(cpuDirty.isEmpty, s"quiet cpu flagged $cpuDirty")
   }
 
@@ -80,22 +113,74 @@ class BenchReplaySpec extends AnyFunSuite {
 
   test("cpu floors: tiny queries and immaterial excess never flag") {
     // 0.1 s baseline doubling (GC jitter on a small query) — floored out
-    assert(Bench.cpuDirtyQueries(Seq("a" -> 0.35), Map("a" -> 0.1)).isEmpty)
+    assert(Bench.cpuDirtyQueries(Seq("a" -> 0.35), rows(Map("a" -> 0.1))).isEmpty)
     // big ratio but sub-second absolute excess — floored out
-    assert(Bench.cpuDirtyQueries(Seq("b" -> 0.9), Map("b" -> 0.3)).isEmpty)
+    assert(Bench.cpuDirtyQueries(Seq("b" -> 0.9), rows(Map("b" -> 0.3))).isEmpty)
     // material both ways — flags
-    assert(Bench.cpuDirtyQueries(Seq("c" -> 4.2), Map("c" -> 0.4)) == Seq("c"))
+    assert(Bench.cpuDirtyQueries(Seq("c" -> 4.2), rows(Map("c" -> 0.4))) == Seq("c"))
     // no baseline row — never flags
     assert(Bench.cpuDirtyQueries(Seq("d" -> 100.0), Map.empty).isEmpty)
+  }
+
+  // The five warm-up-bimodal rows' committed stamps (hi = high quiet mode)
+  // and their recorded quiet cpu histories across the six current-code full
+  // quiet runs of rounds 9–10 (bench_detail history, commits bd4d223,
+  // 04d886c, c491055, 5b65498, bec9192, 65fb205). cpu_lo = history min.
+  private val hiModeStamps: Map[String, Bench.BaselineRow] = Map(
+    "q119_semdedup"           -> Bench.BaselineRow(34.782, Some(14.085), None),
+    "q100_embedding_drift"    -> Bench.BaselineRow(4.105, Some(1.231), None),
+    "q125_rollup_maintenance" -> Bench.BaselineRow(4.763, Some(2.226), None),
+    "q60_knn_brute"           -> Bench.BaselineRow(2.703, Some(0.397), None),
+    "q23_iso_validate"        -> Bench.BaselineRow(3.773, Some(1.879), None)
+  )
+  private val hiModeHistory: Map[String, Seq[Double]] = Map(
+    "q119_semdedup"           -> Seq(21.977, 14.085, 26.831, 15.063, 24.637, 14.935),
+    "q100_embedding_drift"    -> Seq(1.918, 1.231, 4.105, 4.031, 2.933, 3.178),
+    "q125_rollup_maintenance" -> Seq(3.991, 4.494, 4.763, 3.655, 2.226, 2.522),
+    "q60_knn_brute"           -> Seq(2.209, 0.58, 0.397, 0.592, 2.703, 2.238),
+    "q23_iso_validate"        -> Seq(2.032, 1.879, 1.902, 2.081, 3.773, 1.911)
+  )
+
+  test("hi-mode rows: the full recorded quiet history replays clean at the 1.5x ratio") {
+    // the tighter ratio must not false-flag any recorded quiet value —
+    // the quiet cpu of these rows is a warm-up decay CONTINUUM (q119:
+    // 14.1–26.8 across the six runs), so this history IS the safety
+    // envelope the 1.5 parameter was chosen against
+    hiModeHistory.foreach { case (name, vals) =>
+      vals.foreach { v =>
+        val flagged = Bench.cpuDirtyQueries(Seq(name -> v), hiModeStamps)
+        assert(flagged.isEmpty, s"$name quiet value $v false-flags at the hi-mode ratio")
+      }
+    }
+  }
+
+  test("hi-mode rows: contamination in the previously-invisible (1.5x, 2x] band flags") {
+    // q119 at 55 cpu-s sat under the old 2x-hi threshold (69.6) — the
+    // masking the cpu_lo marker exists to remove; with the marker the row
+    // flags at 1.5x hi (52.2)
+    assert(Bench.cpuDirtyQueries(Seq("q119_semdedup" -> 55.0), hiModeStamps).nonEmpty)
+    // same row WITHOUT the cpu_lo marker keeps the legacy 2x threshold
+    val unmarked = Map("q119_semdedup" -> Bench.BaselineRow(34.782, None, None))
+    assert(Bench.cpuDirtyQueries(Seq("q119_semdedup" -> 55.0), unmarked).isEmpty)
+    assert(Bench.cpuDirtyQueries(Seq("q119_semdedup" -> 75.0), unmarked).nonEmpty)
+    // q60 at 4.5 was invisible under 2x (5.4) — flags at 1.5x (4.05)
+    assert(Bench.cpuDirtyQueries(Seq("q60_knn_brute" -> 4.5), hiModeStamps).nonEmpty)
+  }
+
+  test("baseline stamp decision: contended runs refuse unless forced") {
+    assert(Bench.shouldStampBaseline(requested = true, contended = false, forced = false))
+    assert(!Bench.shouldStampBaseline(requested = true, contended = true, forced = false))
+    assert(Bench.shouldStampBaseline(requested = true, contended = true, forced = true))
+    assert(!Bench.shouldStampBaseline(requested = false, contended = false, forced = true))
   }
 
   test("freshness: a changed-code query with a stale baseline row reports stale, not dirty") {
     val measured = Seq("a" -> 10.0, "b" -> 10.0, "c" -> 10.0, "d" -> 0.9)
     val baseline = Map(
-      "a" -> (1.0, Some("aaa")), // code changed since stamped -> stale
-      "b" -> (1.0, Some("bbb")), // fingerprints match -> genuinely dirty
-      "c" -> (1.0, None),        // legacy row, no recorded sha -> stays armed
-      "d" -> (0.8, Some("ddd"))  // under thresholds -> neither
+      "a" -> Bench.BaselineRow(1.0, None, Some("aaa")), // code changed since stamped -> stale
+      "b" -> Bench.BaselineRow(1.0, None, Some("bbb")), // fingerprints match -> genuinely dirty
+      "c" -> Bench.BaselineRow(1.0, None, None),        // legacy row, no recorded sha -> stays armed
+      "d" -> Bench.BaselineRow(0.8, None, Some("ddd"))  // under thresholds -> neither
     )
     val current = Map("a" -> "zzz", "b" -> "bbb", "d" -> "zzz")
     val (dirty, stale) = Bench.cpuDirtyOrStale(measured, baseline, current)
@@ -106,10 +191,14 @@ class BenchReplaySpec extends AnyFunSuite {
   }
 
   test("freshness: baseline parsing disarms on missing or mismatched _sf header") {
-    val rows = """"q1":{"wall_sec":1.0,"cpu_sec":2.5,"src_sha":"abc"},"q2":{"wall_sec":1.0,"cpu_sec":0.5}"""
-    // matching header: rows parsed, src_sha carried, legacy row -> None
+    val rows = """"q1":{"wall_sec":1.0,"cpu_sec":2.5,"src_sha":"abc"},"q2":{"wall_sec":1.0,"cpu_sec":0.5},"q3":{"wall_sec":1.0,"cpu_sec":9.0,"cpu_lo":3.0,"src_sha":"xyz"}"""
+    // matching header: rows parsed, src_sha carried, legacy row -> None,
+    // hi-mode row carries its cpu_lo
     val ok = Bench.parseBaseline(s"""{"_sf":{"dir":"/d/sf0.1"},$rows}""".getBytes, "/d/sf0.1")
-    assert(ok == Map("q1" -> (2.5, Some("abc")), "q2" -> (0.5, None)))
+    assert(ok == Map(
+      "q1" -> Bench.BaselineRow(2.5, None, Some("abc")),
+      "q2" -> Bench.BaselineRow(0.5, None, None),
+      "q3" -> Bench.BaselineRow(9.0, Some(3.0), Some("xyz"))))
     // mismatched header: disarmed (a scale run must not trip gate ratios)
     assert(Bench.parseBaseline(s"""{"_sf":{"dir":"/d/sf0.1"},$rows}""".getBytes, "/tmp/sf1x30").isEmpty)
     // MISSING header: disarmed too — r9 left this case armed, so a
@@ -123,16 +212,37 @@ class BenchReplaySpec extends AnyFunSuite {
     val merged = Bench.mergeBaseline(
       Some(prev.getBytes), Seq(("qa", 1.5, 2.5)), Map("qa" -> "new"), "/d/sf0.1")
     val got = Bench.parseBaseline(merged, "/d/sf0.1")
-    assert(got == Map("qa" -> (2.5, Some("new")), "qb" -> (4.0, None)), s"got $got")
+    assert(got == Map(
+      "qa" -> Bench.BaselineRow(2.5, None, Some("new")),
+      "qb" -> Bench.BaselineRow(4.0, None, None)), s"got $got")
     // different sf: old rows dropped wholesale — cpu baselines never mix scales
     val fresh = Bench.parseBaseline(
       Bench.mergeBaseline(Some(prev.getBytes), Seq(("qc", 9.0, 8.0)), Map.empty, "/tmp/sf1x30"),
       "/tmp/sf1x30")
-    assert(fresh == Map("qc" -> (8.0, None)), s"got $fresh")
+    assert(fresh == Map("qc" -> Bench.BaselineRow(8.0, None, None)), s"got $fresh")
     // no previous file: rows + header written
     val first = Bench.parseBaseline(
       Bench.mergeBaseline(None, Seq(("qd", 1.0, 1.0)), Map("qd" -> "d"), "/d/sf0.1"), "/d/sf0.1")
-    assert(first == Map("qd" -> (1.0, Some("d"))))
+    assert(first == Map("qd" -> Bench.BaselineRow(1.0, None, Some("d"))))
+  }
+
+  test("baseline writer: a hi-mode row keeps its cpu_lo across re-stamps, converged downward") {
+    val prev = """{"_sf":{"dir":"/d/sf0.1"},"qh":{"wall_sec":1.0,"cpu_sec":30.0,"cpu_lo":14.0,"src_sha":"old"}}"""
+    // re-stamp ABOVE the recorded lo: hi replaced, lo preserved verbatim
+    val up = Bench.parseBaseline(
+      Bench.mergeBaseline(Some(prev.getBytes), Seq(("qh", 1.0, 26.0)), Map("qh" -> "new"), "/d/sf0.1"),
+      "/d/sf0.1")
+    assert(up == Map("qh" -> Bench.BaselineRow(26.0, Some(14.0), Some("new"))), s"got $up")
+    // re-stamp BELOW the recorded lo: lo converges down with it
+    val down = Bench.parseBaseline(
+      Bench.mergeBaseline(Some(prev.getBytes), Seq(("qh", 1.0, 12.5)), Map.empty, "/d/sf0.1"),
+      "/d/sf0.1")
+    assert(down == Map("qh" -> Bench.BaselineRow(12.5, Some(12.5), None)), s"got $down")
+    // scale change: lo dropped with the rest of the old rows
+    val other = Bench.parseBaseline(
+      Bench.mergeBaseline(Some(prev.getBytes), Seq(("qh", 1.0, 5.0)), Map.empty, "/x/sf1"),
+      "/x/sf1")
+    assert(other == Map("qh" -> Bench.BaselineRow(5.0, None, None)), s"got $other")
   }
 
   test("freshness: source fingerprints are content-determined and readable for every owner") {
