@@ -61,6 +61,60 @@ object BenchExtras {
       s, docs(s, dir).filter(col("doc_id") % FuzzyDedup.DeltaMod === 9), "graft_dedup_idx_ba")
   }
 
+  /** q38 phase split: inside the composed operator (mine → CC → group),
+    * doc-block mining dominates the wall with ±20–30% per-rep variance, so
+    * the pair STORE's per-round scan cost is invisible in end-to-end
+    * medians — the r10 packed-vs-SER question was only decidable on q76,
+    * where CC dominates. These rows decide it on the DOC block directly:
+    * `q38m` times mining+packing alone (fresh store per rep); `q38c` runs
+    * the CC rounds + cluster grouping over a store built once per JVM;
+    * `q38s` runs the IDENTICAL loop over the r10 mid-round
+    * `MEMORY_AND_DISK_SER` row store (kept here, dev-only, as the A/B
+    * counterfactual — JavaSerializer per-row framing on every round scan).
+    * q38c-vs-q38s medians at matching reps are the store comparison with
+    * mining variance excluded by construction. */
+  private val ccPacked = scala.collection.mutable.Map[String, FuzzyDedup.PackedPairStore]()
+  private val ccSer =
+    scala.collection.mutable.Map[String, (org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow], org.apache.spark.sql.types.StructType)]()
+
+  private def minedPairs(s: SparkSession, dir: String): DataFrame =
+    FuzzyDedup.minhashLsh(s, dir).select("id_a", "id_b")
+
+  private def ccToClusters(labels: DataFrame): DataFrame =
+    labels
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"), max(col("node")).as("max_doc_id"))
+
+  def miningPack(s: SparkSession, dir: String): DataFrame = {
+    val store = FuzzyDedup.packPairStore(minedPairs(s, dir))
+    store.unpersist()
+    done(s)
+  }
+
+  def ccPackedRounds(s: SparkSession, dir: String): DataFrame = {
+    val store = synchronized(
+      ccPacked.getOrElseUpdate(dir, FuzzyDedup.packPairStore(minedPairs(s, dir))))
+    ccToClusters(FuzzyDedup.ccLoop(store.edges)._1)
+  }
+
+  def ccSerRounds(s: SparkSession, dir: String): DataFrame = {
+    val (rdd, schema) = synchronized(ccSer.getOrElseUpdate(dir, {
+      val pairs = minedPairs(s, dir)
+      // the SER-rows store the packed chunks replaced: per-row copy()
+      // (JavaSerializer back-references) + per-row serde on every scan
+      val r = pairs.queryExecution.toRdd
+        .map(_.copy())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      r.count()
+      (r, pairs.schema)
+    }))
+    val stored = org.apache.spark.sql.GraftBridge.internalCreateDataFrame(s, rdd, schema)
+    val edges = stored
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(stored.select(col("id_b").as("src"), col("id_a").as("dst")))
+    ccToClusters(FuzzyDedup.ccLoop(edges)._1)
+  }
+
   def layoutBuild(s: SparkSession, dir: String): DataFrame = {
     Analytics.bucketedLayoutBuild(s, dir, "g124b")
     done(s)
@@ -77,7 +131,10 @@ object BenchExtras {
     "q106p_index_probe"   -> (indexProbe _),
     "q112a_index_absorb"  -> (indexAbsorb _),
     "q124b_layout_build"  -> (layoutBuild _),
-    "q124p_bucketed_probe" -> (bucketedProbe _)
+    "q124p_bucketed_probe" -> (bucketedProbe _),
+    "q38m_mining_pack"    -> (miningPack _),
+    "q38c_cc_packed"      -> (ccPackedRounds _),
+    "q38s_cc_ser"         -> (ccSerRounds _)
   )
 
   /** Freshness-fingerprint owners of the extra rows (see
@@ -91,12 +148,18 @@ object BenchExtras {
       "src/main/scala/graft/BenchExtras.scala",
       "src/main/scala/graft/queries/Analytics.scala",
       "src/main/scala/graft/sources/Layout.scala")
+    val fuzzy = Seq(
+      "src/main/scala/graft/BenchExtras.scala",
+      "src/main/scala/graft/operators/FuzzyDedup.scala")
     Map(
       "q106b_index_build"    -> index,
       "q106p_index_probe"    -> index,
       "q112a_index_absorb"   -> index,
       "q124b_layout_build"   -> layout,
-      "q124p_bucketed_probe" -> layout
+      "q124p_bucketed_probe" -> layout,
+      "q38m_mining_pack"     -> fuzzy,
+      "q38c_cc_packed"       -> fuzzy,
+      "q38s_cc_ser"          -> fuzzy
     )
   }
 }

@@ -9,6 +9,14 @@ trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
 
+  /** Dir-aware oracle renderings: for queries whose plan adapts a knob to
+    * the TARGET corpus (q61's corpus-sized LSH bits), the oracle SQL must
+    * adapt identically or parity silently breaks past the knob's floor.
+    * Verify consults this at dump time and overrides the static [[oracles]]
+    * entry; keys must be a subset of [[oracles]] (the static entry remains
+    * the documented floor rendering). */
+  def oraclesDynamic: Map[String, (SparkSession, String) => String] = Map.empty
+
   /** Repo-relative source files whose content determines this module's
     * query code — the freshness fingerprint for BENCH_BASELINE.json rows
     * (see [[Bench.sourceFingerprint]]). Default: the module's own defining

@@ -40,6 +40,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
 
+  /** Dir-aware oracle renderings (see [[QueryModule.oraclesDynamic]]):
+    * Verify resolves these against its target dir and overrides the static
+    * [[oracleSql]] entry, so corpus-adaptive knobs (q61's LSH bits) stay in
+    * oracle parity at any scale. */
+  def oracleSqlDynamic: Map[String, (SparkSession, String) => String] =
+    modules.flatMap(_.oraclesDynamic).toMap
+
   /** Query name → repo-relative source files whose content determines its
     * code (the registering module's declared ownership) — the freshness
     * fingerprint surface for BENCH_BASELINE.json (see [[Bench]]). */

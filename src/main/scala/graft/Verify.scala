@@ -45,9 +45,25 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // dir-aware renderings override the static entry: a corpus-adaptive
+    // query knob (q61's LSH bits) needs its oracle rendered for THIS dir.
+    // A rendering failure falls back to the static floor SQL, loudly —
+    // better a possibly-stale oracle (the compare still runs and fails
+    // visibly on divergence) than a silently absent one.
+    val dynamic = SparkEntry.oracleSqlDynamic
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => selected.contains(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, static) =>
+        val sql = dynamic.get(k).flatMap { render =>
+          try Some(render(spark, sfDir))
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[verify] dynamic oracle for $k failed (static fallback): ${e.getMessage}")
+              None
+          }
+        }.getOrElse(static)
+        s"${q(k)}: ${q(sql)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -134,10 +134,15 @@ object Similarity extends QueryModule {
     * verify (q39's shape), so the wide columns never ride the bucket
     * shuffle. A vector lives in exactly one bucket, so candidate pairs are
     * already distinct. */
-  def lshPairs(s: SparkSession, dir: String, bitsFloor: Int = LshBucketBits): DataFrame = {
+  def lshPairs(s: SparkSession, dir: String, bitsFloor: Int = LshBucketBits): DataFrame =
     // bits track the corpus ([[autoLshBits]]): parquet-footer row count, no
     // data read; gate corpora stay at the oracle-replayed 8-bit floor
-    val bits = autoLshBits(Tables.rowCountCached(s, dir, "embeddings"), bitsFloor)
+    lshPairsAt(s, dir, autoLshBits(Tables.rowCountCached(s, dir, "embeddings"), bitsFloor))
+
+  /** [[lshPairs]] at an explicit hyperplane count — the recall-measurement
+    * surface (Q61RecallSpec sweeps bit settings against planted
+    * ground-truth pairs on one fixture corpus). */
+  private[graft] def lshPairsAt(s: SparkSession, dir: String, bits: Int): DataFrame = {
     // bucketing + both verify sides — one embedding scan + norm pass
     val emb = embWithNorm(s, dir).localCheckpoint()
     val skinny = FuzzyDedup.boundedBands(
@@ -454,13 +459,45 @@ object Similarity extends QueryModule {
     "list_sum(list_transform(generate_series(1, 64), i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))"
 
   /** DuckDB rendering of one plane's projection + sign bit. */
-  private def bucketSql(vExpr: String): String = {
-    val bitTerms = Planes.zipWithIndex.map { case (plane, b) =>
+  private def bucketSql(vExpr: String, planes: Seq[Seq[Double]] = Planes): String = {
+    val bitTerms = planes.zipWithIndex.map { case (plane, b) =>
       val planeList = plane.map(p => if (p > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
       s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> CAST($vExpr[i] AS DOUBLE) * ($planeList)[i])) >= 0 THEN ${1L << b} ELSE 0 END)"
     }
     bitTerms.mkString("(", " + ", ")")
   }
+
+  /** The q61 oracle at an explicit hyperplane count — the SQL mirror of
+    * [[lshPairsAt]]. The registered static oracle renders the 8-bit floor;
+    * [[oraclesDynamic]] re-renders it with [[autoLshBits]] of the TARGET
+    * dir's corpus at verify time, so oracle parity survives corpora past
+    * the floor threshold (2^8·128 = 32,768 rows) instead of silently
+    * breaking when the Spark plan's corpus-sized bits diverge from a
+    * fixed-bits oracle. */
+  private def q61OracleAt(bits: Int): String =
+    // the QUALIFY mirrors boundedBands' occupancy cap (parity even on a
+    // corpus with a >= cap degenerate bucket)
+    // CAST: the CASE-literal sum is INT32 in DuckDB but Spark's bucket is
+    // BIGINT — dtype-sensitive driver hash needs them identical
+    s"""WITH e AS (SELECT vec_id, embedding AS v, CAST(${bucketSql("embedding", planesFor(bits))} AS BIGINT) AS bucket FROM embeddings),
+       |n_all AS (SELECT vec_id, v, bucket,
+       |        sqrt(list_sum(list_transform(generate_series(1, 64),
+       |                                     i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)))) AS nrm
+       |      FROM e),
+       |n AS (SELECT vec_id, v, bucket, nrm FROM n_all
+       |  QUALIFY count(*) OVER (PARTITION BY bucket) <= ${graft.operators.FuzzyDedup.MaxBandOccupancy})
+       |SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round($dotSql / (a.nrm * b.nrm), 6) AS cos
+       |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round($dotSql / (a.nrm * b.nrm), 6) >= 0.95""".stripMargin
+
+  /** Dir-aware oracle renderings (consulted by Verify at dump time, keyed
+    * like [[oracles]]): q61's bucket bits must track the target corpus the
+    * same way the Spark plan's do. */
+  override val oraclesDynamic: Map[String, (SparkSession, String) => String] = Map(
+    "q61_lsh_pairs" -> ((s, d) =>
+      q61OracleAt(autoLshBits(Tables.rowCountCached(s, d, "embeddings"))))
+  )
 
   val oracles: Map[String, String] = Map(
     "q123_pca_covariance" ->
@@ -619,21 +656,6 @@ object Similarity extends QueryModule {
         |  CAST(sum(CAST(list_sum(errs) AS BIGINT)) AS BIGINT) AS total_abs_err,
         |  CAST(max(CAST(list_max(errs) AS BIGINT)) AS BIGINT) AS max_abs_err
         |FROM rowstats GROUP BY label""".stripMargin,
-    "q61_lsh_pairs" ->
-      // the QUALIFY mirrors boundedBands' occupancy cap (parity even on a
-      // corpus with a >= cap degenerate bucket)
-      // CAST: the CASE-literal sum is INT32 in DuckDB but Spark's bucket is
-      // BIGINT — dtype-sensitive driver hash needs them identical
-      s"""WITH e AS (SELECT vec_id, embedding AS v, CAST(${bucketSql("embedding")} AS BIGINT) AS bucket FROM embeddings),
-         |n_all AS (SELECT vec_id, v, bucket,
-         |        sqrt(list_sum(list_transform(generate_series(1, 64),
-         |                                     i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)))) AS nrm
-         |      FROM e),
-         |n AS (SELECT vec_id, v, bucket, nrm FROM n_all
-         |  QUALIFY count(*) OVER (PARTITION BY bucket) <= ${FuzzyDedup.MaxBandOccupancy})
-         |SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-         |  round($dotSql / (a.nrm * b.nrm), 6) AS cos
-         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE round($dotSql / (a.nrm * b.nrm), 6) >= 0.95""".stripMargin
+    "q61_lsh_pairs" -> q61OracleAt(LshBucketBits)
   )
 }
