@@ -241,10 +241,15 @@ object Bench {
     * measured — though see the skill note: stamp from FULL runs), `_sf`
     * set to the run dir, and an existing baseline at a DIFFERENT sf
     * dropped wholesale (cpu baselines never mix scales). A row carrying a
-    * `cpu_lo` (warm-up-bimodal, hi-stamped) keeps it across re-stamps,
-    * converged downward: lo := min(old lo, this run's cpu) — successive
-    * quiet stamps can only sharpen the recorded steady mode, never lose
-    * the hi-mode marker. Pure: bytes in, bytes out (spec surface). */
+    * `cpu_lo` (warm-up-bimodal) holds its QUIET ENVELOPE, not a point:
+    * re-stamps converge it outward — hi := max(old hi, measured),
+    * lo := min(old lo, measured) — because a mechanical hi-replacement
+    * would let one low-mode stamp run clobber the hi stamp and turn the
+    * tighter 1.5x threshold into a false-positive source on the next
+    * hi-mode quiet run. The envelope can only loosen mechanically (never
+    * false-flags); tightening after a real cost reduction is a hand edit,
+    * exactly like the original hi-mode stamps. Pure: bytes in, bytes out
+    * (spec surface). */
   def mergeBaseline(
       prev: Option[Array[Byte]],
       rows: Seq[(String, Double, Double)],
@@ -263,15 +268,15 @@ object Bench {
     } else if (prevSf.nonEmpty)
       System.err.println(s"[bench] baseline was for ${prevSf.get} — starting fresh at $sfDir")
     rows.foreach { case (name, wall, cpuSec) =>
-      val prevLo =
-        if (prevSf.contains(sfDir))
-          Option(prevRoot.get(name)).flatMap(n => Option(n.get("cpu_lo"))).map(_.asDouble())
-        else None
+      def r3(v: Double): Double = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val prevRow = if (prevSf.contains(sfDir)) Option(prevRoot.get(name)) else None
+      val prevLo  = prevRow.flatMap(n => Option(n.get("cpu_lo"))).map(_.asDouble())
+      val prevHi  = prevRow.flatMap(n => Option(n.get("cpu_sec"))).map(_.asDouble())
       val row = out.putObject(name)
-      row.put("wall_sec", BigDecimal(wall).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      row.put("cpu_sec", BigDecimal(cpuSec).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      prevLo.foreach(lo =>
-        row.put("cpu_lo", BigDecimal(math.min(lo, cpuSec)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      row.put("wall_sec", r3(wall))
+      // dual-mode rows: envelope update (hi=max, lo=min); point rows: replace
+      row.put("cpu_sec", r3(if (prevLo.isDefined) math.max(prevHi.getOrElse(0.0), cpuSec) else cpuSec))
+      prevLo.foreach(lo => row.put("cpu_lo", r3(math.min(lo, cpuSec))))
       currentSha.get(name).foreach(row.put("src_sha", _))
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(out)

@@ -226,19 +226,26 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(first == Map("qd" -> Bench.BaselineRow(1.0, None, Some("d"))))
   }
 
-  test("baseline writer: a hi-mode row keeps its cpu_lo across re-stamps, converged downward") {
+  test("baseline writer: a dual-mode row's quiet envelope only widens across re-stamps") {
     val prev = """{"_sf":{"dir":"/d/sf0.1"},"qh":{"wall_sec":1.0,"cpu_sec":30.0,"cpu_lo":14.0,"src_sha":"old"}}"""
-    // re-stamp ABOVE the recorded lo: hi replaced, lo preserved verbatim
-    val up = Bench.parseBaseline(
+    // mid-envelope stamp: hi and lo both preserved — a low-ish quiet run
+    // must not clobber the hi stamp (the 1.5x threshold would then
+    // false-flag the next hi-mode quiet run)
+    val mid = Bench.parseBaseline(
       Bench.mergeBaseline(Some(prev.getBytes), Seq(("qh", 1.0, 26.0)), Map("qh" -> "new"), "/d/sf0.1"),
       "/d/sf0.1")
-    assert(up == Map("qh" -> Bench.BaselineRow(26.0, Some(14.0), Some("new"))), s"got $up")
-    // re-stamp BELOW the recorded lo: lo converges down with it
+    assert(mid == Map("qh" -> Bench.BaselineRow(30.0, Some(14.0), Some("new"))), s"got $mid")
+    // stamp BELOW the recorded lo: lo converges down, hi untouched
     val down = Bench.parseBaseline(
       Bench.mergeBaseline(Some(prev.getBytes), Seq(("qh", 1.0, 12.5)), Map.empty, "/d/sf0.1"),
       "/d/sf0.1")
-    assert(down == Map("qh" -> Bench.BaselineRow(12.5, Some(12.5), None)), s"got $down")
-    // scale change: lo dropped with the rest of the old rows
+    assert(down == Map("qh" -> Bench.BaselineRow(30.0, Some(12.5), None)), s"got $down")
+    // stamp ABOVE the recorded hi: hi converges up, lo untouched
+    val up = Bench.parseBaseline(
+      Bench.mergeBaseline(Some(prev.getBytes), Seq(("qh", 1.0, 33.0)), Map.empty, "/d/sf0.1"),
+      "/d/sf0.1")
+    assert(up == Map("qh" -> Bench.BaselineRow(33.0, Some(14.0), None)), s"got $up")
+    // scale change: envelope dropped with the rest of the old rows
     val other = Bench.parseBaseline(
       Bench.mergeBaseline(Some(prev.getBytes), Seq(("qh", 1.0, 5.0)), Map.empty, "/x/sf1"),
       "/x/sf1")
