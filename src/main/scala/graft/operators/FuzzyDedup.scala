@@ -620,10 +620,18 @@ object FuzzyDedup extends QueryModule {
       schema: org.apache.spark.sql.types.StructType,
       session: SparkSession) {
     /** Undirected doubling as a lazy union VIEW over the stored pairs —
-      * the store holds each pair once. */
+      * the store holds each pair once. The field count is bound to a
+      * local BEFORE the lambda: reading `schema.length` inside it would
+      * capture `this` — and with it `session`, whose lazy
+      * `observationManager` (initialized by any prior `observe()` query
+      * on the session, e.g. the P3 invalid-ts counter) is not
+      * serializable, failing every later CC round with
+      * "Task not serializable" (order-dependent: a fresh session's
+      * uninitialized lazy field serializes as null). */
     def edges: DataFrame = {
+      val numFields = schema.length
       val rowsRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
-        packed.mapPartitions(unpackUnsafeRows(_, schema.length))
+        packed.mapPartitions(unpackUnsafeRows(_, numFields))
       val stored = org.apache.spark.sql.GraftBridge.internalCreateDataFrame(session, rowsRdd, schema)
       stored
         .select(col("id_a").as("src"), col("id_b").as("dst"))

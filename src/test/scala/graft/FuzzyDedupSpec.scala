@@ -206,6 +206,24 @@ class FuzzyDedupSpec extends AnyFunSuite {
     assert(l2.select("label").distinct().count() == 2)
   }
 
+  test("edge store closure survives a session whose observationManager is live") {
+    import spark.implicits._
+    // Regression (r11 full-suite-only failure): SparkSession's lazy
+    // `observationManager` is initialized by the FIRST observe() query on
+    // the session and is NOT serializable. PackedPairStore.edges read
+    // `schema.length` inside its mapPartitions lambda, capturing `this`
+    // (and with it the session) — serializable only while the lazy field
+    // was still null, so every suite passed standalone and 11 tests died
+    // under the full run after the P3 observe() specs. Reproduce the
+    // order-dependence deterministically: arm the lazy, then run CC.
+    val obs = new org.apache.spark.sql.Observation()
+    spark.range(2).observe(obs, count(lit(1)).as("n")).collect()
+    assert(obs.get("n") == 2L) // observationManager is now initialized
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val (labels, _) = FuzzyDedup.connectedComponents(pairs) // must serialize
+    assert(labels.select("label").distinct().count() == 2)
+  }
+
   test("edge store is output-volume-proof: one serialized path, no routing variable") {
     import spark.implicits._
     // r9 had two stores behind a source-table ROW-count gate — the wrong
