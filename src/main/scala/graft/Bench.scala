@@ -282,6 +282,37 @@ object Bench {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(out)
   }
 
+  /** (steal, total) jiffies from the aggregate `cpu ` line of a
+    * /proc/stat snapshot — the co-tenant evidence channel. Steal is time
+    * the hypervisor ran OTHER guests while this VM's vCPUs were runnable:
+    * the one contamination source no in-JVM probe or spread check can
+    * ATTRIBUTE (they see the symptom — elevated walls/cpu — not the
+    * cause). Emitted as `steal_pct` (100·Δsteal/Δtotal across the run) in
+    * `_run`, so a contended verdict carries its host-side cause: the r11
+    * hot-box runs showed broad ~1.2× cpu inflation that took a hand-read
+    * of /proc/stat to pin on co-tenancy (1.4% cumulative steal); this
+    * mechanizes that read. Pure parse (spec surface); absent field (pre-
+    * 2.6.11 kernels) counts steal 0, absent `cpu ` line → None. */
+  def parseCpuLine(statContent: String): Option[(Long, Long)] =
+    statContent.linesIterator.find(_.startsWith("cpu ")).flatMap { l =>
+      val f = l.trim.split("\\s+").drop(1)
+      if (f.isEmpty) None
+      else
+        try {
+          val vals  = f.map(_.toLong)
+          val steal = if (vals.length > 7) vals(7) else 0L
+          Some((steal, vals.sum))
+        } catch { case _: NumberFormatException => None }
+    }
+
+  private def readProcStat(): Option[(Long, Long)] =
+    try
+      parseCpuLine(
+        new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("/proc/stat")),
+          java.nio.charset.StandardCharsets.US_ASCII))
+    catch { case _: Throwable => None }
+
   /** The run is contended when either run-level check fires OR the
     * per-query dirty set is material ([[DirtyCountThreshold]]): a single
     * GC blip elevating one probe flags at most its two neighbors and must
@@ -357,6 +388,7 @@ object Bench {
       owners.flatMap { case (n, files) => sourceFingerprint(files, srcRoot).map(n -> _) }
     val probe = new ContentionProbe
     (1 to 3).foreach(_ => probe.spin()) // JIT-warm the probe loop itself
+    val statStart  = readProcStat() // host-steal snapshot brackets the run
     val probeWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Release the PREVIOUS query's dead localCheckpoint/persist blocks:
@@ -460,8 +492,15 @@ object Bench {
     // can see WHEN the load arrived, not just that it did
     val dirtyJson = dirtyUnion.map("\"" + _ + "\"").mkString("[", ",", "]")
     val staleJson = staleCpu.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // host steal across the run: attribution for a contended verdict (co-
+    // tenant vs in-JVM); absent on non-Linux or unreadable /proc/stat
+    val stealJson = (for {
+      (s0, t0) <- statStart
+      (s1, t1) <- readProcStat()
+      if t1 > t0
+    } yield s""","steal_pct":${s3(100.0 * (s1 - s0) / (t1 - t0))}""").getOrElse("")
     val runRow =
-      s""""_run":{"contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"dirty_queries":$dirtyJson,"stale_queries":$staleJson,"dirty_probe":${dirtyProbe.size},"dirty_cpu":${dirtyCpu.size},"baseline_loaded":${baseline.nonEmpty},"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
+      s""""_run":{"contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"dirty_queries":$dirtyJson,"stale_queries":$staleJson,"dirty_probe":${dirtyProbe.size},"dirty_cpu":${dirtyCpu.size},"baseline_loaded":${baseline.nonEmpty}$stealJson,"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
     val dirtySet = dirtyUnion.toSet
     val detail = (runRow +: results
       .map { r =>

@@ -252,6 +252,22 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(other == Map("qh" -> Bench.BaselineRow(5.0, None, None)), s"got $other")
   }
 
+  test("host steal: /proc/stat cpu-line parse and the delta math behind steal_pct") {
+    // the r11 hot-box line shape (user nice system idle iowait irq softirq steal ...)
+    val line = "cpu  5268798 0 3222817 37507396 82778 0 23572 671258 0 0\ncpu0 1 2 3 4 5 6 7 8 0 0"
+    val parsed = Bench.parseCpuLine(line)
+    assert(parsed.contains((671258L, 5268798L + 3222817L + 37507396L + 82778L + 23572L + 671258L)))
+    // pre-2.6.11 kernels have no steal column: steal reads 0, total still sums
+    assert(Bench.parseCpuLine("cpu  10 0 20 70\n").contains((0L, 100L)))
+    // no aggregate line / garbage fields: None (disarm, never guess)
+    assert(Bench.parseCpuLine("cpu0 1 2 3 4\n").isEmpty)
+    assert(Bench.parseCpuLine("cpu  x y z\n").isEmpty)
+    // the delta math the _run row emits: 1.4% of elapsed jiffies
+    val (s0, t0) = (1000L, 100000L)
+    val (s1, t1) = (1000L + 140L, 100000L + 10000L)
+    assert(math.abs(100.0 * (s1 - s0) / (t1 - t0) - 1.4) < 1e-9)
+  }
+
   test("freshness: source fingerprints are content-determined and readable for every owner") {
     val root = java.nio.file.Paths.get(".")
     val owners = SparkEntry.queryOwners ++ BenchExtras.owners
