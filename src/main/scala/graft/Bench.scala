@@ -399,6 +399,7 @@ object Bench {
       // window: queries still pay their OWN GC, just not their neighbors'.
       System.gc()
       probeWalls += probe.spin() // sampled while the session is idle
+      val qStat0 = readProcStat() // per-query steal window opens
       val runs = (1 to reps).map { _ =>
         org.apache.spark.GraftSparkBridge.drainListenerBus(sc) // attribute straggler events to the right query
         val cpu0 = cpu.cpuNs.sum()
@@ -417,7 +418,15 @@ object Bench {
         org.apache.spark.GraftSparkBridge.drainListenerBus(sc)
         (wall, (cpu.cpuNs.sum() - cpu0) / 1e9)
       }
-      (name, median(runs.map(_._1)), median(runs.map(_._2)), runs.map(_._1), runs.map(_._2))
+      // the query's LOCAL steal window: lets a dirty flag be adjudicated
+      // ambient-vs-code per row (a 2x cpu row whose own window shows
+      // elevated steal is the host's doing, not the commit's)
+      val qSteal = for {
+        (s0, t0) <- qStat0
+        (s1, t1) <- readProcStat()
+        if t1 > t0
+      } yield 100.0 * (s1 - s0) / (t1 - t0)
+      (name, median(runs.map(_._1)), median(runs.map(_._2)), runs.map(_._1), runs.map(_._2), qSteal)
     }
     def s3(v: Double): String   = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def json(kv: Seq[(String, Double)]): String =
@@ -514,7 +523,10 @@ object Bench {
         // per-rep cpu alongside per-rep walls: warm-up-bimodal rows (the
         // cpu_lo five) are diagnosable only from the rep-over-rep cpu decay
         val cpus = r._5.map(s3).mkString("[", ",", "]")
-        s""""${r._1}":{"wall_sec":${s3(r._2)},"cpu_sec":${s3(r._3)}$ratio$dirty,"rep_walls":$walls,"rep_cpus":$cpus}"""
+        // the row's own steal window (see _run.steal_pct): ambient-vs-code
+        // attribution for exactly this query's measured span
+        val steal = r._6.map(v => s""","steal_pct":${s3(v)}""").getOrElse("")
+        s""""${r._1}":{"wall_sec":${s3(r._2)},"cpu_sec":${s3(r._3)}$ratio$dirty$steal,"rep_walls":$walls,"rep_cpus":$cpus}"""
       })
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(
