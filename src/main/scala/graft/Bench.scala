@@ -211,6 +211,28 @@ object Bench {
     }
   }
 
+  /** The baseline's wall_sec column, same `_sf` gating as [[parseBaseline]]
+    * (silent on mismatch — the cpu parse already warned): feeds the
+    * per-row `wall_ratio` in bench_detail, whose pairing with `cpu_ratio`
+    * discriminates co-tenant cache/bandwidth pressure (cpu inflated, wall
+    * near-flat — stall cycles count as CPU time while parallel slack
+    * absorbs the wall) from a code regression (wall moves WITH cpu). */
+  def parseBaselineWalls(bytes: Array[Byte], sfDir: String): Map[String, Double] = {
+    val root   = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    val baseSf = Option(root.get("_sf")).flatMap(n => Option(n.get("dir"))).map(_.asText())
+    if (!baseSf.contains(sfDir)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      root
+        .fieldNames()
+        .asScala
+        .filterNot(_.startsWith("_"))
+        .flatMap(k =>
+          Option(root.get(k)).flatMap(n => Option(n.get("wall_sec"))).map(v => k -> v.asDouble()))
+        .toMap
+    }
+  }
+
   /** Mechanism (b) with freshness: a query over the cpu thresholds is
     * DIRTY only when its baseline row is FRESH — its recorded `src_sha`
     * matches the current source fingerprint, or no fingerprints exist to
@@ -361,9 +383,18 @@ object Bench {
     // the latter appear in bench_detail.json only — the stdout line stays
     // registry-sized
     val all = SparkEntry.queries ++ BenchExtras.rows
-    val selected = only match {
-      case Some(ps) => all.filter { case (n, _) => ps.exists(n.startsWith) }
+    // SPARK_GRAFT_BENCH_SKIP: comma-separated name prefixes to EXCLUDE —
+    // the A/B lever for isolating a row's effect on the rest of the run
+    // (e.g. does a persisted split-row store perturb later queries?).
+    // Dev-only: full gate runs leave it unset.
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP").map(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val afterSkip = skip match {
+      case Some(ps) => all.filter { case (n, _) => !ps.exists(n.startsWith) }
       case None     => all
+    }
+    val selected = only match {
+      case Some(ps) => afterSkip.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None     => afterSkip
     }
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
@@ -371,14 +402,18 @@ object Bench {
     // src_sha}); absent file → cpu check off. Refresh mechanically with
     // SPARK_GRAFT_WRITE_BASELINE=1 on a quiet run.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")
-    val baseline: Map[String, BaselineRow] =
+    val (baseline: Map[String, BaselineRow], baselineWalls: Map[String, Double]) =
       try {
         val p = java.nio.file.Paths.get(baselinePath)
-        if (!java.nio.file.Files.exists(p)) Map.empty
-        else parseBaseline(java.nio.file.Files.readAllBytes(p), sfDir)
+        if (!java.nio.file.Files.exists(p)) (Map.empty[String, BaselineRow], Map.empty[String, Double])
+        else {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          (parseBaseline(bytes, sfDir), parseBaselineWalls(bytes, sfDir))
+        }
       } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] baseline load failed ($baselinePath): $e"); Map.empty
+          System.err.println(s"[bench] baseline load failed ($baselinePath): $e")
+          (Map.empty[String, BaselineRow], Map.empty[String, Double])
       }
     // Current source fingerprints per row (declared ownership): rows whose
     // code changed since their baseline was stamped report STALE, not dirty
@@ -519,6 +554,12 @@ object Bench {
         // quiet-on-unchanged-code, >2 under contention or after a code change)
         val ratio =
           baseline.get(r._1).map(_.cpu).filter(_ > 0).map(b => s""","cpu_ratio":${s3(r._3 / b)}""").getOrElse("")
+        // wall_ratio beside cpu_ratio: the pair is the co-tenant
+        // discriminator (cpu inflated with wall near-flat = shared-cache/
+        // bandwidth pressure, which steal can't see; a code regression
+        // moves wall WITH cpu)
+        val wallRatio =
+          baselineWalls.get(r._1).filter(_ > 0).map(b => s""","wall_ratio":${s3(r._2 / b)}""").getOrElse("")
         val dirty = if (dirtySet.contains(r._1)) s""","dirty":true""" else ""
         // per-rep cpu alongside per-rep walls: warm-up-bimodal rows (the
         // cpu_lo five) are diagnosable only from the rep-over-rep cpu decay
@@ -526,7 +567,7 @@ object Bench {
         // the row's own steal window (see _run.steal_pct): ambient-vs-code
         // attribution for exactly this query's measured span
         val steal = r._6.map(v => s""","steal_pct":${s3(v)}""").getOrElse("")
-        s""""${r._1}":{"wall_sec":${s3(r._2)},"cpu_sec":${s3(r._3)}$ratio$dirty$steal,"rep_walls":$walls,"rep_cpus":$cpus}"""
+        s""""${r._1}":{"wall_sec":${s3(r._2)},"cpu_sec":${s3(r._3)}$ratio$wallRatio$dirty$steal,"rep_walls":$walls,"rep_cpus":$cpus}"""
       })
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(

@@ -252,6 +252,13 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(other == Map("qh" -> Bench.BaselineRow(5.0, None, None)), s"got $other")
   }
 
+  test("baseline walls: same _sf gating as the cpu parse, feeds wall_ratio") {
+    val prev = """{"_sf":{"dir":"/d/sf0.1"},"qa":{"wall_sec":1.25,"cpu_sec":10.0},"qb":{"cpu_sec":3.0}}"""
+    assert(Bench.parseBaselineWalls(prev.getBytes, "/d/sf0.1") == Map("qa" -> 1.25))
+    // scale mismatch disarms silently (cpu parse already warns)
+    assert(Bench.parseBaselineWalls(prev.getBytes, "/x/sf1").isEmpty)
+  }
+
   test("host steal: /proc/stat cpu-line parse and the delta math behind steal_pct") {
     // the r11 hot-box line shape (user nice system idle iowait irq softirq steal ...)
     val line = "cpu  5268798 0 3222817 37507396 82778 0 23572 671258 0 0\ncpu0 1 2 3 4 5 6 7 8 0 0"
