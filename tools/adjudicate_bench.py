@@ -77,7 +77,8 @@ def main(p1, p2):
             print(f"  AMBIENT    {name}: runs agree (cpu {c1}/{c2}, ratio {r1}) with material local steal "
                   f"({s1}/{s2}) -> host, not code")
         elif r1 is not None and r1 > 1.5 and wall_flat(name, rows1, rows2, r1):
-            print(f"  CO-TENANT  {name}: cpu {r1}x baseline with wall near-flat (walls {w1}/{w2}) at "
+            wr = rows1.get(name, {}).get("wall_ratio") or rows2.get(name, {}).get("wall_ratio")
+            print(f"  CO-TENANT  {name}: cpu {r1}x baseline but wall only {wr}x (walls {w1}/{w2} s) at "
                   f"near-zero steal -> shared-cache/bandwidth pressure, not code")
         else:
             print(f"  RE-PRICED  {name}: runs agree (cpu {c1}/{c2}, ratio {r1}) at near-zero steal, wall "
