@@ -111,6 +111,25 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(dirty.size < Bench.DirtyCountThreshold)
   }
 
+  test("probe floor is scale-aware: a fast box's burst fires where the old 0.12 constant was silent") {
+    // median 0.03 s probes (a box ~3x faster than the recorded one): floor
+    // = max(1.5*0.03, 0.10) = 0.10 — the heap-driven GC-blip component
+    // dominates, NOT a constant tuned to the slow box's 0.08 s probes
+    assert(math.abs(Bench.probeElevatedFloorSec(0.03) - 0.10) < 1e-9)
+    // on the recorded box the floor reproduces the r9-calibrated ~0.12
+    assert(math.abs(Bench.probeElevatedFloorSec(0.083) - 0.1245) < 1e-9)
+    // a 0.145 s probe on the fast box: delta 0.115 clears the 0.10 floor
+    // (under the old absolute 0.12 it was invisible) — flags its neighbors
+    val names  = (1 to 41).map(i => f"q$i%02d")
+    val probes = Seq.fill(20)(0.03) ++ Seq(0.145) ++ Seq.fill(21)(0.03)
+    val dirty  = Bench.probeDirtyQueries(names, probes)
+    assert(dirty.nonEmpty && dirty.size <= 2, s"fast-box burst flagged $dirty")
+    // sub-GC-blip deltas stay silent on ANY box: 0.095 s delta is
+    // indistinguishable from a recorded heap pause (0.042-0.099 s)
+    val blip = Seq.fill(20)(0.03) ++ Seq(0.125) ++ Seq.fill(21)(0.03)
+    assert(Bench.probeDirtyQueries(names, blip).isEmpty)
+  }
+
   test("cpu floors: tiny queries and immaterial excess never flag") {
     // 0.1 s baseline doubling (GC jitter on a small query) — floored out
     assert(Bench.cpuDirtyQueries(Seq("a" -> 0.35), rows(Map("a" -> 0.1))).isEmpty)
@@ -252,6 +271,33 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(other == Map("qh" -> Bench.BaselineRow(5.0, None, None)), s"got $other")
   }
 
+  test("baseline writer: a changed-code stamp far below the retained hi keeps the OLD sha") {
+    val prev = """{"_sf":{"dir":"/d/sf0.1"},"qh":{"wall_sec":1.0,"cpu_sec":30.0,"cpu_lo":14.0,"src_sha":"old"}}"""
+    // measured 9.0 < 0.5*hi under a NEW sha: the envelope still prices the
+    // old cost (threshold 1.5*30), so the fresh sha must not mark the row
+    // fresh — it keeps "old" and stays stale-reporting until hand-tightened
+    val held = Bench.parseBaseline(
+      Bench.mergeBaseline(Some(prev.getBytes), Seq(("qh", 1.0, 9.0)), Map("qh" -> "new"), "/d/sf0.1"),
+      "/d/sf0.1")
+    assert(held == Map("qh" -> Bench.BaselineRow(30.0, Some(9.0), Some("old"))), s"got $held")
+    // measured within the envelope's normal band (>= 0.5*hi): fresh sha stamps
+    val normal = Bench.parseBaseline(
+      Bench.mergeBaseline(Some(prev.getBytes), Seq(("qh", 1.0, 16.0)), Map("qh" -> "new"), "/d/sf0.1"),
+      "/d/sf0.1")
+    assert(normal == Map("qh" -> Bench.BaselineRow(30.0, Some(14.0), Some("new"))), s"got $normal")
+    // same sha, far-below measurement: ordinary envelope widening, sha kept
+    val same = Bench.parseBaseline(
+      Bench.mergeBaseline(Some(prev.getBytes), Seq(("qh", 1.0, 9.0)), Map("qh" -> "old"), "/d/sf0.1"),
+      "/d/sf0.1")
+    assert(same == Map("qh" -> Bench.BaselineRow(30.0, Some(9.0), Some("old"))), s"got $same")
+    // POINT rows are untouched by the hold rule: replace cpu, stamp fresh sha
+    val pt = """{"_sf":{"dir":"/d/sf0.1"},"qp":{"wall_sec":1.0,"cpu_sec":30.0,"src_sha":"old"}}"""
+    val point = Bench.parseBaseline(
+      Bench.mergeBaseline(Some(pt.getBytes), Seq(("qp", 1.0, 9.0)), Map("qp" -> "new"), "/d/sf0.1"),
+      "/d/sf0.1")
+    assert(point == Map("qp" -> Bench.BaselineRow(9.0, None, Some("new"))), s"got $point")
+  }
+
   test("baseline walls: same _sf gating as the cpu parse, feeds wall_ratio") {
     val prev = """{"_sf":{"dir":"/d/sf0.1"},"qa":{"wall_sec":1.25,"cpu_sec":10.0},"qb":{"cpu_sec":3.0}}"""
     assert(Bench.parseBaselineWalls(prev.getBytes, "/d/sf0.1") == Map("qa" -> 1.25))
@@ -266,6 +312,10 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(parsed.contains((671258L, 5268798L + 3222817L + 37507396L + 82778L + 23572L + 671258L)))
     // pre-2.6.11 kernels have no steal column: steal reads 0, total still sums
     assert(Bench.parseCpuLine("cpu  10 0 20 70\n").contains((0L, 100L)))
+    // guest/guest_nice (fields 9-10) are ALREADY inside user/nice — summing
+    // them too would double-count and understate steal_pct on nested-guest
+    // hosts: total is user..steal only
+    assert(Bench.parseCpuLine("cpu  50 10 20 100 5 0 5 10 40 5\n").contains((10L, 200L)))
     // no aggregate line / garbage fields: None (disarm, never guess)
     assert(Bench.parseCpuLine("cpu0 1 2 3 4\n").isEmpty)
     assert(Bench.parseCpuLine("cpu  x y z\n").isEmpty)

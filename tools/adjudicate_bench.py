@@ -77,7 +77,7 @@ def main(p1, p2):
             print(f"  AMBIENT    {name}: runs agree (cpu {c1}/{c2}, ratio {r1}) with material local steal "
                   f"({s1}/{s2}) -> host, not code")
         elif r1 is not None and r1 > 1.5 and wall_flat(name, rows1, rows2, r1):
-            wr = rows1.get(name, {}).get("wall_ratio") or rows2.get(name, {}).get("wall_ratio")
+            wr = max(r.get(name, {}).get("wall_ratio") or 0.0 for r in (rows1, rows2))
             print(f"  CO-TENANT  {name}: cpu {r1}x baseline but wall only {wr}x (walls {w1}/{w2} s) at "
                   f"near-zero steal -> shared-cache/bandwidth pressure, not code")
         else:
@@ -89,12 +89,15 @@ def main(p1, p2):
 def wall_flat(name, rows1, rows2, cpu_ratio):
     """cpu inflated much more than wall: the co-tenant signature. Uses the
     wall_ratio the detail rows carry (since r11); details from older builds
-    lack it -- then stay conservative and let the row fall to RE-PRICED."""
-    for rows in (rows1, rows2):
-        wr = rows.get(name, {}).get("wall_ratio")
-        if wr is not None:
-            return wr < 1.0 + 0.5 * (cpu_ratio - 1.0)
-    return False
+    lack it -- then stay conservative and let the row fall to RE-PRICED.
+    BOTH runs' wall_ratios must agree (the MAX decides): a single noisy
+    wall measurement must not classify CO-TENANT on its own when the other
+    run's wall moved with cpu -- that row falls to RE-PRICED instead."""
+    wrs = [r.get(name, {}).get("wall_ratio") for r in (rows1, rows2)]
+    wrs = [w for w in wrs if w is not None]
+    if not wrs:
+        return False
+    return max(wrs) < 1.0 + 0.5 * (cpu_ratio - 1.0)
 
 
 if __name__ == "__main__":
