@@ -794,11 +794,27 @@ object FuzzyDedup extends QueryModule {
   private val nearPersistCache =
     new java.util.WeakHashMap[SparkSession, (String, java.lang.ref.WeakReference[DataFrame])]()
 
-  /** Drop entries of stopped sessions (callers hold the lock). */
-  private def purgeStoppedSessions(): Unit = {
+  /** Drop entries whose session is dead (callers hold the lock). The
+    * predicate is a parameter because the production condition —
+    * `sparkContext.isStopped` — cannot be arranged in a spec without
+    * killing the suite's one-per-JVM context: the purge LOGIC is spec'd
+    * through an identity predicate (FuzzyDedupSpec), the one-line wiring
+    * to `isStopped` stays here. No unpersist on the removed entries: a
+    * stopped context already dropped its blocks; only the map row
+    * lingers. */
+  private def purgeDeadSessions(dead: SparkSession => Boolean): Unit = {
     val it = nearPersistCache.entrySet().iterator()
-    while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+    while (it.hasNext) if (dead(it.next().getKey)) it.remove()
   }
+
+  /** Drop entries of stopped sessions (callers hold the lock). */
+  private def purgeStoppedSessions(): Unit =
+    purgeDeadSessions(_.sparkContext.isStopped)
+
+  /** Test hook: run the purge under the lock with an arbitrary
+    * dead-session predicate (see [[purgeDeadSessions]]). */
+  private[graft] def nearCachePurgeForTest(dead: SparkSession => Boolean): Unit =
+    nearPersistCache.synchronized(purgeDeadSessions(dead))
 
   /** The entry's frame, re-wrapped from (session, dir) when the weak ref
     * was GC-cleared. Plan-canonical reconstruction reaches the same

@@ -432,6 +432,41 @@ class FuzzyDedupSpec extends AnyFunSuite {
     assert(FuzzyDedup.nearCacheSize == before, "session was GC'd but its cache entry survived")
   }
 
+  test("q113 persist cache: purge removes exactly the dead session's entry; live entries untouched") {
+    // The eager stopped-session purge, spec'd through its predicate seam:
+    // arranging a REAL stopped context would kill the suite's shared
+    // one-per-JVM SparkContext, so the purge logic runs against an
+    // identity predicate and the isStopped wiring stays a one-liner in
+    // purgeStoppedSessions. The scenario is the r11 verdict's: a "dead"
+    // session whose entry is still pinned by a strong handle (WeakHashMap
+    // alone can never evict it) must be dropped on access, and a live
+    // session's entry must survive the same purge with its frame intact.
+    val dead = spark.newSession()
+    val live = spark.newSession()
+    FuzzyDedup.nearCachePutForTest(dead, "/root/testdata/sf0.001")
+    FuzzyDedup.nearCachePutForTest(live, "/root/testdata/sf0.001")
+    try {
+      // strong handles to BOTH sessions are held throughout — eviction by
+      // GC is impossible here; only the purge can remove the dead entry
+      assert(FuzzyDedup.nearCacheEntry(dead).nonEmpty && FuzzyDedup.nearCacheEntry(live).nonEmpty)
+      FuzzyDedup.nearCachePurgeForTest(_ eq dead)
+      assert(FuzzyDedup.nearCacheEntry(dead).isEmpty,
+        "dead session's entry survived the purge")
+      val kept = FuzzyDedup.nearCacheEntry(live)
+      assert(kept.exists(_._1 == "/root/testdata/sf0.001"),
+        s"live session's entry was collateral damage: $kept")
+      // all-alive predicate (the production default on a healthy JVM):
+      // purge is a no-op
+      FuzzyDedup.nearCachePurgeForTest(_ => false)
+      assert(FuzzyDedup.nearCacheEntry(live).nonEmpty)
+      // and the PRODUCTION path exercises the same purge on every access:
+      // releaseCaches(live) must remove only live's entry (dead is gone,
+      // nothing else registered by this test)
+      FuzzyDedup.releaseCaches(live)
+      assert(FuzzyDedup.nearCacheEntry(live).isEmpty)
+    } finally { FuzzyDedup.releaseCaches(dead); FuzzyDedup.releaseCaches(live) }
+  }
+
   test("q113 persist path (over the checkpoint ceiling) answers identically to the checkpoint path") {
     // the scale branch swaps the unrecoverable localCheckpoint for a
     // lineage-preserving persist — same one-shingle-pass materialization,
