@@ -102,16 +102,35 @@ object Similarity extends QueryModule {
     bits
   }
 
+  /** Independent hash-table count for the q61 pair miner — the standard
+    * OR-of-bands LSH amplification. A pair at cosine c collides in ONE
+    * table with probability p^bits (p = 1 − acos(c)/π), so recall at the
+    * corpus-sized bit count decays as bits grow; T independent tables lift
+    * it to 1 − (1 − p^bits)^T while per-table occupancy (and therefore
+    * per-bucket candidate volume) is unchanged — cost scales ×T, linear,
+    * where buying the same recall with FEWER bits would grow per-bucket
+    * volume ×2^Δbits, quadratic in occupancy. Two tables took the measured
+    * auto-bits recall on the planted-pair fixture from 0.568 to ≈0.8
+    * (Q61RecallSpec pins ≥0.6). */
+  val LshBandFamilies = 2
+
   /** Deterministic pseudo-random ±1 hyperplane matrix (bits × 64 dims),
-    * derived from md5("plane<b>:<i>") parity at build time. Embedded as
-    * literals in both the Spark plan and the DuckDB oracle, so the bucketing
-    * is reproducible everywhere and costs no per-row hashing.
+    * derived from md5("plane<b>:<i>") parity at build time — band family 0.
+    * Band families ≥ 1 salt the digest key with the band index, giving
+    * independent tables with the same reproducibility. Embedded as
+    * literals in both the Spark plan and the DuckDB oracle, so the
+    * bucketing is reproducible everywhere and costs no per-row hashing.
     */
-  def planesFor(bits: Int): Seq[Seq[Double]] = (0 until bits).map { b =>
+  def planesFor(bits: Int): Seq[Seq[Double]] = planesForBand(0, bits)
+
+  def planesForBand(band: Int, bits: Int): Seq[Seq[Double]] = (0 until bits).map { b =>
     (0 until 64).map { i =>
+      // band 0 keeps the r6 key shape (committed oracle renderings and the
+      // replayed gate hashes depend on these exact planes)
+      val key = if (band == 0) s"plane$b:$i" else s"band$band:plane$b:$i"
       val digest = java.security.MessageDigest
         .getInstance("MD5")
-        .digest(s"plane$b:$i".getBytes("UTF-8"))
+        .digest(key.getBytes("UTF-8"))
       if ((digest(3) & 1) == 0) 1.0 else -1.0
     }
   }
@@ -119,8 +138,8 @@ object Similarity extends QueryModule {
   val Planes: Seq[Seq[Double]] = planesFor(LshBucketBits)
 
   /** Random-hyperplane signature: bucket id in [0, 2^bits). */
-  def lshBucket(v: Column, bits: Int = LshBucketBits): Column = {
-    val terms = planesFor(bits).zipWithIndex.map { case (plane, b) =>
+  def lshBucket(v: Column, bits: Int = LshBucketBits, band: Int = 0): Column = {
+    val terms = planesForBand(band, bits).zipWithIndex.map { case (plane, b) =>
       val planeCol = array(plane.map(lit): _*)
       val proj     = dot(v, planeCol)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
@@ -129,11 +148,14 @@ object Similarity extends QueryModule {
   }
 
   /** LSH-bucketed near-pair mining: cosine ≥ 0.95 pairs, candidates limited
-    * to same-bucket vectors. The bucket self-join exchanges only
+    * to vectors sharing a bucket in ANY of the [[LshBandFamilies]]
+    * independent hash tables (OR-of-bands — see the constant's scaladoc for
+    * the recall math). Each band's bucket self-join exchanges only
     * (bucket, vec_id) — the vectors and norms rejoin BY ID for the cosine
     * verify (q39's shape), so the wide columns never ride the bucket
-    * shuffle. A vector lives in exactly one bucket, so candidate pairs are
-    * already distinct. */
+    * shuffle. A vector lives in exactly one bucket per band; the cross-band
+    * union dedups candidate pairs BEFORE the verify join, so each
+    * surviving pair pays the wide cosine exactly once. */
   def lshPairs(s: SparkSession, dir: String, bitsFloor: Int = LshBucketBits): DataFrame =
     // bits track the corpus ([[autoLshBits]]): parquet-footer row count, no
     // data read; gate corpora stay at the oracle-replayed 8-bit floor
@@ -145,15 +167,22 @@ object Similarity extends QueryModule {
   private[graft] def lshPairsAt(s: SparkSession, dir: String, bits: Int): DataFrame = {
     // bucketing + both verify sides — one embedding scan + norm pass
     val emb = embWithNorm(s, dir).localCheckpoint()
-    val skinny = FuzzyDedup.boundedBands(
-      emb.select(lshBucket(col("v"), bits).as("bucket"), col("vec_id")),
-      "bucket",
-      FuzzyDedup.MaxBandOccupancy
-    )
-    val cand = skinny
-      .select(col("bucket"), col("vec_id").as("id_a"))
-      .join(skinny.select(col("bucket"), col("vec_id").as("id_b")), Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    def bandCandidates(band: Int): DataFrame = {
+      val skinny = FuzzyDedup.boundedBands(
+        emb.select(lshBucket(col("v"), bits, band).as("bucket"), col("vec_id")),
+        "bucket",
+        FuzzyDedup.MaxBandOccupancy
+      )
+      skinny
+        .select(col("bucket"), col("vec_id").as("id_a"))
+        .join(skinny.select(col("bucket"), col("vec_id").as("id_b")), Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }
+    val cand = (0 until LshBandFamilies)
+      .map(bandCandidates)
+      .reduce(_ union _)
+      .distinct() // skinny (id, id) exchange — dedup before the wide verify
     val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     cand
@@ -161,7 +190,7 @@ object Similarity extends QueryModule {
       .join(b, Seq("id_b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= 0.95)
-      .select("bucket", "id_a", "id_b", "cos")
+      .select("id_a", "id_b", "cos")
   }
 
   /** IVF-style ANN: coarse-quantize the corpus into inverted lists keyed by
@@ -468,28 +497,48 @@ object Similarity extends QueryModule {
   }
 
   /** The q61 oracle at an explicit hyperplane count — the SQL mirror of
-    * [[lshPairsAt]]. The registered static oracle renders the 8-bit floor;
-    * [[oraclesDynamic]] re-renders it with [[autoLshBits]] of the TARGET
-    * dir's corpus at verify time, so oracle parity survives corpora past
-    * the floor threshold (2^8·128 = 32,768 rows) instead of silently
-    * breaking when the Spark plan's corpus-sized bits diverge from a
-    * fixed-bits oracle. */
-  private def q61OracleAt(bits: Int): String =
+    * [[lshPairsAt]]: per-band bucketing with the occupancy QUALIFY, a
+    * UNION (set-distinct) of the band candidate pairs, then the cosine
+    * verify once per distinct pair. The registered static oracle renders
+    * the 8-bit floor; [[oraclesDynamic]] re-renders it with
+    * [[autoLshBits]] of the TARGET dir's corpus at verify time, so oracle
+    * parity survives corpora past the floor threshold (2^8·128 = 32,768
+    * rows) instead of silently breaking when the Spark plan's corpus-sized
+    * bits diverge from a fixed-bits oracle. */
+  private def q61OracleAt(bits: Int): String = {
     // the QUALIFY mirrors boundedBands' occupancy cap (parity even on a
     // corpus with a >= cap degenerate bucket)
     // CAST: the CASE-literal sum is INT32 in DuckDB but Spark's bucket is
     // BIGINT — dtype-sensitive driver hash needs them identical
-    s"""WITH e AS (SELECT vec_id, embedding AS v, CAST(${bucketSql("embedding", planesFor(bits))} AS BIGINT) AS bucket FROM embeddings),
-       |n_all AS (SELECT vec_id, v, bucket,
+    val bandBuckets = (0 until LshBandFamilies)
+      .map(t => s"CAST(${bucketSql("embedding", planesForBand(t, bits))} AS BIGINT) AS bucket$t")
+      .mkString(",\n       ")
+    val bandCtes = (0 until LshBandFamilies)
+      .map(t =>
+        s"""n$t AS (SELECT vec_id, bucket$t AS bucket FROM n_all
+           |  QUALIFY count(*) OVER (PARTITION BY bucket$t) <= ${graft.operators.FuzzyDedup.MaxBandOccupancy})""".stripMargin)
+      .mkString(",\n")
+    val bandCands = (0 until LshBandFamilies)
+      .map(t =>
+        s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM n$t a JOIN n$t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id")
+      .mkString("\n  UNION\n  ") // UNION is set-distinct: the cross-band pair dedup
+    s"""WITH e AS (SELECT vec_id, embedding AS v,
+       |       $bandBuckets
+       |     FROM embeddings),
+       |n_all AS (SELECT vec_id, v, ${(0 until LshBandFamilies).map(t => s"bucket$t").mkString(", ")},
        |        sqrt(list_sum(list_transform(generate_series(1, 64),
        |                                     i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)))) AS nrm
        |      FROM e),
-       |n AS (SELECT vec_id, v, bucket, nrm FROM n_all
-       |  QUALIFY count(*) OVER (PARTITION BY bucket) <= ${graft.operators.FuzzyDedup.MaxBandOccupancy})
-       |SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-       |  round($dotSql / (a.nrm * b.nrm), 6) AS cos
-       |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |$bandCtes,
+       |cand AS (
+       |  $bandCands
+       |)
+       |SELECT c.id_a, c.id_b, round($dotSql / (a.nrm * b.nrm), 6) AS cos
+       |FROM cand c
+       |JOIN n_all a ON a.vec_id = c.id_a
+       |JOIN n_all b ON b.vec_id = c.id_b
        |WHERE round($dotSql / (a.nrm * b.nrm), 6) >= 0.95""".stripMargin
+  }
 
   /** Dir-aware oracle renderings (consulted by Verify at dump time, keyed
     * like [[oracles]]): q61's bucket bits must track the target corpus the

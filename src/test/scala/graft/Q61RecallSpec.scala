@@ -18,12 +18,14 @@ import graft.operators.Similarity
   * float-truncated vectors the parquet stores, with the engine's
   * sequential-fold double arithmetic.
   *
-  * Expected shape (random-hyperplane LSH, single table): a pair at cosine
-  * c collides with probability (1 − acos(c)/π)^bits — more bits = sharper
-  * buckets = lower recall, which is exactly the trade `autoLshBits` makes
-  * to keep candidate volume linear. The single-table design is the scale
-  * path for PAIR MINING at bounded cost; recall-critical retrieval uses
-  * q39's banded multi-table shape or q60/q62's exact/IVF paths.
+  * Expected shape (random-hyperplane LSH, OR of `LshBandFamilies`
+  * independent tables): a pair at cosine c collides in one table with
+  * probability p^bits (p = 1 − acos(c)/π) and survives the OR with
+  * 1 − (1 − p^bits)^T — more bits = sharper buckets = lower recall (the
+  * trade `autoLshBits` makes to keep candidate volume linear), and the
+  * band families buy recall back at ×T linear cost instead of ×2^Δbits
+  * occupancy growth. Recall-critical retrieval still uses q39's banded
+  * multi-table shape or q60/q62's exact/IVF paths.
   */
 class Q61RecallSpec extends AnyFunSuite {
   lazy val spark = GraftSession.get("local[4]", 4)
@@ -110,9 +112,11 @@ class Q61RecallSpec extends AnyFunSuite {
   test("pair recall at the auto-chosen bits is measured and useful") {
     val r = recallAt(9)
     info(f"recall at auto bits (9): $r%.3f over ${truePairs.size} planted pairs")
-    // measured 0.56 on the seeded fixture; floor leaves headroom for FP
-    // platform drift without masking a real recall regression
-    assert(r >= 0.45, f"recall at auto bits collapsed: $r%.3f")
+    // single-table recall measured 0.568 here (r11); the OR-of-two-bands
+    // amplification lifts the seeded fixture to ≈0.8 — the 0.6 floor is
+    // the r12 operating contract, with headroom for FP platform drift
+    // without masking a real recall regression
+    assert(r >= 0.6, f"recall at auto bits collapsed: $r%.3f")
   }
 
   test("recall declines monotonically with sharper buckets — the documented trade") {
