@@ -43,6 +43,54 @@ object Bench {
     }
   }
 
+  /** Memory-STREAMING probe — the channel [[ContentionProbe]] cannot see.
+    * The spin probe is register/L1-resident, so a co-tenant hammering the
+    * host's LLC/memory bus leaves it FLAT while every memory-bound query's
+    * cpu inflates (the r11/r12 signature: probes at quiet-era speed, small
+    * compute rows ~1.0× their stamps, big rows uniformly ~1.7–2.2× at
+    * near-zero steal — SCALING.md round-12). This probe measures the thing
+    * that is actually contended: `threads` workers each stream a
+    * `mibPerThread` MiB array far past any LLC, touching one long per
+    * 64-byte line, started simultaneously off a barrier; the aggregate
+    * read bandwidth (MB/s) lands in `_run` as `membw_mbps_{start,end}`.
+    * A quiet-era stamp vs a hot run's value turns "the box feels slow"
+    * into a measured bandwidth deficit with zero guesswork. Arrays are
+    * allocated inside [[measure]] and dropped after — a resident 0.5 GiB
+    * probe buffer must not pressure the queries it brackets. */
+  final class MemBandwidthProbe(threads: Int = 8, mibPerThread: Int = 64, timedPasses: Int = 3) {
+    private val sink = new java.util.concurrent.atomic.AtomicLong()
+    /** Aggregate streaming read bandwidth in MB/s (one sample). */
+    def measure(): Double = {
+      val longsPer = mibPerThread * ((1 << 20) / 8)
+      val barrier  = new java.util.concurrent.CyclicBarrier(threads + 1)
+      val done     = new java.util.concurrent.CountDownLatch(threads)
+      (0 until threads).foreach { _ =>
+        val t = new Thread(() => {
+          val a = new Array[Long](longsPer)
+          java.util.Arrays.fill(a, 0x9E3779B9L) // page-in + write-warm
+          barrier.await()
+          var p = 0
+          var x = 0L
+          while (p < timedPasses) {
+            var i = 0
+            while (i < longsPer) { x += a(i); i += 8 } // one touch per line
+            p += 1
+          }
+          sink.addAndGet(x)
+          done.countDown()
+        })
+        t.setDaemon(true)
+        t.start()
+      }
+      barrier.await()
+      val t0 = System.nanoTime()
+      done.await()
+      val sec   = (System.nanoTime() - t0) / 1e9
+      val bytes = threads.toLong * timedPasses * mibPerThread.toLong * (1L << 20)
+      bytes / sec / 1e6
+    }
+  }
+
   /** Run-cleanliness decision from (a) the probe walls — p90/p10 ratio
     * above [[ProbeRatioThreshold]] means the box's spare capacity visibly
     * changed mid-run (percentiles, not max/min: one GC blip landing on a
@@ -462,6 +510,9 @@ object Bench {
       owners.flatMap { case (n, files) => sourceFingerprint(files, srcRoot).map(n -> _) }
     val probe = new ContentionProbe
     (1 to 3).foreach(_ => probe.spin()) // JIT-warm the probe loop itself
+    val membw = new MemBandwidthProbe()
+    membw.measure() // JIT/allocator warm-up sample, discarded
+    val membwStart = membw.measure() // bandwidth snapshot brackets the run
     val statStart  = readProcStat() // host-steal snapshot brackets the run
     val probeWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -586,8 +637,13 @@ object Bench {
       (s1, t1) <- readProcStat()
       if t1 > t0
     } yield s""","steal_pct":${s3(100.0 * (s1 - s0) / (t1 - t0))}""").getOrElse("")
+    // streaming-bandwidth brackets: the LLC/bus co-tenant channel the spin
+    // probe and steal both miss (see MemBandwidthProbe) — MB/s at run
+    // start and end, compared against a quiet-era value by a human/judge
+    val membwEnd  = membw.measure()
+    val membwJson = s""","membw_mbps_start":${s3(membwStart)},"membw_mbps_end":${s3(membwEnd)}"""
     val runRow =
-      s""""_run":{"contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"dirty_queries":$dirtyJson,"stale_queries":$staleJson,"dirty_probe":${dirtyProbe.size},"dirty_cpu":${dirtyCpu.size},"baseline_loaded":${baseline.nonEmpty}$stealJson,"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
+      s""""_run":{"contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"dirty_queries":$dirtyJson,"stale_queries":$staleJson,"dirty_probe":${dirtyProbe.size},"dirty_cpu":${dirtyCpu.size},"baseline_loaded":${baseline.nonEmpty}$stealJson$membwJson,"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
     val dirtySet = dirtyUnion.toSet
     val detail = (runRow +: results
       .map { r =>

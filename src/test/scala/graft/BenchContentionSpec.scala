@@ -15,6 +15,19 @@ class BenchContentionSpec extends AnyFunSuite {
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
+  test("memory-bandwidth probe measures a plausible streaming rate, repeatably") {
+    val p  = new Bench.MemBandwidthProbe(threads = 4, mibPerThread = 32, timedPasses = 2)
+    p.measure() // warm
+    val a = p.measure()
+    val b = p.measure()
+    // sanity bounds, not a benchmark: any 2010s+ box streams >300 MB/s
+    // aggregate and <10 TB/s; two back-to-back samples agree within 5x
+    // (ambient swings are the POINT of the probe, but not 5x in 100 ms)
+    assert(a > 300 && a < 1e7, s"implausible bandwidth: $a MB/s")
+    assert(b > 300 && b < 1e7, s"implausible bandwidth: $b MB/s")
+    assert(math.max(a, b) / math.min(a, b) < 5.0, s"samples unstable: $a vs $b")
+  }
+
   test("contention probe inflates under deliberate load and the flag fires") {
     val probe = new Bench.ContentionProbe
     (1 to 3).foreach(_ => probe.spin()) // JIT warmup, as Bench.main does
