@@ -253,6 +253,20 @@ object Bench {
     * file can't prove it matches (a missing header previously stayed
     * ARMED, which would flag every big query dirty on a scale-corpus
     * run). */
+  /** Quiet-era streaming bandwidth stamped in the baseline (`_membw.mbps`),
+    * if any. NOT sf-gated: bandwidth is a box property, not a data-scale
+    * property — a stamp from any scale is a valid reference for this box. */
+  def parseBaselineMembw(bytes: Array[Byte]): Option[Double] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    Option(root.get("_membw")).flatMap(n => Option(n.get("mbps"))).map(_.asDouble())
+  }
+
+  /** A run whose streaming bandwidth sits below this fraction of the
+    * quiet-era stamp gets a stderr attribution hint: the memory system is
+    * contended even if steal and the spin probe read clean (the r12
+    * signature). Advisory only — never flips `contended` by itself. */
+  val MembwDeficitRatio = 0.7
+
   def parseBaseline(bytes: Array[Byte], sfDir: String): Map[String, BaselineRow] = {
     val root   = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
     val baseSf = Option(root.get("_sf")).flatMap(n => Option(n.get("dir"))).map(_.asText())
@@ -342,12 +356,22 @@ object Bench {
       prev: Option[Array[Byte]],
       rows: Seq[(String, Double, Double)],
       currentSha: Map[String, String],
-      sfDir: String): Array[Byte] = {
+      sfDir: String,
+      membwMbps: Option[Double] = None): Array[Byte] = {
     val mapper   = new com.fasterxml.jackson.databind.ObjectMapper()
     val prevRoot = prev.map(mapper.readTree).getOrElse(mapper.createObjectNode())
     val prevSf   = Option(prevRoot.get("_sf")).flatMap(n => Option(n.get("dir"))).map(_.asText())
     val out      = mapper.createObjectNode()
     out.putObject("_sf").put("dir", sfDir)
+    // quiet-era streaming bandwidth (a stamp only happens on quiet runs):
+    // the reference a hot run's membw_mbps is read against. Measured value
+    // replaces; absent measurement preserves a previous stamp.
+    membwMbps
+      .orElse(Option(prevRoot.get("_membw")).flatMap(n => Option(n.get("mbps"))).map(_.asDouble()))
+      .foreach { v =>
+        out.putObject("_membw")
+          .put("mbps", BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
     if (prevSf.contains(sfDir)) {
       import scala.jdk.CollectionConverters._
       prevRoot.fieldNames().asScala.filterNot(_.startsWith("_")).foreach { k =>
@@ -489,18 +513,19 @@ object Bench {
     // src_sha}); absent file → cpu check off. Refresh mechanically with
     // SPARK_GRAFT_WRITE_BASELINE=1 on a quiet run.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")
-    val (baseline: Map[String, BaselineRow], baselineWalls: Map[String, Double]) =
+    val (baseline: Map[String, BaselineRow], baselineWalls: Map[String, Double], quietMembw: Option[Double]) =
       try {
         val p = java.nio.file.Paths.get(baselinePath)
-        if (!java.nio.file.Files.exists(p)) (Map.empty[String, BaselineRow], Map.empty[String, Double])
+        if (!java.nio.file.Files.exists(p))
+          (Map.empty[String, BaselineRow], Map.empty[String, Double], Option.empty[Double])
         else {
           val bytes = java.nio.file.Files.readAllBytes(p)
-          (parseBaseline(bytes, sfDir), parseBaselineWalls(bytes, sfDir))
+          (parseBaseline(bytes, sfDir), parseBaselineWalls(bytes, sfDir), parseBaselineMembw(bytes))
         }
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] baseline load failed ($baselinePath): $e")
-          (Map.empty[String, BaselineRow], Map.empty[String, Double])
+          (Map.empty[String, BaselineRow], Map.empty[String, Double], Option.empty[Double])
       }
     // Current source fingerprints per row (declared ownership): rows whose
     // code changed since their baseline was stamped report STALE, not dirty
@@ -513,6 +538,11 @@ object Bench {
     val membw = new MemBandwidthProbe()
     membw.measure() // JIT/allocator warm-up sample, discarded
     val membwStart = membw.measure() // bandwidth snapshot brackets the run
+    quietMembw.filter(q => q > 0 && membwStart < MembwDeficitRatio * q).foreach { q =>
+      System.err.println(
+        f"[bench] streaming bandwidth $membwStart%.0f MB/s vs quiet-era stamp $q%.0f — " +
+          "memory-system co-tenant likely; treat cpu inflation as ambient")
+    }
     val statStart  = readProcStat() // host-steal snapshot brackets the run
     val probeWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -710,7 +740,12 @@ object Bench {
           if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readAllBytes(p)) else None
         java.nio.file.Files.write(
           p,
-          mergeBaseline(prev, results.map(r => (r._1, r._2, r._3)), currentSha, sfDir))
+          mergeBaseline(
+            prev,
+            results.map(r => (r._1, r._2, r._3)),
+            currentSha,
+            sfDir,
+            Some(math.max(membwStart, membwEnd))))
         System.err.println(s"[bench] baseline stamped: ${results.size} rows -> $baselinePath")
       } catch {
         case e: Throwable => System.err.println(s"[bench] baseline write failed: $e")

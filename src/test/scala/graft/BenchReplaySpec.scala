@@ -298,6 +298,25 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(point == Map("qp" -> Bench.BaselineRow(9.0, None, Some("new"))), s"got $point")
   }
 
+  test("baseline _membw: stamped on quiet runs, preserved across subset re-stamps, not sf-gated") {
+    // fresh stamp with a measured bandwidth
+    val first = Bench.mergeBaseline(None, Seq(("qa", 1.0, 1.0)), Map.empty, "/d/sf0.1", Some(71234.6))
+    assert(Bench.parseBaselineMembw(first).contains(71235.0)) // rounded to whole MB/s
+    // a later stamp WITHOUT a measurement preserves the previous reference
+    val kept = Bench.mergeBaseline(Some(first), Seq(("qb", 1.0, 2.0)), Map.empty, "/d/sf0.1", None)
+    assert(Bench.parseBaselineMembw(kept).contains(71235.0))
+    // a later stamp WITH a measurement replaces it
+    val repl = Bench.mergeBaseline(Some(first), Seq(("qb", 1.0, 2.0)), Map.empty, "/d/sf0.1", Some(90000.0))
+    assert(Bench.parseBaselineMembw(repl).contains(90000.0))
+    // not sf-gated on read: bandwidth is a box property
+    assert(Bench.parseBaselineMembw(first).nonEmpty)
+    // absent on baselines that never stamped one
+    val bare = Bench.mergeBaseline(None, Seq(("qa", 1.0, 1.0)), Map.empty, "/d/sf0.1", None)
+    assert(Bench.parseBaselineMembw(bare).isEmpty)
+    // and the _membw header must not leak into the query-row parse
+    assert(!Bench.parseBaseline(first, "/d/sf0.1").contains("_membw"))
+  }
+
   test("baseline walls: same _sf gating as the cpu parse, feeds wall_ratio") {
     val prev = """{"_sf":{"dir":"/d/sf0.1"},"qa":{"wall_sec":1.25,"cpu_sec":10.0},"qb":{"cpu_sec":3.0}}"""
     assert(Bench.parseBaselineWalls(prev.getBytes, "/d/sf0.1") == Map("qa" -> 1.25))
