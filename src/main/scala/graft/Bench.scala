@@ -66,23 +66,32 @@ object Bench {
       val done     = new java.util.concurrent.CountDownLatch(threads)
       (0 until threads).foreach { _ =>
         val t = new Thread(() => {
-          val a = new Array[Long](longsPer)
-          java.util.Arrays.fill(a, 0x9E3779B9L) // page-in + write-warm
-          barrier.await()
-          var p = 0
-          var x = 0L
-          while (p < timedPasses) {
-            var i = 0
-            while (i < longsPer) { x += a(i); i += 8 } // one touch per line
-            p += 1
-          }
-          sink.addAndGet(x)
-          done.countDown()
+          // countDown on EVERY exit: a worker dying (allocation failure on
+          // a pressured heap) must degrade the sample, not hang the bench
+          try {
+            val a = new Array[Long](longsPer)
+            java.util.Arrays.fill(a, 0x9E3779B9L) // page-in + write-warm
+            barrier.await()
+            var p = 0
+            var x = 0L
+            while (p < timedPasses) {
+              var i = 0
+              while (i < longsPer) { x += a(i); i += 8 } // one touch per line
+              p += 1
+            }
+            sink.addAndGet(x)
+          } catch {
+            case e: Throwable =>
+              // un-stick the barrier for the peers + the timer thread
+              barrier.reset()
+              System.err.println(s"[bench] membw worker died: $e")
+          } finally done.countDown()
         })
         t.setDaemon(true)
         t.start()
       }
-      barrier.await()
+      try barrier.await()
+      catch { case _: Throwable => () } // a dead worker broke the barrier
       val t0 = System.nanoTime()
       done.await()
       val sec   = (System.nanoTime() - t0) / 1e9
