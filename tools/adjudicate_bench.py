@@ -43,10 +43,16 @@ def load(path):
 def main(p1, p2):
     run1, rows1 = load(p1)
     run2, rows2 = load(p2)
+
+    def membw(run):
+        a, b = run.get("membw_mbps_start"), run.get("membw_mbps_end")
+        vals = [v for v in (a, b) if v is not None]
+        return f"membw={min(vals):.0f}-{max(vals):.0f}MB/s " if vals else ""
+
     print(f"run1: contended={run1.get('contended')} dirty={len(run1.get('dirty_queries', []))} "
-          f"steal={run1.get('steal_pct', 'n/a')} probe_ratio={run1.get('probe_ratio')}")
+          f"steal={run1.get('steal_pct', 'n/a')} {membw(run1)}probe_ratio={run1.get('probe_ratio')}")
     print(f"run2: contended={run2.get('contended')} dirty={len(run2.get('dirty_queries', []))} "
-          f"steal={run2.get('steal_pct', 'n/a')} probe_ratio={run2.get('probe_ratio')}")
+          f"steal={run2.get('steal_pct', 'n/a')} {membw(run2)}probe_ratio={run2.get('probe_ratio')}")
     d1 = set(run1.get("dirty_queries", []))
     d2 = set(run2.get("dirty_queries", []))
     both, only1, only2 = d1 & d2, d1 - d2, d2 - d1
