@@ -276,6 +276,27 @@ object Bench {
     * signature). Advisory only — never flips `contended` by itself. */
   val MembwDeficitRatio = 0.7
 
+  /** Size-stratified cpu-ratio medians — the one-glance ambient
+    * discriminator a single run can self-report (r12's hand analysis,
+    * mechanized): median cpu_ratio of the SMALL rows (baseline cpu <
+    * [[SmallRowCpuSec]]) vs the BIG rows (≥ [[BigRowCpuSec]]).
+    * big≈small≈1 → quiet; big≫1 at small≈1 → memory-system pressure
+    * (stall cycles hit the rows with working sets, not the compute-bound
+    * small ones); big≈small≫1 → uniform slowdown (clock/load). None when
+    * a stratum has no baselined members. */
+  val SmallRowCpuSec = 1.0
+  val BigRowCpuSec   = 5.0
+  def sizeStratifiedRatios(
+      measured: Seq[(String, Double)],
+      baseline: Map[String, BaselineRow]): (Option[Double], Option[Double]) = {
+    val pairs = measured.flatMap { case (n, c) =>
+      baseline.get(n).map(_.cpu).filter(_ > 0).map(b => (b, c / b))
+    }
+    def med(xs: Seq[Double]) = if (xs.isEmpty) None else Some(median(xs))
+    (med(pairs.collect { case (b, r) if b < SmallRowCpuSec => r }),
+      med(pairs.collect { case (b, r) if b >= BigRowCpuSec => r }))
+  }
+
   def parseBaseline(bytes: Array[Byte], sfDir: String): Map[String, BaselineRow] = {
     val root   = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
     val baseSf = Option(root.get("_sf")).flatMap(n => Option(n.get("dir"))).map(_.asText())
@@ -681,8 +702,13 @@ object Bench {
     // start and end, compared against a quiet-era value by a human/judge
     val membwEnd  = membw.measure()
     val membwJson = s""","membw_mbps_start":${s3(membwStart)},"membw_mbps_end":${s3(membwEnd)}"""
+    // size-stratified ratio medians: the single-run ambient discriminator
+    val (smallRatio, bigRatio) = sizeStratifiedRatios(results.map(r => r._1 -> r._3), baseline)
+    val strataJson =
+      smallRatio.map(v => s""","cpu_ratio_median_small":${s3(v)}""").getOrElse("") +
+        bigRatio.map(v => s""","cpu_ratio_median_big":${s3(v)}""").getOrElse("")
     val runRow =
-      s""""_run":{"contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"dirty_queries":$dirtyJson,"stale_queries":$staleJson,"dirty_probe":${dirtyProbe.size},"dirty_cpu":${dirtyCpu.size},"baseline_loaded":${baseline.nonEmpty}$stealJson$membwJson,"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
+      s""""_run":{"contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"dirty_queries":$dirtyJson,"stale_queries":$staleJson,"dirty_probe":${dirtyProbe.size},"dirty_cpu":${dirtyCpu.size},"baseline_loaded":${baseline.nonEmpty}$stealJson$membwJson$strataJson,"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
     val dirtySet = dirtyUnion.toSet
     val detail = (runRow +: results
       .map { r =>

@@ -298,6 +298,27 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(point == Map("qp" -> Bench.BaselineRow(9.0, None, Some("new"))), s"got $point")
   }
 
+  test("size-stratified ratio medians separate memory-pressure from uniform slowdown") {
+    def row(c: Double) = Bench.BaselineRow(c, None, None)
+    // the r12 ambient signature: small rows at ~1.0x, big rows at ~1.7x
+    val base = Map("s1" -> row(0.2), "s2" -> row(0.5), "b1" -> row(8.0), "b2" -> row(20.0))
+    val ambient = Seq("s1" -> 0.2, "s2" -> 0.52, "b1" -> 13.6, "b2" -> 34.0)
+    val (sm, bg) = Bench.sizeStratifiedRatios(ambient, base)
+    assert(sm.exists(v => v > 0.9 && v < 1.1), s"small stratum $sm")
+    assert(bg.exists(v => v > 1.6 && v < 1.8), s"big stratum $bg")
+    // uniform slowdown (clock/load): both strata move together
+    val uniform = Seq("s1" -> 0.4, "s2" -> 1.0, "b1" -> 16.0, "b2" -> 40.0)
+    val (us, ub) = Bench.sizeStratifiedRatios(uniform, base)
+    assert(us.exists(v => math.abs(v - 2.0) < 0.01) && ub.exists(v => math.abs(v - 2.0) < 0.01))
+    // strata with no baselined members report None, never 0/NaN; mid-size
+    // rows (1s <= cpu < 5s) belong to NEITHER stratum
+    val midOnly = Map("m" -> row(2.0))
+    assert(Bench.sizeStratifiedRatios(Seq("m" -> 2.0), midOnly) == (None, None))
+    assert(Bench.sizeStratifiedRatios(Nil, base) == (None, None))
+    // zero-cpu baseline rows are excluded from ratios entirely
+    assert(Bench.sizeStratifiedRatios(Seq("z" -> 1.0), Map("z" -> row(0.0))) == (None, None))
+  }
+
   test("baseline _membw: stamped on quiet runs, preserved across subset re-stamps, not sf-gated") {
     // fresh stamp with a measured bandwidth
     val first = Bench.mergeBaseline(None, Seq(("qa", 1.0, 1.0)), Map.empty, "/d/sf0.1", Some(71234.6))
