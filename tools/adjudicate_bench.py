@@ -47,7 +47,11 @@ def main(p1, p2):
     def membw(run):
         a, b = run.get("membw_mbps_start"), run.get("membw_mbps_end")
         vals = [v for v in (a, b) if v is not None]
-        return f"membw={min(vals):.0f}-{max(vals):.0f}MB/s " if vals else ""
+        out = f"membw={min(vals):.0f}-{max(vals):.0f}MB/s " if vals else ""
+        sm, bg = run.get("cpu_ratio_median_small"), run.get("cpu_ratio_median_big")
+        if sm is not None or bg is not None:
+            out += f"strata(s/b)={sm}/{bg} "
+        return out
 
     print(f"run1: contended={run1.get('contended')} dirty={len(run1.get('dirty_queries', []))} "
           f"steal={run1.get('steal_pct', 'n/a')} {membw(run1)}probe_ratio={run1.get('probe_ratio')}")
