@@ -57,21 +57,43 @@ object Bench {
     * into a measured bandwidth deficit with zero guesswork. Arrays are
     * allocated inside [[measure]] and dropped after — a resident 0.5 GiB
     * probe buffer must not pressure the queries it brackets. */
-  final class MemBandwidthProbe(threads: Int = 8, mibPerThread: Int = 64, timedPasses: Int = 3) {
+  final class MemBandwidthProbe(
+      threads: Int = 8,
+      mibPerThread: Int = 64,
+      timedPasses: Int = 3,
+      barrierTimeoutMs: Long = 10_000,
+      measureTimeoutMs: Long = 60_000) {
+    import java.util.concurrent.{CountDownLatch, CyclicBarrier, TimeUnit}
     private val sink = new java.util.concurrent.atomic.AtomicLong()
-    /** Aggregate streaming read bandwidth in MB/s (one sample). */
-    def measure(): Double = {
+
+    /** Aggregate streaming read bandwidth in MB/s (one sample), or None
+      * when ANY worker died or a barrier/latch timed out. A dead worker
+      * must invalidate the sample, never inflate it: the previous
+      * constant-numerator accounting credited `threads·passes` bytes over
+      * a shortened window, so the degrade path OVERSTATED bandwidth on
+      * exactly the pressured runs where the channel matters — and a
+      * `barrier.reset()` in the worker's catch parked later-arriving
+      * parties on a fresh generation that could never fill, hanging the
+      * whole bench. Timed awaits everywhere (a timeout BREAKS the barrier,
+      * unsticking every peer) and a None verdict replace both. */
+    def measure(): Option[Double] = measureInjecting(_ => ())
+
+    /** Spec seam: `fault(workerIdx)` runs after allocation, before the
+      * start barrier — throw from it to simulate a worker death. */
+    private[graft] def measureInjecting(fault: Int => Unit): Option[Double] = {
       val longsPer = mibPerThread * ((1 << 20) / 8)
-      val barrier  = new java.util.concurrent.CyclicBarrier(threads + 1)
-      val done     = new java.util.concurrent.CountDownLatch(threads)
-      (0 until threads).foreach { _ =>
+      val barrier  = new CyclicBarrier(threads + 1)
+      val done     = new CountDownLatch(threads)
+      val failed   = new java.util.concurrent.atomic.AtomicInteger()
+      (0 until threads).foreach { w =>
         val t = new Thread(() => {
           // countDown on EVERY exit: a worker dying (allocation failure on
           // a pressured heap) must degrade the sample, not hang the bench
           try {
             val a = new Array[Long](longsPer)
             java.util.Arrays.fill(a, 0x9E3779B9L) // page-in + write-warm
-            barrier.await()
+            fault(w)
+            barrier.await(barrierTimeoutMs, TimeUnit.MILLISECONDS)
             var p = 0
             var x = 0L
             while (p < timedPasses) {
@@ -82,21 +104,24 @@ object Bench {
             sink.addAndGet(x)
           } catch {
             case e: Throwable =>
-              // un-stick the barrier for the peers + the timer thread
-              barrier.reset()
+              failed.incrementAndGet()
               System.err.println(s"[bench] membw worker died: $e")
           } finally done.countDown()
         })
         t.setDaemon(true)
         t.start()
       }
-      try barrier.await()
-      catch { case _: Throwable => () } // a dead worker broke the barrier
-      val t0 = System.nanoTime()
-      done.await()
-      val sec   = (System.nanoTime() - t0) / 1e9
-      val bytes = threads.toLong * timedPasses * mibPerThread.toLong * (1L << 20)
-      bytes / sec / 1e6
+      val started =
+        try { barrier.await(barrierTimeoutMs, TimeUnit.MILLISECONDS); true }
+        catch { case _: Throwable => false } // a dead worker broke the barrier
+      val t0       = System.nanoTime()
+      val finished = done.await(measureTimeoutMs, TimeUnit.MILLISECONDS)
+      val sec      = (System.nanoTime() - t0) / 1e9
+      if (!started || !finished || failed.get() > 0 || sec <= 0) None
+      else {
+        val bytes = threads.toLong * timedPasses * mibPerThread.toLong * (1L << 20)
+        Some(bytes / sec / 1e6)
+      }
     }
   }
 
@@ -283,14 +308,29 @@ object Bench {
     * big≈small≈1 → quiet; big≫1 at small≈1 → memory-system pressure
     * (stall cycles hit the rows with working sets, not the compute-bound
     * small ones); big≈small≫1 → uniform slowdown (clock/load). None when
-    * a stratum has no baselined members. */
+    * a stratum has no baselined members.
+    *
+    * STALE rows (recorded `src_sha` differs from the current source
+    * fingerprint, per `current`) are EXCLUDED, mirroring
+    * [[cpuDirtyOrStale]]'s partition: a code change that legitimately
+    * re-prices a big row would otherwise skew `cpu_ratio_median_big` and
+    * mimic (or mask) the memory-pressure signature this discriminator
+    * exists to report. Rows with no fingerprint on either side stay in
+    * (legacy rows are armed, same as the dirty check). */
   val SmallRowCpuSec = 1.0
   val BigRowCpuSec   = 5.0
   def sizeStratifiedRatios(
       measured: Seq[(String, Double)],
-      baseline: Map[String, BaselineRow]): (Option[Double], Option[Double]) = {
+      baseline: Map[String, BaselineRow],
+      current: Map[String, String] = Map.empty): (Option[Double], Option[Double]) = {
     val pairs = measured.flatMap { case (n, c) =>
-      baseline.get(n).map(_.cpu).filter(_ > 0).map(b => (b, c / b))
+      baseline
+        .get(n)
+        .filterNot(row =>
+          (for { b <- row.srcSha; cur <- current.get(n) } yield b != cur).getOrElse(false))
+        .map(_.cpu)
+        .filter(_ > 0)
+        .map(b => (b, c / b))
     }
     def med(xs: Seq[Double]) = if (xs.isEmpty) None else Some(median(xs))
     (med(pairs.collect { case (b, r) if b < SmallRowCpuSec => r }),
@@ -468,6 +508,62 @@ object Bench {
         } catch { case _: NumberFormatException => None }
     }
 
+  /** Quiet-window gate for baseline stamping (r12→r13: nine manual stamp
+    * attempts all correctly refused by the contended guard — the neighbor
+    * is bursty on hour timescales, so polling by hand loses the window).
+    * With SPARK_GRAFT_WAIT_QUIET_SECS set, the bench samples the two
+    * ambient channels (median-of-3 streaming bandwidth + host steal over a
+    * short window) every SPARK_GRAFT_QUIET_POLL_SECS and starts the
+    * measured run only once BOTH read quiet, or the deadline passes
+    * (proceed-on-deadline: the refuse-contended stamp guard still
+    * protects the baseline; the watcher only improves the odds). The
+    * bandwidth reference is SPARK_GRAFT_QUIET_MEMBW_MBPS, else the
+    * committed `_membw.mbps` stamp; with neither, the gate is steal-only
+    * (first-ever stamp on a new box has no envelope to compare against). */
+  val QuietMembwFrac = 0.85
+  val QuietStealPct  = 0.25
+  def waitForQuietWindow(
+      membw: MemBandwidthProbe,
+      quietRef: Option[Double],
+      maxWaitSecs: Long,
+      pollSecs: Long = 60): Boolean = {
+    val deadline = System.nanoTime() + maxWaitSecs * 1_000_000_000L
+    var attempt  = 0
+    while (true) {
+      attempt += 1
+      val s0      = readProcStat()
+      val samples = (1 to 3).flatMap(_ => membw.measure())
+      Thread.sleep(2000) // widen the steal window past the probe's own cpu
+      val steal = for {
+        (a, t0) <- s0
+        (b, t1) <- readProcStat()
+        if t1 > t0
+      } yield 100.0 * (b - a) / (t1 - t0)
+      val mb = if (samples.nonEmpty) Some(median(samples)) else None
+      val membwOk = (quietRef, mb) match {
+        case (Some(q), Some(m)) => m >= QuietMembwFrac * q
+        case (None, Some(_))    => true // no envelope yet: steal-only gate
+        case _                  => false // invalid samples: not provably quiet
+      }
+      val stealOk = steal.forall(_ < QuietStealPct)
+      val mbTxt   = mb.map(v => f"$v%.0f MB/s").getOrElse("invalid")
+      val refTxt  = quietRef.map(v => f"$v%.0f").getOrElse("none")
+      val stTxt   = steal.map(v => f"$v%.3f%%").getOrElse("n/a")
+      System.err.println(
+        s"[bench] quiet-watch #$attempt: membw=$mbTxt (ref $refTxt), steal=$stTxt -> " +
+          (if (membwOk && stealOk) "QUIET" else "busy"))
+      if (membwOk && stealOk) return true
+      if (System.nanoTime() >= deadline) {
+        System.err.println(
+          s"[bench] quiet-watch: no quiet window within ${maxWaitSecs}s — proceeding on a " +
+            "busy box (the contended-stamp guard still applies)")
+        return false
+      }
+      Thread.sleep(pollSecs * 1000)
+    }
+    false // unreachable
+  }
+
   private def readProcStat(): Option[(Long, Long)] =
     try
       parseCpuLine(
@@ -567,12 +663,20 @@ object Bench {
     (1 to 3).foreach(_ => probe.spin()) // JIT-warm the probe loop itself
     val membw = new MemBandwidthProbe()
     membw.measure() // JIT/allocator warm-up sample, discarded
-    val membwStart = membw.measure() // bandwidth snapshot brackets the run
-    quietMembw.filter(q => q > 0 && membwStart < MembwDeficitRatio * q).foreach { q =>
-      System.err.println(
-        f"[bench] streaming bandwidth $membwStart%.0f MB/s vs quiet-era stamp $q%.0f — " +
-          "memory-system co-tenant likely; treat cpu inflation as ambient")
+    // optional quiet-window gate: block the run start until the ambient
+    // channels read quiet (or the deadline passes) — see waitForQuietWindow
+    sys.env.get("SPARK_GRAFT_WAIT_QUIET_SECS").map(_.toLong).filter(_ > 0).foreach { maxWait =>
+      val ref = sys.env.get("SPARK_GRAFT_QUIET_MEMBW_MBPS").map(_.toDouble).orElse(quietMembw)
+      val poll = sys.env.get("SPARK_GRAFT_QUIET_POLL_SECS").map(_.toLong).getOrElse(60L)
+      waitForQuietWindow(membw, ref, maxWait, poll)
     }
+    val membwStart = membw.measure() // bandwidth snapshot brackets the run
+    for {
+      q <- quietMembw if q > 0
+      s <- membwStart if s < MembwDeficitRatio * q
+    } System.err.println(
+      f"[bench] streaming bandwidth $s%.0f MB/s vs quiet-era stamp $q%.0f — " +
+        "memory-system co-tenant likely; treat cpu inflation as ambient")
     val statStart  = readProcStat() // host-steal snapshot brackets the run
     val probeWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -700,10 +804,16 @@ object Bench {
     // streaming-bandwidth brackets: the LLC/bus co-tenant channel the spin
     // probe and steal both miss (see MemBandwidthProbe) — MB/s at run
     // start and end, compared against a quiet-era value by a human/judge
-    val membwEnd  = membw.measure()
-    val membwJson = s""","membw_mbps_start":${s3(membwStart)},"membw_mbps_end":${s3(membwEnd)}"""
+    val membwEnd = membw.measure()
+    // invalid samples (worker death / barrier timeout) are OMITTED, not
+    // emitted as inflated numbers; membw_valid:false marks the gap loudly
+    val membwJson =
+      membwStart.map(v => s""","membw_mbps_start":${s3(v)}""").getOrElse("") +
+        membwEnd.map(v => s""","membw_mbps_end":${s3(v)}""").getOrElse("") +
+        (if (membwStart.isEmpty || membwEnd.isEmpty) s""","membw_valid":false""" else "")
     // size-stratified ratio medians: the single-run ambient discriminator
-    val (smallRatio, bigRatio) = sizeStratifiedRatios(results.map(r => r._1 -> r._3), baseline)
+    val (smallRatio, bigRatio) =
+      sizeStratifiedRatios(results.map(r => r._1 -> r._3), baseline, currentSha)
     val strataJson =
       smallRatio.map(v => s""","cpu_ratio_median_small":${s3(v)}""").getOrElse("") +
         bigRatio.map(v => s""","cpu_ratio_median_big":${s3(v)}""").getOrElse("")
@@ -780,7 +890,9 @@ object Bench {
             results.map(r => (r._1, r._2, r._3)),
             currentSha,
             sfDir,
-            Some(math.max(membwStart, membwEnd))))
+            // never stamp a sample in which any worker died: an invalid
+            // bracket yields None here, which PRESERVES a previous stamp
+            (membwStart.toSeq ++ membwEnd.toSeq).reduceOption[Double](math.max)))
         System.err.println(s"[bench] baseline stamped: ${results.size} rows -> $baselinePath")
       } catch {
         case e: Throwable => System.err.println(s"[bench] baseline write failed: $e")

@@ -35,9 +35,20 @@ object DocStream {
     StructField("n_chars", LongType)
   ))
 
-  /** File-based document stream (each new file is a micro-batch). */
-  def fromParquet(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(DocSchema).parquet(path)
+  /** File-based document stream. Without `maxFilesPerTrigger` the file
+    * source takes EVERY available file in one trigger — a test that stages
+    * two files to "exercise cross-batch state" actually runs a single
+    * micro-batch and proves nothing about the state store; pass
+    * `Some(1)` to force one file per micro-batch (as
+    * [[EventStream.fromParquet]] already allows). */
+  def fromParquet(
+      spark: SparkSession,
+      path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(DocSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(path)
+  }
 
   /** Streaming heavy-hitters — q67's SpaceSaving sketch as STREAMING
     * aggregation state: the micro-batch planner keeps the serialized

@@ -16,16 +16,43 @@ class BenchContentionSpec extends AnyFunSuite {
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
   test("memory-bandwidth probe measures a plausible streaming rate, repeatably") {
-    val p  = new Bench.MemBandwidthProbe(threads = 4, mibPerThread = 32, timedPasses = 2)
+    val p = new Bench.MemBandwidthProbe(threads = 4, mibPerThread = 32, timedPasses = 2)
     p.measure() // warm
-    val a = p.measure()
-    val b = p.measure()
+    // medians of 3, not single samples: this box's documented ambient
+    // bandwidth bursts (r12: 36-99 GB/s on the neighbor's schedule) can
+    // land between two 100 ms samples and flake a pairwise bound
+    def median3(): Double = {
+      val xs = (1 to 3).flatMap(_ => p.measure())
+      assert(xs.nonEmpty, "no valid bandwidth sample in 3 tries")
+      median(xs)
+    }
+    val a = median3()
+    val b = median3()
     // sanity bounds, not a benchmark: any 2010s+ box streams >300 MB/s
-    // aggregate and <10 TB/s; two back-to-back samples agree within 5x
-    // (ambient swings are the POINT of the probe, but not 5x in 100 ms)
+    // aggregate and <10 TB/s; two median-of-3 windows agree within 5x
     assert(a > 300 && a < 1e7, s"implausible bandwidth: $a MB/s")
     assert(b > 300 && b < 1e7, s"implausible bandwidth: $b MB/s")
     assert(math.max(a, b) / math.min(a, b) < 5.0, s"samples unstable: $a vs $b")
+  }
+
+  test("membw probe: a dead worker invalidates the sample instead of inflating or hanging it") {
+    // short timeouts so the stranded-peer path resolves in ~0.5 s: one
+    // worker dies BEFORE the start barrier, its peers + the timer thread
+    // wait on a generation that can never fill — the timed await must
+    // break the barrier, every thread must exit, and the verdict must be
+    // None (the old accounting credited threads*passes bytes over the
+    // shortened window, OVERSTATING bandwidth on exactly the pressured
+    // runs where the channel matters; the old reset() path could hang)
+    val p = new Bench.MemBandwidthProbe(
+      threads = 4, mibPerThread = 8, timedPasses = 1,
+      barrierTimeoutMs = 500, measureTimeoutMs = 2000)
+    val t0 = System.nanoTime()
+    val v  = p.measureInjecting(w => if (w == 2) throw new RuntimeException("injected worker death"))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(v.isEmpty, s"dead-worker sample must be invalid, got $v")
+    assert(ms < 5000, s"degraded path took ${ms}ms — the barrier hang is back")
+    // and the probe instance stays usable for the next (healthy) sample
+    assert(p.measure().exists(x => x > 300 && x < 1e7), "probe unusable after a degraded sample")
   }
 
   test("contention probe inflates under deliberate load and the flag fires") {

@@ -317,6 +317,21 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(Bench.sizeStratifiedRatios(Nil, base) == (None, None))
     // zero-cpu baseline rows are excluded from ratios entirely
     assert(Bench.sizeStratifiedRatios(Seq("z" -> 1.0), Map("z" -> row(0.0))) == (None, None))
+    // STALE rows (src_sha changed since stamping) are excluded, mirroring
+    // cpuDirtyOrStale: a deliberate re-price of one big row must not drag
+    // cpu_ratio_median_big into fake memory-pressure territory
+    def shaRow(c: Double, sha: String) = Bench.BaselineRow(c, None, Some(sha))
+    val shaBase = Map("b1" -> shaRow(8.0, "aaa"), "b2" -> shaRow(20.0, "bbb"))
+    val repriced = Seq("b1" -> 8.0, "b2" -> 60.0) // b2's code changed, 3x re-price
+    val (_, bgAll) =
+      Bench.sizeStratifiedRatios(repriced, shaBase, Map("b1" -> "aaa", "b2" -> "bbb"))
+    assert(bgAll.exists(v => v > 1.9), s"fresh rows both count: $bgAll")
+    val (_, bgFresh) =
+      Bench.sizeStratifiedRatios(repriced, shaBase, Map("b1" -> "aaa", "b2" -> "CHANGED"))
+    assert(bgFresh.exists(v => math.abs(v - 1.0) < 0.01), s"stale b2 must drop out: $bgFresh")
+    // rows with no fingerprint on either side stay armed (legacy behavior)
+    val (_, bgLegacy) = Bench.sizeStratifiedRatios(repriced, shaBase, Map.empty)
+    assert(bgLegacy.exists(v => v > 1.9), s"fingerprint-less rows stay in: $bgLegacy")
   }
 
   test("baseline _membw: stamped on quiet runs, preserved across subset re-stamps, not sf-gated") {

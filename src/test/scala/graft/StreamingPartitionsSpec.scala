@@ -81,8 +81,11 @@ class StreamingPartitionsSpec extends AnyFunSuite {
 
   test("dropDuplicates state at 7 partitions: exact dedup equals batch distinct across micro-batches") {
     import org.apache.spark.sql.functions.{col, md5}
+    // maxFilesPerTrigger=1: without it the file source takes both staged
+    // files in ONE trigger and the cross-batch state claim is vacuous —
+    // the >=2-batches assertion below pins that this stays multi-batch
     val q = DocStream
-      .dedupExact(DocStream.fromParquet(spark7, docStreamDir))
+      .dedupExact(DocStream.fromParquet(spark7, docStreamDir, maxFilesPerTrigger = Some(1)))
       .select("fingerprint", "doc_id")
       .writeStream
       .outputMode("append")
@@ -91,6 +94,9 @@ class StreamingPartitionsSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
+      val fedBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(fedBatches >= 2,
+        s"expected >=2 data-carrying micro-batches, got $fedBatches — cross-batch state untested")
       val streamed = spark7.table("p7_dedup").select("fingerprint").collect().map(_.getString(0))
       val batch = spark7.read.parquet(s"$dir/documents.parquet")
         .select(md5(col("text")).as("f")).distinct().collect().map(_.getString(0))

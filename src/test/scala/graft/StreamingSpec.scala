@@ -85,8 +85,10 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming exact dedup equals batch distinct fingerprints across micro-batches") {
     import org.apache.spark.sql.functions.{col, md5}
+    // maxFilesPerTrigger=1 makes the "across micro-batches" claim real:
+    // the default file source takes every staged file in ONE trigger
     val q = DocStream
-      .dedupExact(DocStream.fromParquet(spark, docStreamDir))
+      .dedupExact(DocStream.fromParquet(spark, docStreamDir, maxFilesPerTrigger = Some(1)))
       .select("fingerprint", "doc_id")
       .writeStream
       .outputMode("append")
@@ -95,6 +97,9 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
+      val fedBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(fedBatches >= 2,
+        s"expected >=2 data-carrying micro-batches, got $fedBatches — cross-batch state untested")
       val streamed = spark.table("stream_dedup").select("fingerprint").collect().map(_.getString(0))
       val batch = spark.read.parquet(s"$dir/documents.parquet")
         .select(md5(col("text")).as("f")).distinct().collect().map(_.getString(0))
@@ -106,7 +111,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming LSH band candidates equal the batch candidate set") {
     import org.apache.spark.sql.functions.{col, explode, size}
     val q = DocStream
-      .lshCandidates(DocStream.fromParquet(spark, docStreamDir))
+      .lshCandidates(DocStream.fromParquet(spark, docStreamDir, maxFilesPerTrigger = Some(1)))
       .writeStream
       .outputMode("append")
       .format("memory")
