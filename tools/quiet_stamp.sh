@@ -1,0 +1,43 @@
+#!/bin/bash
+# Quiet-window baseline-stamp catcher (round-13 punch-list #1).
+#
+# The bench box shares a physical host with a neighbor that is bursty on
+# hour timescales (r12: dirty counts 14->4->15 across nine runs; nine
+# manual stamp attempts all correctly refused by the contended guard).
+# Polling by hand loses the window, so this loop delegates the catch to
+# the in-bench watcher (SPARK_GRAFT_WAIT_QUIET_SECS, Bench.scala
+# waitForQuietWindow): each attempt blocks until the membw+steal channels
+# read quiet (or the per-attempt deadline passes), runs the full sf0.1
+# registry with SPARK_GRAFT_WRITE_BASELINE=1, and exits as soon as a run
+# lands with contended:false (the stamp guard then wrote the baseline).
+#
+# Usage: tools/quiet_stamp.sh [max_attempts]
+#   env: WAIT (per-attempt quiet-wait budget, s; default 2400)
+#        QUIET_REF (quiet membw reference MB/s; default 90000 — the
+#                   r12-observed peak-era envelope; the first landed stamp
+#                   replaces this with a committed _membw.mbps)
+set -u
+cd "$(dirname "$0")/.."
+MAX=${1:-4}
+for i in $(seq 1 "$MAX"); do
+  echo "[quiet-stamp] attempt $i/$MAX $(date -u '+%F %T') UTC"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  SPARK_GRAFT_WAIT_QUIET_SECS=${WAIT:-2400} \
+  SPARK_GRAFT_QUIET_POLL_SECS=120 \
+  SPARK_GRAFT_QUIET_MEMBW_MBPS=${QUIET_REF:-90000} \
+  SPARK_GRAFT_WRITE_BASELINE=1 \
+  SPARK_GRAFT_BENCH_DETAIL="bench_detail_r13_try$i.json" \
+  sbt -batch "runMain graft.Bench" \
+    > "/tmp/quiet_stamp_$i.out" 2> "/tmp/quiet_stamp_$i.err"
+  rc=$?
+  line=$(grep -o '"contended":[a-z]*' "/tmp/quiet_stamp_$i.out" | head -1)
+  dirty=$(grep -o '"dirty":[0-9]*' "/tmp/quiet_stamp_$i.out" | head -1)
+  echo "[quiet-stamp] attempt $i done rc=$rc $line $dirty"
+  if grep -q '"contended":false' "/tmp/quiet_stamp_$i.out"; then
+    echo "[quiet-stamp] QUIET RUN LANDED on attempt $i — baseline stamped"
+    exit 0
+  fi
+  grep -m1 'REFUSING' "/tmp/quiet_stamp_$i.err" || true
+done
+echo "[quiet-stamp] no quiet run in $MAX attempts"
+exit 1
