@@ -248,8 +248,25 @@ object Bench {
     * inflated cpu medians would be stamped with FRESH src_sha and then
     * false-flag every later quiet run — refuse unless explicitly forced
     * (hand-adjudicated stamps only). */
-  def shouldStampBaseline(requested: Boolean, contended: Boolean, forced: Boolean): Boolean =
-    requested && (!contended || forced)
+  /** Stamp eligibility. Beyond the contended flag, the big-row strata
+    * median (vs the PREVIOUS baseline, fresh rows only) must sit at or
+    * under [[StampBigRatioMax]]: the r13 first watcher-gated stamp run
+    * passed the dirty-count guard (2 < 3 — per-row dirty needs >2×) while
+    * carrying a BROAD 1.46× big-stratum cpu inflation (the ambient
+    * memory-pressure signature; 56 baselined big rows landed at median
+    * 1.54×, many at ~1.9–2.0×), i.e. the neighbor returned between the
+    * watcher's pre-run quiet read and the run's end. Stamping that run
+    * would have re-priced every memory-bound row ~1.5× high and blinded
+    * the 2× detector to real regressions of that size on quiet days. A
+    * None bigRatio (first stamp, scale change, no big fresh rows) cannot
+    * refuse — there is nothing to compare against. */
+  val StampBigRatioMax = 1.25
+  def shouldStampBaseline(
+      requested: Boolean,
+      contended: Boolean,
+      forced: Boolean,
+      bigRatio: Option[Double] = None): Boolean =
+    requested && (forced || (!contended && !bigRatio.exists(_ > StampBigRatioMax)))
 
   private def cpuThreshold(row: BaselineRow): Double =
     (if (row.cpuLo.isDefined) CpuHiModeRatio else CpuRatioThreshold) * row.cpu
@@ -878,7 +895,15 @@ object Bench {
           s"spread_frac ${s3(spreadFrac)}, dirty: ${dirtyUnion.mkString(", ")}) — rerun quiet, " +
           "or set SPARK_GRAFT_FORCE_BASELINE=1 after adjudicating the flagged rows by hand")
     }
-    if (shouldStampBaseline(writeRequested, contended, writeForced)) {
+    if (writeRequested && !contended && !writeForced &&
+        bigRatio.exists(_ > StampBigRatioMax)) {
+      System.err.println(
+        f"[bench] REFUSING baseline stamp: big-row strata median ${bigRatio.get}%.2f > " +
+          f"$StampBigRatioMax%.2f vs the previous baseline (broad ambient cpu inflation — " +
+          "the dirty-count guard can miss a uniform ~1.5-2.0x band); rerun quiet, or set " +
+          "SPARK_GRAFT_FORCE_BASELINE=1 after cross-run adjudication")
+    }
+    if (shouldStampBaseline(writeRequested, contended, writeForced, bigRatio)) {
       try {
         val p = java.nio.file.Paths.get(baselinePath)
         val prev =

@@ -193,6 +193,28 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(!Bench.shouldStampBaseline(requested = false, contended = false, forced = true))
   }
 
+  test("baseline stamp decision: broad big-row inflation refuses even when the dirty count missed it") {
+    // the r13 case: contended=false (dirty 2 < 3) but big-stratum median
+    // 1.46 vs the previous baseline — a stamp would re-price every
+    // memory-bound row ~1.5x high
+    assert(!Bench.shouldStampBaseline(
+      requested = true, contended = false, forced = false, bigRatio = Some(1.46)))
+    assert(Bench.shouldStampBaseline(
+      requested = true, contended = false, forced = false, bigRatio = Some(1.1)))
+    // boundary: exactly at the max stamps; just over refuses
+    assert(Bench.shouldStampBaseline(
+      requested = true, contended = false, forced = false, bigRatio = Some(Bench.StampBigRatioMax)))
+    assert(!Bench.shouldStampBaseline(
+      requested = true, contended = false, forced = false,
+      bigRatio = Some(Bench.StampBigRatioMax + 0.01)))
+    // None (first stamp / scale change / no big fresh rows) cannot refuse
+    assert(Bench.shouldStampBaseline(
+      requested = true, contended = false, forced = false, bigRatio = None))
+    // force overrides, as it does for the contended refusal
+    assert(Bench.shouldStampBaseline(
+      requested = true, contended = false, forced = true, bigRatio = Some(2.0)))
+  }
+
   test("freshness: a changed-code query with a stale baseline row reports stale, not dirty") {
     val measured = Seq("a" -> 10.0, "b" -> 10.0, "c" -> 10.0, "d" -> 0.9)
     val baseline = Map(

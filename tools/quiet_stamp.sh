@@ -33,7 +33,10 @@ for i in $(seq 1 "$MAX"); do
   line=$(grep -o '"contended":[a-z]*' "/tmp/quiet_stamp_$i.out" | head -1)
   dirty=$(grep -o '"dirty":[0-9]*' "/tmp/quiet_stamp_$i.out" | head -1)
   echo "[quiet-stamp] attempt $i done rc=$rc $line $dirty"
-  if grep -q '"contended":false' "/tmp/quiet_stamp_$i.out"; then
+  # success = the guard actually WROTE the stamp (contended:false alone is
+  # not enough: the strata guard can refuse a mechanically-clean run that
+  # carries broad ambient inflation — the r13 try-1 case)
+  if grep -q 'baseline stamped' "/tmp/quiet_stamp_$i.err"; then
     echo "[quiet-stamp] QUIET RUN LANDED on attempt $i — baseline stamped"
     exit 0
   fi
