@@ -54,9 +54,15 @@ object Bench {
     * 64-byte line, started simultaneously off a barrier; the aggregate
     * read bandwidth (MB/s) lands in `_run` as `membw_mbps_{start,end}`.
     * A quiet-era stamp vs a hot run's value turns "the box feels slow"
-    * into a measured bandwidth deficit with zero guesswork. Arrays are
-    * allocated inside [[measure]] and dropped after — a resident 0.5 GiB
-    * probe buffer must not pressure the queries it brackets. */
+    * into a measured bandwidth deficit with zero guesswork. The stream
+    * arrays are allocated ONCE per instance and reused across samples:
+    * per-measure fresh allocations made the instrument read its own
+    * allocation churn — a fresh JVM's first samples sat at 61–73 GB/s
+    * while the same quiet box read 92–110 GB/s seconds later (heap
+    * growth + freshly-faulted 4 KiB pages before khugepaged collapses
+    * them to huge pages), so every cold-start bracket understated the
+    * box by up to ~40%. The resident cost is 0.5 GiB against a 128 GiB
+    * heap — negligible next to samples that aren't comparable. */
   final class MemBandwidthProbe(
       threads: Int = 8,
       mibPerThread: Int = 64,
@@ -64,7 +70,13 @@ object Bench {
       barrierTimeoutMs: Long = 10_000,
       measureTimeoutMs: Long = 60_000) {
     import java.util.concurrent.{CountDownLatch, CyclicBarrier, TimeUnit}
-    private val sink = new java.util.concurrent.atomic.AtomicLong()
+    private val sink     = new java.util.concurrent.atomic.AtomicLong()
+    private val longsPer = mibPerThread * ((1 << 20) / 8)
+    // One resident buffer per worker, first-measure initialized: reused
+    // buffers keep every sample on the SAME pages (comparable TLB/huge-page
+    // state) and keep allocation churn out of the timed window.
+    private lazy val buffers: Array[Array[Long]] =
+      Array.fill(threads)(new Array[Long](longsPer))
 
     /** Aggregate streaming read bandwidth in MB/s (one sample), or None
       * when ANY worker died or a barrier/latch timed out. A dead worker
@@ -81,7 +93,7 @@ object Bench {
     /** Spec seam: `fault(workerIdx)` runs after allocation, before the
       * start barrier — throw from it to simulate a worker death. */
     private[graft] def measureInjecting(fault: Int => Unit): Option[Double] = {
-      val longsPer = mibPerThread * ((1 << 20) / 8)
+      val bufs     = buffers // materialize outside the workers: one failure point
       val barrier  = new CyclicBarrier(threads + 1)
       val done     = new CountDownLatch(threads)
       val failed   = new java.util.concurrent.atomic.AtomicInteger()
@@ -90,7 +102,7 @@ object Bench {
           // countDown on EVERY exit: a worker dying (allocation failure on
           // a pressured heap) must degrade the sample, not hang the bench
           try {
-            val a = new Array[Long](longsPer)
+            val a = bufs(w)
             java.util.Arrays.fill(a, 0x9E3779B9L) // page-in + write-warm
             fault(w)
             barrier.await(barrierTimeoutMs, TimeUnit.MILLISECONDS)
@@ -539,44 +551,86 @@ object Bench {
     * (first-ever stamp on a new box has no envelope to compare against). */
   val QuietMembwFrac = 0.85
   val QuietStealPct  = 0.25
+
+  /** Consecutive quiet polls required before the gate fires. One instant
+    * is not a window: the r13 flicker phase (bandwidth flipping 62↔100
+    * GB/s on SECOND timescales — MembwRamp profile, SCALING.md) let a
+    * single high-streak read fire four runs in a row that were all
+    * contaminated within a minute. Requiring the channels to hold quiet
+    * across several spaced polls trades a few minutes of waiting for not
+    * burning a 10-minute measured run on a coin flip. */
+  val QuietConsecutivePolls = 3
+
+  /** One gate poll verdict from the two ambient channels. Pure — the
+    * flicker/streak logic in [[waitForQuietWindow]] is spec-able against
+    * scripted sample series. `mb` None = invalid probe sample (not
+    * provably quiet); `steal` None = /proc/stat unreadable (steal channel
+    * disarmed, membw-only). */
+  def quietPoll(mb: Option[Double], steal: Option[Double], quietRef: Option[Double]): Boolean = {
+    val membwOk = (quietRef, mb) match {
+      case (Some(q), Some(m)) => m >= QuietMembwFrac * q
+      case (None, Some(_))    => true // no envelope yet: steal-only gate
+      case _                  => false // invalid samples: not provably quiet
+    }
+    membwOk && steal.forall(_ < QuietStealPct)
+  }
+
   def waitForQuietWindow(
       membw: MemBandwidthProbe,
       quietRef: Option[Double],
       maxWaitSecs: Long,
-      pollSecs: Long = 60): Boolean = {
+      pollSecs: Long = 60,
+      consecutive: Int = QuietConsecutivePolls,
+      stealWindowMs: Long = 2000): Boolean =
+    waitForQuietWindowOver(
+      () => {
+        val samples = (1 to 3).flatMap(_ => membw.measure())
+        if (samples.nonEmpty) Some(median(samples)) else None
+      },
+      readProcStat _,
+      quietRef, maxWaitSecs, pollSecs, consecutive, stealWindowMs)
+
+  /** Sampler-injected body of [[waitForQuietWindow]] (spec seam: scripted
+    * bandwidth/steal series exercise the streak and deadline logic). */
+  private[graft] def waitForQuietWindowOver(
+      sampleMembw: () => Option[Double],
+      procStat: () => Option[(Long, Long)],
+      quietRef: Option[Double],
+      maxWaitSecs: Long,
+      pollSecs: Long,
+      consecutive: Int,
+      stealWindowMs: Long): Boolean = {
     val deadline = System.nanoTime() + maxWaitSecs * 1_000_000_000L
     var attempt  = 0
+    var streak   = 0
     while (true) {
       attempt += 1
-      val s0      = readProcStat()
-      val samples = (1 to 3).flatMap(_ => membw.measure())
-      Thread.sleep(2000) // widen the steal window past the probe's own cpu
+      val s0 = procStat()
+      val mb = sampleMembw()
+      Thread.sleep(stealWindowMs) // widen the steal window past the probe's own cpu
       val steal = for {
         (a, t0) <- s0
-        (b, t1) <- readProcStat()
+        (b, t1) <- procStat()
         if t1 > t0
       } yield 100.0 * (b - a) / (t1 - t0)
-      val mb = if (samples.nonEmpty) Some(median(samples)) else None
-      val membwOk = (quietRef, mb) match {
-        case (Some(q), Some(m)) => m >= QuietMembwFrac * q
-        case (None, Some(_))    => true // no envelope yet: steal-only gate
-        case _                  => false // invalid samples: not provably quiet
-      }
-      val stealOk = steal.forall(_ < QuietStealPct)
-      val mbTxt   = mb.map(v => f"$v%.0f MB/s").getOrElse("invalid")
-      val refTxt  = quietRef.map(v => f"$v%.0f").getOrElse("none")
-      val stTxt   = steal.map(v => f"$v%.3f%%").getOrElse("n/a")
+      val quiet = quietPoll(mb, steal, quietRef)
+      streak = if (quiet) streak + 1 else 0
+      val mbTxt  = mb.map(v => f"$v%.0f MB/s").getOrElse("invalid")
+      val refTxt = quietRef.map(v => f"$v%.0f").getOrElse("none")
+      val stTxt  = steal.map(v => f"$v%.3f%%").getOrElse("n/a")
       System.err.println(
         s"[bench] quiet-watch #$attempt: membw=$mbTxt (ref $refTxt), steal=$stTxt -> " +
-          (if (membwOk && stealOk) "QUIET" else "busy"))
-      if (membwOk && stealOk) return true
+          (if (quiet) s"quiet ($streak/$consecutive)" else "busy"))
+      if (streak >= consecutive) return true
       if (System.nanoTime() >= deadline) {
         System.err.println(
           s"[bench] quiet-watch: no quiet window within ${maxWaitSecs}s — proceeding on a " +
             "busy box (the contended-stamp guard still applies)")
         return false
       }
-      Thread.sleep(pollSecs * 1000)
+      // mid-streak confirmation polls are spaced tight (the streak is
+      // probing whether THIS window holds, not searching for a new one)
+      Thread.sleep(if (streak > 0) math.min(pollSecs, 15L) * 1000 else pollSecs * 1000)
     }
     false // unreachable
   }
@@ -685,7 +739,9 @@ object Bench {
     sys.env.get("SPARK_GRAFT_WAIT_QUIET_SECS").map(_.toLong).filter(_ > 0).foreach { maxWait =>
       val ref = sys.env.get("SPARK_GRAFT_QUIET_MEMBW_MBPS").map(_.toDouble).orElse(quietMembw)
       val poll = sys.env.get("SPARK_GRAFT_QUIET_POLL_SECS").map(_.toLong).getOrElse(60L)
-      waitForQuietWindow(membw, ref, maxWait, poll)
+      val consec =
+        sys.env.get("SPARK_GRAFT_QUIET_CONSEC").map(_.toInt).getOrElse(QuietConsecutivePolls)
+      waitForQuietWindow(membw, ref, maxWait, poll, consec)
     }
     val membwStart = membw.measure() // bandwidth snapshot brackets the run
     for {
@@ -821,6 +877,15 @@ object Bench {
     // streaming-bandwidth brackets: the LLC/bus co-tenant channel the spin
     // probe and steal both miss (see MemBandwidthProbe) — MB/s at run
     // start and end, compared against a quiet-era value by a human/judge
+    // Quiesce the JVM before the end sample: the last query's dead
+    // localCheckpoint/persist blocks are still being swept by the
+    // ContextCleaner and the GC tail is active right after a heavy rep —
+    // both eat bus bandwidth and were measured depressing the end bracket
+    // (q77 solo: in-JVM end 34 GB/s while a fresh JVM seconds later read
+    // quiet). A forced collection plus a short settle drains the
+    // self-induced traffic so the end bracket reads the BOX, not the run.
+    System.gc()
+    Thread.sleep(1500)
     val membwEnd = membw.measure()
     // invalid samples (worker death / barrier timeout) are OMITTED, not
     // emitted as inflated numbers; membw_valid:false marks the gap loudly

@@ -417,4 +417,47 @@ class BenchReplaySpec extends AnyFunSuite {
     // unreadable member -> None (disarm, never guess)
     assert(Bench.sourceFingerprint(Seq("src/main/scala/graft/Nope.scala"), root).isEmpty)
   }
+
+  test("quiet gate: a flicker phase cannot fire the gate on one high instant") {
+    // r13 flicker phase: bandwidth flips 62<->100 GB/s on second timescales.
+    // Scripted series against consecutive=3: two isolated highs and a
+    // two-poll streak must NOT fire; only three in a row may.
+    def run(series: Seq[Option[Double]], consecutive: Int, maxWaitSecs: Long = 3600): Boolean = {
+      val it = series.iterator
+      Bench.waitForQuietWindowOver(
+        () => if (it.hasNext) it.next() else Some(0.0), // exhausted -> busy forever
+        () => Some((0L, 1L)),                            // steal 0: membw decides
+        quietRef = Some(100000.0),
+        maxWaitSecs = maxWaitSecs,
+        pollSecs = 0,
+        consecutive = consecutive,
+        stealWindowMs = 1)
+    }
+    val hi = Some(100000.0); val lo = Some(62000.0)
+    // streaks of 1 and 2 between lows: never fires, deadline path returns false
+    assert(!run(Seq(hi, lo, hi, hi, lo, hi, lo), consecutive = 3, maxWaitSecs = 0))
+    // three consecutive quiet polls fire the gate
+    assert(run(Seq(lo, hi, hi, hi), consecutive = 3))
+    // consecutive=1 preserves the old single-poll behavior
+    assert(run(Seq(lo, lo, hi), consecutive = 1))
+    // invalid probe samples are busy, not quiet (never provably quiet)
+    assert(!run(Seq(None, None, None), consecutive = 1, maxWaitSecs = 0))
+  }
+
+  test("quiet gate: one poll verdict — membw threshold, steal threshold, disarmed channels") {
+    val ref = Some(100000.0)
+    // membw at/above 85% of the reference is quiet; below is busy
+    assert(Bench.quietPoll(Some(85000.0), Some(0.0), ref))
+    assert(!Bench.quietPoll(Some(84999.0), Some(0.0), ref))
+    // steal at/above the cap flips busy even at full bandwidth
+    assert(!Bench.quietPoll(Some(120000.0), Some(0.25), ref))
+    assert(Bench.quietPoll(Some(120000.0), Some(0.249), ref))
+    // no envelope yet (first stamp on a new box): steal-only gate
+    assert(Bench.quietPoll(Some(1.0), Some(0.0), None))
+    assert(!Bench.quietPoll(Some(1.0), Some(0.5), None))
+    // unreadable /proc/stat disarms the steal channel (membw-only)
+    assert(Bench.quietPoll(Some(100000.0), None, ref))
+    // invalid membw sample: not provably quiet, regardless of steal
+    assert(!Bench.quietPoll(None, Some(0.0), ref))
+  }
 }
