@@ -72,11 +72,24 @@ object Bench {
     import java.util.concurrent.{CountDownLatch, CyclicBarrier, TimeUnit}
     private val sink     = new java.util.concurrent.atomic.AtomicLong()
     private val longsPer = mibPerThread * ((1 << 20) / 8)
-    // One resident buffer per worker, first-measure initialized: reused
-    // buffers keep every sample on the SAME pages (comparable TLB/huge-page
-    // state) and keep allocation churn out of the timed window.
-    private lazy val buffers: Array[Array[Long]] =
-      Array.fill(threads)(new Array[Long](longsPer))
+    // One buffer per worker, lazily (re-)initialized and REUSED across the
+    // samples of a bracket/gate burst: reused buffers keep every sample on
+    // the SAME pages (comparable TLB/huge-page state) and keep allocation
+    // churn out of the timed window. They must NOT stay resident through
+    // the measured query phase: 0.5 GiB tenured early in the default 8 GiB
+    // bench heap re-priced exactly the heap-heaviest rows (q37 ~10×, q39
+    // ~2× cpu, walls moving with cpu — a GC-pressure signature) the first
+    // time a run carried them end to end. [[release]] between bursts.
+    private var bufsRef: Array[Array[Long]] = null
+    private def buffers: Array[Array[Long]] = {
+      if (bufsRef == null) bufsRef = Array.fill(threads)(new Array[Long](longsPer))
+      bufsRef
+    }
+
+    /** Drop the stream buffers so the measured phase runs with the heap it
+      * would have without the probe; the next measure() reallocates (its
+      * first sample after a realloc is warm-up grade — discard it). */
+    def release(): Unit = bufsRef = null
 
     /** Aggregate streaming read bandwidth in MB/s (one sample), or None
       * when ANY worker died or a barrier/latch timed out. A dead worker
@@ -744,6 +757,7 @@ object Bench {
       waitForQuietWindow(membw, ref, maxWait, poll, consec)
     }
     val membwStart = membw.measure() // bandwidth snapshot brackets the run
+    membw.release() // the queries must not run under 0.5 GiB of probe buffers
     for {
       q <- quietMembw if q > 0
       s <- membwStart if s < MembwDeficitRatio * q
@@ -886,6 +900,7 @@ object Bench {
     // self-induced traffic so the end bracket reads the BOX, not the run.
     System.gc()
     Thread.sleep(1500)
+    membw.measure() // realloc + page-in warm-up after release(), discarded
     val membwEnd = membw.measure()
     // invalid samples (worker death / barrier timeout) are OMITTED, not
     // emitted as inflated numbers; membw_valid:false marks the gap loudly
