@@ -449,6 +449,19 @@ object Bench {
     (dirty, stale)
   }
 
+  /** EVERY baselined row whose recorded src_sha mismatches the current
+    * source fingerprint — independent of whether the row is over the cpu
+    * flag bar. [[cpuDirtyOrStale]]'s stale list only surfaces a mismatched
+    * row once it FLAGS, which let q37/q39 drift silently for two rounds
+    * (their r11 re-price stayed invisible until a regression pushed them
+    * over the bar, r13). This full set is emitted per run as
+    * `_run.stale_sha_rows` so a forgotten refresh is visible on every run,
+    * not just on the run where it finally bites. */
+  def staleShaRows(baseline: Map[String, BaselineRow], current: Map[String, String]): Seq[String] =
+    baseline.collect {
+      case (n, row) if row.srcSha.exists(b => current.get(n).exists(_ != b)) => n
+    }.toSeq.sorted
+
   /** Merge a (quiet, full-context) run's medians into the baseline JSON:
     * measured rows replaced with {wall, cpu, src_sha}, unmeasured rows
     * PRESERVED (so a BENCH_ONLY subset refresh touches exactly the rows it
@@ -881,6 +894,14 @@ object Bench {
     // can see WHEN the load arrived, not just that it did
     val dirtyJson = dirtyUnion.map("\"" + _ + "\"").mkString("[", ",", "]")
     val staleJson = staleCpu.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the FULL sha-mismatch set (flagged or not): a baselined row whose
+    // code changed since its stamp must be visible on every run
+    val staleSha = staleShaRows(baseline, currentSha)
+    if (staleSha.nonEmpty)
+      System.err.println(
+        s"[bench] baseline rows with changed source since stamping (cpu check suppressed " +
+          s"for these — refresh on the next quiet stamp): ${staleSha.mkString(", ")}")
+    val staleShaJson = staleSha.map("\"" + _ + "\"").mkString("[", ",", "]")
     // host steal across the run: attribution for a contended verdict (co-
     // tenant vs in-JVM); absent on non-Linux or unreadable /proc/stat
     val stealJson = (for {
@@ -915,7 +936,7 @@ object Bench {
       smallRatio.map(v => s""","cpu_ratio_median_small":${s3(v)}""").getOrElse("") +
         bigRatio.map(v => s""","cpu_ratio_median_big":${s3(v)}""").getOrElse("")
     val runRow =
-      s""""_run":{"contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"dirty_queries":$dirtyJson,"stale_queries":$staleJson,"dirty_probe":${dirtyProbe.size},"dirty_cpu":${dirtyCpu.size},"baseline_loaded":${baseline.nonEmpty}$stealJson$membwJson$strataJson,"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
+      s""""_run":{"contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"dirty_queries":$dirtyJson,"stale_queries":$staleJson,"stale_sha_rows":$staleShaJson,"dirty_probe":${dirtyProbe.size},"dirty_cpu":${dirtyCpu.size},"baseline_loaded":${baseline.nonEmpty}$stealJson$membwJson$strataJson,"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
     val dirtySet = dirtyUnion.toSet
     val detail = (runRow +: results
       .map { r =>

@@ -460,4 +460,23 @@ class BenchReplaySpec extends AnyFunSuite {
     // invalid membw sample: not provably quiet, regardless of steal
     assert(!Bench.quietPoll(None, Some(0.0), ref))
   }
+
+  test("stale_sha_rows: every sha-mismatched baselined row is visible, flagged or not") {
+    val base = Map(
+      "q37" -> Bench.BaselineRow(2.852, None, Some("aaaa")),  // mismatch, UNDER any flag bar
+      "q39" -> Bench.BaselineRow(10.016, None, Some("bbbb")), // match
+      "q61" -> Bench.BaselineRow(16.269, None, Some("cccc")), // mismatch
+      "q40" -> Bench.BaselineRow(0.212, None, None))          // legacy row, no sha: never stale
+    val cur = Map("q37" -> "XXXX", "q39" -> "bbbb", "q61" -> "YYYY")
+    // q40 has no recorded sha and q39 matches; q37/q61 mismatch regardless of cpu
+    assert(Bench.staleShaRows(base, cur) == Seq("q37", "q61"))
+    // a row whose current fingerprint is unavailable (unreadable owners) is
+    // not PROVABLY stale - it must not appear
+    assert(Bench.staleShaRows(Map("q1" -> Bench.BaselineRow(1.0, None, Some("z"))), Map.empty).isEmpty)
+    // contrast with the flagged-only channel: the same mismatched q37 at a
+    // healthy cpu appears in stale_sha_rows but NOT in cpuDirtyOrStale's
+    // stale list (this asymmetry is the r13 q37/q39 blind spot)
+    val (dirty, staleFlagged) = Bench.cpuDirtyOrStale(Seq("q37" -> 2.9), base, cur)
+    assert(dirty.isEmpty && staleFlagged.isEmpty)
+  }
 }
