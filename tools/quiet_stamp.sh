@@ -13,9 +13,9 @@
 #
 # Usage: tools/quiet_stamp.sh [max_attempts]
 #   env: WAIT (per-attempt quiet-wait budget, s; default 2400)
-#        QUIET_REF (quiet membw reference MB/s; default 90000 — the
-#                   r12-observed peak-era envelope; the first landed stamp
-#                   replaces this with a committed _membw.mbps)
+#        QUIET_REF (quiet membw reference MB/s; OPTIONAL — when unset
+#                   the bench uses the committed _membw.mbps stamp, which
+#                   the r13 landed stamp wrote as 100184)
 set -u
 cd "$(dirname "$0")/.."
 MAX=${1:-4}
@@ -24,7 +24,7 @@ for i in $(seq 1 "$MAX"); do
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   SPARK_GRAFT_WAIT_QUIET_SECS=${WAIT:-2400} \
   SPARK_GRAFT_QUIET_POLL_SECS=120 \
-  SPARK_GRAFT_QUIET_MEMBW_MBPS=${QUIET_REF:-90000} \
+  ${QUIET_REF:+SPARK_GRAFT_QUIET_MEMBW_MBPS=$QUIET_REF} \
   SPARK_GRAFT_WRITE_BASELINE=1 \
   SPARK_GRAFT_BENCH_DETAIL="bench_detail_r13_try$i.json" \
   sbt -batch "runMain graft.Bench" \
