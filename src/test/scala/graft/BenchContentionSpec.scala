@@ -119,4 +119,21 @@ class BenchContentionSpec extends AnyFunSuite {
     assert(Bench.contentionFlags(Seq(0.05, 0.051, 0.049), Seq(1.0, 5.0, 4.0, 3.0))._1)
     assert(!Bench.contentionFlags(Seq(0.05, 0.051, 0.049), Seq(1.0, 1.1))._1)
   }
+
+  test("membw probe: release() frees the buffers and the next measure() recovers") {
+    val p = new Bench.MemBandwidthProbe(threads = 4, mibPerThread = 32, timedPasses = 2)
+    p.measure() // warm (allocates the buffers)
+    val before = p.measure()
+    // release is the query-phase contract: the measured run must not carry
+    // 0.5 GiB of probe buffers through its heap (the r13 q37 10x tax);
+    // the next sample transparently reallocates and still reads plausibly
+    p.release()
+    p.measure() // post-realloc warm-up, discarded by convention
+    val after = p.measure()
+    assert(before.exists(v => v > 300 && v < 1e7), s"pre-release sample implausible: $before")
+    assert(after.exists(v => v > 300 && v < 1e7), s"post-release sample implausible: $after")
+    // releasing twice / releasing before any measure must be harmless
+    p.release(); p.release()
+    assert(p.measure().isDefined)
+  }
 }
