@@ -769,7 +769,16 @@ object Bench {
         sys.env.get("SPARK_GRAFT_QUIET_CONSEC").map(_.toInt).getOrElse(QuietConsecutivePolls)
       waitForQuietWindow(membw, ref, maxWait, poll, consec)
     }
-    val membwStart = membw.measure() // bandwidth snapshot brackets the run
+    // bandwidth snapshot brackets the run — MEDIAN of 3 samples, like the
+    // gate's poll: the box's ambient regime can flip bimodally 62↔100 GB/s
+    // on second timescales (SCALING.md r13), so a single 100 ms sample is a
+    // coin flip between modes (the r13 stamp run's gate read 96–107 and its
+    // single-sample start bracket 61, seconds apart on the same buffers)
+    def bracketSample(): Option[Double] = {
+      val xs = (1 to 3).flatMap(_ => membw.measure())
+      if (xs.nonEmpty) Some(median(xs)) else None
+    }
+    val membwStart = bracketSample()
     membw.release() // the queries must not run under 0.5 GiB of probe buffers
     for {
       q <- quietMembw if q > 0
@@ -922,7 +931,7 @@ object Bench {
     System.gc()
     Thread.sleep(1500)
     membw.measure() // realloc + page-in warm-up after release(), discarded
-    val membwEnd = membw.measure()
+    val membwEnd = bracketSample()
     // invalid samples (worker death / barrier timeout) are OMITTED, not
     // emitted as inflated numbers; membw_valid:false marks the gap loudly
     val membwJson =
