@@ -482,4 +482,38 @@ class FuzzyDedupSpec extends AnyFunSuite {
       spark.sharedState.cacheManager.clearCache()
     }
   }
+
+  test("connectedComponents: random graphs match a union-find reference exactly") {
+    // Five registry queries ride on the pointer-jumped CC loop (q38/q76/
+    // q107/q109/q119); its planted fixtures pin known shapes, this pins the
+    // CONTRACT on adversarial ones: random multigraphs with self-loops and
+    // duplicate/reversed edges, labels == min in-graph id per component,
+    // node set == ids appearing in any pair. Reference: union-find with
+    // min-root union, so each root IS its component minimum.
+    import spark.implicits._
+    val rnd = new scala.util.Random(1303)
+    for (trial <- 1 to 4) {
+      val n = 20 + rnd.nextInt(40)
+      val m = 1 + rnd.nextInt(3 * n)
+      val pairs = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inGraph  = pairs.flatMap { case (a, b) => Seq(a, b) }.toSet
+      val expected = inGraph.map(x => x -> find(x.toInt).toLong).toMap
+      val (labels, rounds) = FuzzyDedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: n=$n m=$m rounds=$rounds")
+      assert(rounds <= FuzzyDedup.MaxCcRounds)
+    }
+  }
 }
