@@ -349,4 +349,36 @@ class PropertySpec extends AnyFunSuite {
       assert(c3.subsetOf(c2), "core nesting violated")
     }
   }
+
+  test("q77: random graphs match an in-memory integer PageRank reference") {
+    // The distributed plan (degree joins, dangling-mass left join + coalesce,
+    // per-round checkpoint) against a 20-line replica of the SAME integer
+    // quantization: rank/outdeg is exact integer division, next rank is
+    // Teleport + floor(0.85 * mass) with the identical IEEE multiply. The
+    // hand-computed chain fixture (Round5OpsSpec) pins the arithmetic; this
+    // pins the PLAN on adversarial shapes — self-referential hubs, dangling
+    // nodes, disconnected pieces. Directed: src -> dst as mined.
+    import spark.implicits._
+    import graft.operators.GraphOps.{Iters, RankScale, Teleport}
+    randomGraphs.foreach { edges =>
+      val dirEdges = edges.map { case (a, b) => (a, b) } // already (min,max): directed low->high
+      val nodes = dirEdges.flatMap(e => Seq(e._1, e._2))
+      val outdeg = dirEdges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val indeg  = dirEdges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      var rank   = nodes.map(_ -> RankScale).toMap
+      for (_ <- 1 to Iters) {
+        val mass = dirEdges.toSeq
+          .map { case (s, d) => d -> rank(s) / outdeg(s) } // exact integer div
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        rank = nodes.map(n => n -> (Teleport + math.floor(0.85 * mass.getOrElse(n, 0L).toDouble).toLong)).toMap
+      }
+      val expected = nodes.map(n => (n, rank(n), outdeg.getOrElse(n, 0L), indeg.getOrElse(n, 0L)))
+      val got = graft.operators.GraphOps
+        .pageRankOver(dirEdges.toSeq.toDF("src", "dst"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"pagerank mismatch on ${dirEdges.size} edges")
+    }
+  }
 }
