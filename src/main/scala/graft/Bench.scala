@@ -55,14 +55,13 @@ object Bench {
     * read bandwidth (MB/s) lands in `_run` as `membw_mbps_{start,end}`.
     * A quiet-era stamp vs a hot run's value turns "the box feels slow"
     * into a measured bandwidth deficit with zero guesswork. The stream
-    * arrays are allocated ONCE per instance and reused across samples:
-    * per-measure fresh allocations made the instrument read its own
-    * allocation churn — a fresh JVM's first samples sat at 61–73 GB/s
-    * while the same quiet box read 92–110 GB/s seconds later (heap
-    * growth + freshly-faulted 4 KiB pages before khugepaged collapses
-    * them to huge pages), so every cold-start bracket understated the
-    * box by up to ~40%. The resident cost is 0.5 GiB against a 128 GiB
-    * heap — negligible next to samples that aren't comparable. */
+    * arrays are lazily allocated and REUSED across the samples of a
+    * burst (per-measure fresh allocations made the instrument read its
+    * own allocation churn — a fresh JVM's first samples sat at 61–73
+    * GB/s while the same quiet box read 92–110 GB/s seconds later), but
+    * must be [[release]]d before the measured query phase: 0.5 GiB
+    * tenured in the default 8 GiB bench heap taxed the heap-heaviest
+    * rows ~2–10× (see the buffer comment below). */
   final class MemBandwidthProbe(
       threads: Int = 8,
       mibPerThread: Int = 64,
