@@ -108,11 +108,22 @@ object Clustering extends QueryModule {
       .zipWithIndex
       .map { case (r, i) => i.toLong -> r.getSeq[Double](0).toArray }
       .toSeq
-    for (_ <- 1 to iters) {
-      val assigned = emb
-        .withColumn("best", nearest(col("qv"), centroids))
-        .select(col("vec_id"), col("label"), col("qv"), col("best.c").as("cid"), col("best.d").as("d"))
-      centroids = update(assigned)
+    if (centroids.isEmpty) {
+      // Empty corpus: there is nothing to fit and nothing to assign. Keep a
+      // single dummy centroid so downstream plans (NearestCentroid, struct
+      // projections) still TYPE-CHECK — with zero rows the expression never
+      // evaluates, so its values are irrelevant — and skip the fit loop,
+      // whose update pass reads the vector dim off a first row that does
+      // not exist. Empty-in → empty-out is the production contract: a
+      // filtered-to-nothing shard must not kill the job (EmptyCorpusSpec).
+      centroids = Seq(0L -> Array(0.0))
+    } else {
+      for (_ <- 1 to iters) {
+        val assigned = emb
+          .withColumn("best", nearest(col("qv"), centroids))
+          .select(col("vec_id"), col("label"), col("qv"), col("best.c").as("cid"), col("best.d").as("d"))
+        centroids = update(assigned)
+      }
     }
     (emb, centroids)
   }
@@ -254,7 +265,9 @@ object Clustering extends QueryModule {
       .getOption("graft.semdedup.maxClusterSize")
       .map(_.toLong)
       .getOrElse(SemDedupDefaultMaxCluster)
-    val biggest = sizes.agg(max(col("n_points"))).head().getLong(0)
+    // coalesce(0): max() over zero clusters is NULL (empty corpus) and the
+    // getLong would throw — an empty corpus trivially satisfies the guard
+    val biggest = sizes.agg(coalesce(max(col("n_points")), lit(0L))).head().getLong(0)
     require(
       biggest <= maxCluster,
       s"semDedup's intra-cluster pair scan is O(cluster²): largest cluster has $biggest vectors " +

@@ -257,8 +257,14 @@ object EventWindows extends QueryModule {
         col("n_view"),
         col("n_click_after"),
         col("n_purchase_after"),
-        round(col("lat_sum_us").cast("double") / col("n_purchase_after"), 6).as("avg_view_to_purchase_us"),
-        round(col("n_purchase_after").cast("double") / col("n_view"), 6).as("conversion")
+        // empty corpus: 0 conversions / 0 viewers -> null metrics (ANSI
+        // division throws); any real corpus takes the original expressions
+        when(
+          col("n_purchase_after") > 0,
+          round(col("lat_sum_us").cast("double") / col("n_purchase_after"), 6)
+        ).as("avg_view_to_purchase_us"),
+        when(col("n_view") > 0, round(col("n_purchase_after").cast("double") / col("n_view"), 6))
+          .as("conversion")
       )
   }
 
@@ -434,7 +440,9 @@ object EventWindows extends QueryModule {
     )
     val top = counts
       .agg(graft.plans.TopKAggregate.topK(struct(col("cnt"), col("user_id")), 1, reversed = Seq(false, true)).as("t"))
-      .select(element_at(col("t"), 1).getField("user_id").as("top_key"))
+      // try_element_at: an empty corpus yields an empty top-k array and
+      // ANSI element_at throws on index 1; null top_key is the honest read
+      .select(try_element_at(col("t"), lit(1)).getField("user_id").as("top_key"))
     def quantile(q: Double, name: String): DataFrame =
       cum
         .crossJoin(totals.select(col("n_keys").as("nk")))

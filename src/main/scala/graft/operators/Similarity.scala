@@ -216,7 +216,12 @@ object Similarity extends QueryModule {
     // per-row array of struct(c_cos, -c_id): array_max = nearest centroid by
     // (rounded cosine DESC, c_id ASC) — the map-side argmax
     def centroidScores(vCol: Column, nrmCol: Column): Column =
-      array(centroids.toIndexedSeq.map { r =>
+      if (centroids.isEmpty)
+        // empty corpus: a typed dummy entry keeps the struct extraction
+        // analyzable (an empty array literal is VOID-typed and fails the
+        // `best.neg_id` field access); zero rows means it never evaluates
+        array(struct(lit(0.0).as("c_cos"), lit(0L).as("neg_id")))
+      else array(centroids.toIndexedSeq.map { r =>
         val cId   = r.getLong(0)
         val cVec  = r.getSeq[Double](1)
         val cNorm = r.getDouble(2)

@@ -260,12 +260,19 @@ object Analytics extends QueryModule {
         col("n_parts"),
         col("n_orders"),
         col("n_rows"),
-        (abs(col("approx_parts") - col("n_parts")).cast(DoubleType) / col("n_parts") <= 0.06)
-          .cast(LongType)
-          .as("parts_ok"),
-        (abs(col("approx_orders") - col("n_orders")).cast(DoubleType) / col("n_orders") <= 0.06)
-          .cast(LongType)
-          .as("orders_ok")
+        // n = 0 only on an empty corpus: no estimate to judge -> null flag
+        // (ANSI division would throw; at any real scale n > 0 and the
+        // branch is the original expression bit-for-bit)
+        when(
+          col("n_parts") > 0,
+          (abs(col("approx_parts") - col("n_parts")).cast(DoubleType) / col("n_parts") <= 0.06)
+            .cast(LongType)
+        ).as("parts_ok"),
+        when(
+          col("n_orders") > 0,
+          (abs(col("approx_orders") - col("n_orders")).cast(DoubleType) / col("n_orders") <= 0.06)
+            .cast(LongType)
+        ).as("orders_ok")
       )
 
   /** The sketch next to the exact counts, unprojected (spec surface).
@@ -417,11 +424,19 @@ object Analytics extends QueryModule {
       .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
       .select(col("o_orderkey"))
       .localCheckpoint()
-    val bf = dimKeys.stat.bloomFilter("o_orderkey", math.max(1L, dimKeys.count()), BloomFpp)
-    val fact = Tables
+    val nKeys = dimKeys.count()
+    val factCols = Tables
       .lineitem(s, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
-      .filter(graft.plans.BloomExpressions.mightContain(bf, col("l_orderkey")))
+    // Spark's stat.bloomFilter aggregate NPEs on a zero-row build side
+    // (null buffer in the merge); an empty dim admits nothing anyway, so
+    // the runtime filter degenerates to false (EmptyCorpusSpec)
+    val fact =
+      if (nKeys == 0) factCols.filter(lit(false))
+      else {
+        val bf = dimKeys.stat.bloomFilter("o_orderkey", nKeys, BloomFpp)
+        factCols.filter(graft.plans.BloomExpressions.mightContain(bf, col("l_orderkey")))
+      }
     fact
       .join(dimKeys.hint("shuffle_hash"), fact("l_orderkey") === dimKeys("o_orderkey"))
       .groupBy("l_returnflag")
@@ -451,7 +466,10 @@ object Analytics extends QueryModule {
           lit(name).as("fk"),
           col("n_rows"),
           col("n_orphans"),
-          round(col("n_orphans").cast("double") / col("n_rows"), 6).as("orphan_frac")
+          // n_rows = 0 only on an empty corpus: no rows -> null fraction
+          // (ANSI division throws); real scales take the original expression
+          when(col("n_rows") > 0, round(col("n_orphans").cast("double") / col("n_rows"), 6))
+            .as("orphan_frac")
         )
     }
     val li = Tables.lineitem(s, dir)
