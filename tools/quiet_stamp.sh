@@ -21,13 +21,17 @@ cd "$(dirname "$0")/.."
 MAX=${1:-4}
 for i in $(seq 1 "$MAX"); do
   echo "[quiet-stamp] attempt $i/$MAX $(date -u '+%F %T') UTC"
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  SPARK_GRAFT_WAIT_QUIET_SECS=${WAIT:-2400} \
-  SPARK_GRAFT_QUIET_POLL_SECS=120 \
-  ${QUIET_REF:+SPARK_GRAFT_QUIET_MEMBW_MBPS=$QUIET_REF} \
-  SPARK_GRAFT_WRITE_BASELINE=1 \
-  SPARK_GRAFT_BENCH_DETAIL="bench_detail_r13_try$i.json" \
-  sbt -batch "runMain graft.Bench" \
+  # an empty ${VAR:+...} expansion would TERMINATE bash's assignment-prefix
+  # parsing (the next VAR=x becomes the command, rc=127) — use env instead
+  REF_OPT=()
+  [ -n "${QUIET_REF:-}" ] && REF_OPT=(SPARK_GRAFT_QUIET_MEMBW_MBPS="$QUIET_REF")
+  env "${REF_OPT[@]}" \
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    SPARK_GRAFT_WAIT_QUIET_SECS=${WAIT:-2400} \
+    SPARK_GRAFT_QUIET_POLL_SECS=120 \
+    SPARK_GRAFT_WRITE_BASELINE=1 \
+    SPARK_GRAFT_BENCH_DETAIL="bench_detail_r13_try$i.json" \
+    sbt -batch "runMain graft.Bench" \
     > "/tmp/quiet_stamp_$i.out" 2> "/tmp/quiet_stamp_$i.err"
   rc=$?
   line=$(grep -o '"contended":[a-z]*' "/tmp/quiet_stamp_$i.out" | head -1)
