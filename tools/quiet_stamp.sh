@@ -14,8 +14,8 @@
 # Usage: tools/quiet_stamp.sh [max_attempts]
 #   env: WAIT (per-attempt quiet-wait budget, s; default 2400)
 #        QUIET_REF (quiet membw reference MB/s; OPTIONAL — when unset
-#                   the bench uses the committed _membw.mbps stamp, which
-#                   the r13 landed stamp wrote as 100184)
+#                   the bench uses the committed _membw.mbps stamp in
+#                   BENCH_BASELINE.json, which restamps keep current)
 set -u
 cd "$(dirname "$0")/.."
 MAX=${1:-4}
