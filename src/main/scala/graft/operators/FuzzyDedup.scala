@@ -667,7 +667,7 @@ object FuzzyDedup extends QueryModule {
     var labels = nodes.withColumn("label", col("node")).localCheckpoint()
 
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
 
     var prevSum = -1L
     var curSum  = labelSum(labels)

@@ -213,6 +213,15 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("v"), col("nrm"))
       .collect()
       .sortBy(_.getLong(0))
+    // the dummy-centroid branch below is ONLY for the empty corpus; a
+    // NON-empty corpus with no vec_id < 16 rows is a mis-keyed input and
+    // must fail loudly here, not silently return zero rows (the isEmpty
+    // probe is a limit-1 job and runs only on the already-degenerate path)
+    if (centroids.isEmpty)
+      require(
+        emb.isEmpty,
+        "ivfKnn: no centroid rows (vec_id < 16) found in a non-empty corpus — " +
+          "centroid keying assumes vec_ids start at 0")
     // per-row array of struct(c_cos, -c_id): array_max = nearest centroid by
     // (rounded cosine DESC, c_id ASC) — the map-side argmax
     def centroidScores(vCol: Column, nrmCol: Column): Column =
