@@ -961,6 +961,30 @@ object TrainingPrep extends QueryModule {
     * running sum — density lives in [0, 1e6] ppm, so ≤ 21 bands. */
   val DensityBand = 50000L
 
+  /** Shared (doc_id, extra…, toks, dtoks, density, band) frame for the
+    * density-banded two-phase ranks (q129/q132). Null-text contract
+    * (reference P3 semantics — nullify and continue, never throw,
+    * `/root/reference/src/animals_etl/pipeline.py:67-70`): a null `text` is
+    * a ZERO-TOKEN document — toks/dtoks coalesce to 0 and density defines
+    * 0/0 := 0 ppm — so `band` is never null and the bounded band-model
+    * collects downstream never read a null row (`ROW_VALUE_IS_NULL` on a
+    * failed-scrape batch was a driver-side job killer, r13 probe). On any
+    * real row (`split` of non-null text is never empty) every expression is
+    * bit-for-bit the unguarded original. */
+  private def densityBanded(docs: DataFrame, extra: Column*): DataFrame = {
+    val toksCol = TextAnalysis.tokens(col("text"))
+    docs
+      .select(
+        (col("doc_id") +: extra) ++ Seq(
+          coalesce(size(toksCol).cast(LongType), lit(0L)).as("toks"),
+          coalesce(size(array_distinct(toksCol)).cast(LongType), lit(0L)).as("dtoks")): _*)
+      .withColumn(
+        "density",
+        when(col("toks") === 0L, lit(0L))
+          .otherwise(call_function("div", col("dtoks") * lit(1000000L), col("toks"))))
+      .withColumn("band", call_function("div", col("density"), lit(DensityBand)))
+  }
+
   /** q129: token-budget corpus selection — the curation step that turns
     * "we can afford B training tokens" into a concrete document set:
     * rank every doc by a quality-density score (here distinct-token ratio
@@ -980,20 +1004,7 @@ object TrainingPrep extends QueryModule {
     * driver-side — a bounded model, like q70's centroids. Output is
     * per-source accounting (|sources| rows). */
   def tokenBudgetSelect(s: SparkSession, dir: String): DataFrame = {
-    val toksCol = TextAnalysis.tokens(col("text"))
-    val d = Tables
-      .documentsDistributed(s, dir)
-      .select(
-        col("doc_id"),
-        col("source"),
-        size(toksCol).cast(LongType).as("toks"),
-        size(array_distinct(toksCol)).cast(LongType).as("dtoks")
-      )
-      .withColumn(
-        "density",
-        call_function("div", col("dtoks") * lit(1000000L), col("toks"))
-      )
-      .withColumn("band", call_function("div", col("density"), lit(DensityBand)))
+    val d = densityBanded(Tables.documentsDistributed(s, dir), col("source"))
     // Bounded collect: ≤ 21 (band, token-total) rows — the "model" from
     // which the budget and the per-band offsets both derive.
     val bandTotals: Array[(Long, Long)] = d
@@ -1123,19 +1134,7 @@ object TrainingPrep extends QueryModule {
     * main phase's. No task ever sees a globally ordered corpus; every
     * exchange carries (doc_id, hash) pairs. */
   def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
-    val toksCol = TextAnalysis.tokens(col("text"))
-    val d = Tables
-      .documentsDistributed(s, dir)
-      .select(
-        col("doc_id"),
-        size(toksCol).cast(LongType).as("toks"),
-        size(array_distinct(toksCol)).cast(LongType).as("dtoks")
-      )
-      .withColumn(
-        "density",
-        call_function("div", col("dtoks") * lit(1000000L), col("toks"))
-      )
-      .withColumn("band", call_function("div", col("density"), lit(DensityBand)))
+    val d = densityBanded(Tables.documentsDistributed(s, dir))
     // bounded collect: ≤ 21 (band, count) rows — the anneal-cut model
     val bandCounts: Array[(Long, Long)] = d
       .groupBy("band")
