@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -17,13 +17,55 @@ import graft.{QueryModule, Tables}
   * Scala analogue of `mapInPandas` — one codec instance per partition, not
   * per row), and partition-count control for decoder parallelism.
   *
-  * Oracle caveat (documented, enforced by the generator): q52/q53's
-  * char-level SQL (string_split / substring on `text`) equals this byte-level
-  * path only for single-byte UTF-8 payloads — the synthetic `documents.text`
-  * is ASCII by construction. Real multimodal payloads are opaque bytes and
-  * never round-trip through a char oracle.
+  * Fixture (r14): media payloads derive from `doc_id` ALONE
+  * ([[syntheticPayload]] — repeated md5-hex, so both sides of the oracle can
+  * rebuild the bytes), NOT from `text`: the r13 null-text probe showed a
+  * text-coupled fixture conflates the decode seam with the corpus — a
+  * failed-scrape batch (null text) must not even touch the media path.
+  * Every [[CorruptMod]]-th doc carries a NULL payload: the planted
+  * decode-failure row that keeps the quarantine path exercised on real data.
+  *
+  * Decode-failure contract (reference P2/P3 semantics — drop or
+  * nullify-and-count, never throw, `/root/reference/src/animals_etl/
+  * pipeline.py:39-43,67-70`): a null payload or a throwing codec yields a
+  * typed failure row from [[decodeSafe]] (the [[graft.etl.Quarantine]]
+  * analogue at the mapPartitions seam — reasons travel WITH the rows), and
+  * per-doc feature/frame stages drop the row. A task failure on bad media
+  * bytes would be a job killer at 100 TB, where corrupt payloads are
+  * routine.
+  *
+  * Oracle caveat: q52/q53's char-level SQL (substring/ascii on the rebuilt
+  * payload string) equals this byte-level path only for single-byte UTF-8 —
+  * md5 hex is ASCII by construction. Real multimodal payloads are opaque
+  * bytes and never round-trip through a char oracle.
   */
 object Multimodal extends QueryModule {
+
+  /** Every doc_id ≡ 0 (mod this) carries a NULL payload — the planted
+    * decode-failure row (97 is prime, so the corrupt set cuts across every
+    * source/lang stratum). */
+  val CorruptMod = 97L
+
+  /** Payload length knob: md5-hex (32 ASCII chars) repeated 1..this times →
+    * 32–992 bytes, 1–4 strided frames under [[sampleFrames]]'s defaults. */
+  val PayloadRepMod = 31L
+
+  /** The synthetic media payload for `doc_id`: repeated md5 hex of the id —
+    * a function of the KEY only, so (a) a DuckDB oracle rebuilds the exact
+    * bytes, (b) null/garbage `text` can't reach the media path, and (c)
+    * every [[CorruptMod]]-th row is NULL to keep the failure channel hot. */
+  def syntheticPayload(docId: Column): Column =
+    when(docId % lit(CorruptMod) === 0, lit(null).cast(BinaryType))
+      .otherwise(
+        encode(
+          repeat(md5(docId.cast(StringType)), (docId % lit(PayloadRepMod) + lit(1)).cast(IntegerType)),
+          "UTF-8"))
+
+  /** The oracle-side twin of [[syntheticPayload]], spliced into each query's
+    * SQL — one definition, not four hand-maintained copies. */
+  private val PayloadSql =
+    """CASE WHEN doc_id % 97 = 0 THEN NULL
+      |  ELSE repeat(md5(CAST(doc_id AS VARCHAR)), CAST(doc_id % 31 + 1 AS INTEGER)) END""".stripMargin
 
   case class MediaRecord(doc_id: Long, payload: Array[Byte])
   case class MediaMeta(
@@ -106,22 +148,52 @@ object Multimodal extends QueryModule {
     }
   }
 
-  /** Typed decode stage: one codec instance per partition (constructed by
-    * FQN on the executor, `open()` once), batch iteration — the distributed
-    * decode shape a real pipeline needs. */
+  /** One decode attempt, quarantine-style: `meta` populated on success,
+    * null on failure with `err` naming the reason — the row-level failure
+    * travels WITH the data (never a task failure), exactly like
+    * [[graft.etl.Quarantine]]'s `_quarantine_reasons` but at the
+    * mapPartitions seam where column rules can't reach. */
+  final case class DecodeResult(doc_id: Long, err: String, meta: MediaMeta) {
+    def ok: Boolean = err == null
+  }
+
+  /** Typed decode stage with the failure channel: one codec instance per
+    * partition (constructed by FQN on the executor, `open()` once), batch
+    * iteration — the distributed decode shape a real pipeline needs. A null
+    * payload never reaches the codec; a throwing codec (corrupt bytes — the
+    * JDK image readers throw RuntimeExceptions on truncated input) yields a
+    * failure row naming the exception, not a dead task. */
+  def decodeSafe(
+      media: Dataset[MediaRecord],
+      codecClass: String = classOf[FakeCodec].getName
+  ): Dataset[DecodeResult] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = MediaCodec.byName(codecClass)
+      codec.open()
+      it.map { r =>
+        if (r.payload == null) DecodeResult(r.doc_id, "null_payload", null)
+        else
+          try DecodeResult(r.doc_id, null, codec.decode(r.doc_id, r.payload))
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              DecodeResult(r.doc_id, s"decode_error:${e.getClass.getSimpleName}", null)
+          }
+      }
+    }
+  }
+
+  /** Successful decodes only — the P2 drop view over [[decodeSafe]]. */
   def decodeAll(
       media: Dataset[MediaRecord],
       codecClass: String = classOf[FakeCodec].getName
   ): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      val codec = MediaCodec.byName(codecClass)
-      codec.open()
-      it.map(r => codec.decode(r.doc_id, r.payload))
-    }
+    decodeSafe(media, codecClass).filter(_.ok).map(_.meta)
   }
 
-  /** Documents' text bytes treated as opaque media payloads.
+  /** The media frame: doc keys joined with their [[syntheticPayload]]
+    * (doc_id-derived — independent of `text` by design, see the header).
     *
     * Fan-out (`documentsDistributed`), per the per-site policy: every
     * consumer of this frame is per-row CPU (codec decode, byte
@@ -136,39 +208,45 @@ object Multimodal extends QueryModule {
     import s.implicits._
     Tables
       .documentsDistributed(s, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), syntheticPayload(col("doc_id")).as("payload"))
       .as[MediaRecord]
   }
 
   /** Oracle-checkable binary metadata: byte length, md5, header hex — pure
-    * built-ins (the codegen'd subset of the decode). */
-  def binaryMeta(s: SparkSession, dir: String): DataFrame =
+    * built-ins (the codegen'd subset of the decode). Null payloads
+    * null-propagate (P3 semantics: the row survives with null metadata and
+    * its id — never dropped silently, never thrown). */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame = {
+    val payload = syntheticPayload(col("doc_id"))
     Tables
-      .documentsDistributed(s, dir) // per-row md5/encode: same fan-out rationale as [[mediaFromDocuments]]
+      .documentsDistributed(s, dir) // per-row md5: same fan-out rationale as [[mediaFromDocuments]]
       .select(
         col("doc_id"),
-        length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),
-        md5(encode(col("text"), "UTF-8")).as("checksum"),
-        lower(hex(substring(encode(col("text"), "UTF-8"), 1, 8))).as("header_hex")
+        length(payload).cast(LongType).as("n_bytes"),
+        md5(payload).as("checksum"),
+        lower(hex(substring(payload, 1, 8))).as("header_hex")
       )
+  }
 
   /** Decoded metadata aggregated per source — exercises the mapPartitions
-    * decode path end-to-end (fake widths/heights are deterministic, so this
-    * is still oracle-checkable via byte arithmetic in SQL). */
+    * decode path end-to-end, WITH the failure channel: `n_failed` counts
+    * quarantined rows per source (the planted [[CorruptMod]] rows land
+    * here), and the metric sums cover successful decodes only (sum over a
+    * null meta field skips it — same as the SQL oracle's sum-over-NULL). */
   def decodeStats(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val src  = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    val meta = decodeAll(mediaFromDocuments(s, dir))
+    val meta = decodeSafe(mediaFromDocuments(s, dir))
     meta
       .toDF()
       .join(src, Seq("doc_id"))
       .groupBy("source")
       .agg(
-        count(lit(1)).as("n_media"),
-        sum(col("n_bytes")).as("total_bytes"),
-        sum(col("width").cast(LongType)).as("sum_width"),
-        sum(col("height").cast(LongType)).as("sum_height"),
-        sum(col("n_frames").cast(LongType)).as("sum_frames")
+        count(col("meta")).as("n_media"),
+        (count(lit(1)) - count(col("meta"))).as("n_failed"),
+        sum(col("meta.n_bytes")).as("total_bytes"),
+        sum(col("meta.width").cast(LongType)).as("sum_width"),
+        sum(col("meta.height").cast(LongType)).as("sum_height"),
+        sum(col("meta.n_frames").cast(LongType)).as("sum_frames")
       )
   }
 
@@ -193,7 +271,9 @@ object Multimodal extends QueryModule {
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.map { r =>
+      // P2 drop semantics: an undecodable (null) payload contributes no
+      // feature row — and never a task failure
+      it.filter(_.payload != null).map { r =>
         val p      = r.payload
         val n      = p.length
         val (w, h) = FakeCodec.headerDims(p) // q50's decode dims, one formula
@@ -216,7 +296,8 @@ object Multimodal extends QueryModule {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      it.flatMap { r =>
+      // P2 drop: a null payload samples zero frames, never a task failure
+      it.filter(_.payload != null).flatMap { r =>
         val n = r.payload.length
         (0 to (if (n == 0) 0 else (n - 1) / stride)).iterator.map { i =>
           val off   = i * stride
@@ -244,49 +325,55 @@ object Multimodal extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "q50_binary_meta" ->
-      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |  md5(text) AS checksum,
-        |  lower(hex(encode(substring(text, 1, 8)))) AS header_hex
-        |FROM documents""".stripMargin,
+      s"""WITH m AS (SELECT doc_id, $PayloadSql AS p FROM documents)
+         |SELECT doc_id, CAST(octet_length(CAST(p AS BLOB)) AS BIGINT) AS n_bytes,
+         |  md5(p) AS checksum,
+         |  lower(hex(encode(substring(p, 1, 8)))) AS header_hex
+         |FROM m""".stripMargin,
     "q52_media_features" ->
-      """WITH m AS (
-        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
-        |    (ascii(substring(text, 1, 1)) % 128) + 1 AS w,
-        |    (ascii(substring(text, 2, 1)) % 128) + 1 AS h
-        |  FROM documents
-        |),
-        |s AS (SELECT *, least(64.0 / w, 64.0 / h, 1.0) AS scale FROM m),
-        |b AS (
-        |  SELECT doc_id, n,
-        |    greatest(1, CAST(floor(w * scale) AS BIGINT)) AS rw,
-        |    greatest(1, CAST(floor(h * scale) AS BIGINT)) AS rh,
-        |    len(list_filter(string_split(text, ''), c -> (ascii(c) // 32) = 0)) AS b0,
-        |    len(list_filter(string_split(text, ''), c -> (ascii(c) // 32) = 1)) AS b1,
-        |    len(list_filter(string_split(text, ''), c -> (ascii(c) // 32) = 2)) AS b2,
-        |    len(list_filter(string_split(text, ''), c -> (ascii(c) // 32) = 3)) AS b3
-        |  FROM s
-        |)
-        |SELECT doc_id, n AS n_bytes, rw, rh,
-        |  -- n = 0 must yield 0.0, not 0/0 -> NULL, matching the Scala path
-        |  CASE WHEN n = 0 THEN 0.0 ELSE floor(CAST(b0 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 END AS bin0,
-        |  CASE WHEN n = 0 THEN 0.0 ELSE floor(CAST(b1 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 END AS bin1,
-        |  CASE WHEN n = 0 THEN 0.0 ELSE floor(CAST(b2 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 END AS bin2,
-        |  CASE WHEN n = 0 THEN 0.0 ELSE floor(CAST(b3 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 END AS bin3
-        |FROM b""".stripMargin,
+      s"""WITH m0 AS (SELECT doc_id, $PayloadSql AS p FROM documents),
+         |m AS (
+         |  SELECT doc_id, p, CAST(length(p) AS BIGINT) AS n,
+         |    (ascii(substring(p, 1, 1)) % 128) + 1 AS w,
+         |    (ascii(substring(p, 2, 1)) % 128) + 1 AS h
+         |  FROM m0 WHERE p IS NOT NULL
+         |),
+         |s AS (SELECT *, least(64.0 / w, 64.0 / h, 1.0) AS scale FROM m),
+         |b AS (
+         |  SELECT doc_id, n,
+         |    greatest(1, CAST(floor(w * scale) AS BIGINT)) AS rw,
+         |    greatest(1, CAST(floor(h * scale) AS BIGINT)) AS rh,
+         |    len(list_filter(string_split(p, ''), c -> (ascii(c) // 32) = 0)) AS b0,
+         |    len(list_filter(string_split(p, ''), c -> (ascii(c) // 32) = 1)) AS b1,
+         |    len(list_filter(string_split(p, ''), c -> (ascii(c) // 32) = 2)) AS b2,
+         |    len(list_filter(string_split(p, ''), c -> (ascii(c) // 32) = 3)) AS b3
+         |  FROM s
+         |)
+         |SELECT doc_id, n AS n_bytes, rw, rh,
+         |  -- n = 0 must yield 0.0, not 0/0 -> NULL, matching the Scala path
+         |  CASE WHEN n = 0 THEN 0.0 ELSE floor(CAST(b0 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 END AS bin0,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE floor(CAST(b1 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 END AS bin1,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE floor(CAST(b2 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 END AS bin2,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE floor(CAST(b3 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 END AS bin3
+         |FROM b""".stripMargin,
     "q53_frame_sample" ->
-      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-        |  md5(substring(text, CAST(i * 256 + 1 AS INTEGER), 16)) AS frame_md5
-        |FROM (
-        |  SELECT doc_id, text,
-        |    unnest(generate_series(0, CAST((length(text) - 1) // 256 AS BIGINT))) AS i
-        |  FROM documents
-        |)""".stripMargin,
+      s"""WITH m AS (SELECT doc_id, $PayloadSql AS p FROM documents)
+         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         |  md5(substring(p, CAST(i * 256 + 1 AS INTEGER), 16)) AS frame_md5
+         |FROM (
+         |  SELECT doc_id, p,
+         |    unnest(generate_series(0, CAST((length(p) - 1) // 256 AS BIGINT))) AS i
+         |  FROM m WHERE p IS NOT NULL
+         |)""".stripMargin,
     "q51_decode_stats" ->
-      """SELECT source, count(*) AS n_media,
-        |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
-        |  CAST(sum((ascii(substring(text, 1, 1)) % 128) + 1) AS BIGINT) AS sum_width,
-        |  CAST(sum((ascii(substring(text, 2, 1)) % 128) + 1) AS BIGINT) AS sum_height,
-        |  CAST(sum(octet_length(CAST(text AS BLOB)) // 1024 + 1) AS BIGINT) AS sum_frames
-        |FROM documents GROUP BY source""".stripMargin
+      s"""WITH m AS (SELECT doc_id, source, $PayloadSql AS p FROM documents)
+         |SELECT source,
+         |  count(p) AS n_media,
+         |  count(*) - count(p) AS n_failed,
+         |  CAST(sum(octet_length(CAST(p AS BLOB))) AS BIGINT) AS total_bytes,
+         |  CAST(sum((ascii(substring(p, 1, 1)) % 128) + 1) AS BIGINT) AS sum_width,
+         |  CAST(sum((ascii(substring(p, 2, 1)) % 128) + 1) AS BIGINT) AS sum_height,
+         |  CAST(sum(octet_length(CAST(p AS BLOB)) // 1024 + 1) AS BIGINT) AS sum_frames
+         |FROM m GROUP BY source""".stripMargin
   )
 }

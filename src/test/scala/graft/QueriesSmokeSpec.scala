@@ -51,6 +51,41 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(metas.forall(m => m.checksum == "const" && m.width == 1 && m.height == 2 && m.n_frames == 3))
   }
 
+  test("planted corrupt media rows quarantine as failure rows, never task failures") {
+    import graft.operators.Multimodal
+    val media = Multimodal.mediaFromDocuments(spark, dir)
+    val expectedCorrupt = Tables
+      .documents(spark, dir)
+      .collect()
+      .map(_.getAs[Long]("doc_id"))
+      .filter(_ % Multimodal.CorruptMod == 0)
+      .toSet
+    assert(expectedCorrupt.nonEmpty, "fixture must plant at least one corrupt row")
+    val results = Multimodal.decodeSafe(media).collect()
+    val failed  = results.filterNot(_.ok)
+    assert(failed.map(_.doc_id).toSet == expectedCorrupt)
+    assert(failed.forall(r => r.err == "null_payload" && r.meta == null))
+    assert(results.filter(_.ok).map(_.doc_id).toSet ==
+      (results.map(_.doc_id).toSet -- expectedCorrupt))
+    // and the P2 drop views exclude exactly the corrupt ids
+    val featIds = Multimodal.mediaFeatures(spark, dir).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(featIds.intersect(expectedCorrupt).isEmpty)
+    val q51 = Multimodal.decodeStats(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_failed")).collect()(0).getLong(0)
+    assert(q51 == expectedCorrupt.size.toLong)
+  }
+
+  test("a throwing codec yields decode_error rows, not a dead task") {
+    import graft.operators.Multimodal
+    val media = Multimodal.mediaFromDocuments(spark, dir)
+    val res   = Multimodal.decodeSafe(media, classOf[ThrowingCodec].getName).collect()
+    assert(res.nonEmpty && res.forall(!_.ok))
+    // null payloads are pre-quarantined (codec never sees them); the rest
+    // carry the codec's exception class in the reason channel
+    assert(res.forall(r => r.err == "null_payload" || r.err == "decode_error:IllegalStateException"))
+    assert(res.exists(_.err.startsWith("decode_error:")))
+  }
+
   test("q46 bin ids are chunk-width invariant (two-phase offset composition)") {
     import org.apache.spark.sql.functions.col
     def rows(chunk: Long) =
@@ -91,4 +126,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
 class ConstCodec extends graft.operators.Multimodal.MediaCodec {
   override def decode(docId: Long, payload: Array[Byte]): graft.operators.Multimodal.MediaMeta =
     graft.operators.Multimodal.MediaMeta(docId, payload.length.toLong, "const", 1, 2, 3)
+}
+
+/** Always-throwing codec — the corrupt-bytes stand-in for the
+  * decode-failure-row contract test. */
+class ThrowingCodec extends graft.operators.Multimodal.MediaCodec {
+  override def decode(docId: Long, payload: Array[Byte]): graft.operators.Multimodal.MediaMeta =
+    throw new IllegalStateException("unparseable media payload")
 }
