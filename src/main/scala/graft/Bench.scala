@@ -80,14 +80,21 @@ object Bench {
     // ~2× cpu, walls moving with cpu — a GC-pressure signature) the first
     // time a run carried them end to end. [[release]] between bursts.
     private var bufsRef: Array[Array[Long]] = null
+    // set on every (re)allocation; measureInjecting burns one unrecorded
+    // warm-up sample while it's pending — see the discard note there
+    private var warmupPending = false
     private def buffers: Array[Array[Long]] = {
-      if (bufsRef == null) bufsRef = Array.fill(threads)(new Array[Long](longsPer))
+      if (bufsRef == null) {
+        bufsRef = Array.fill(threads)(new Array[Long](longsPer))
+        warmupPending = true
+      }
       bufsRef
     }
 
     /** Drop the stream buffers so the measured phase runs with the heap it
-      * would have without the probe; the next measure() reallocates (its
-      * first sample after a realloc is warm-up grade — discard it). */
+      * would have without the probe; the next measure() reallocates and
+      * auto-discards its own warm-up sample (mechanical since r14 — no
+      * caller convention to forget). */
     def release(): Unit = bufsRef = null
 
     /** Aggregate streaming read bandwidth in MB/s (one sample), or None
@@ -105,7 +112,31 @@ object Bench {
     /** Spec seam: `fault(workerIdx)` runs after allocation, before the
       * start barrier — throw from it to simulate a worker death. */
     private[graft] def measureInjecting(fault: Int => Unit): Option[Double] = {
-      val bufs     = buffers // materialize outside the workers: one failure point
+      // materialize outside the workers: one failure point — but allocation
+      // failure on a pressured heap must still degrade the SAMPLE to None
+      // (the class contract), not abort the bench out of measure()
+      val bufs =
+        try buffers
+        catch { case e @ (_: OutOfMemoryError | scala.util.control.NonFatal(_)) =>
+          System.err.println(s"[membw] buffer allocation failed, sample invalid: $e")
+          return None
+        }
+      // MECHANICAL warm-up discard: the first sample on freshly-allocated
+      // buffers is page-fault/TLB grade (fresh-JVM firsts read 61–73 GB/s
+      // on a box whose settled samples read 92–110) — it was discarded by
+      // comment-documented caller convention through r13, which a future
+      // edit could silently stamp. Now the probe itself burns one unrecorded
+      // sample after every (re)allocation; no call site can forget.
+      if (warmupPending) {
+        warmupPending = false
+        sampleOnce(bufs, fault)
+        ()
+      }
+      sampleOnce(bufs, fault)
+    }
+
+    /** One barrier-coordinated sample over already-materialized buffers. */
+    private def sampleOnce(bufs: Array[Array[Long]], fault: Int => Unit): Option[Double] = {
       val barrier  = new CyclicBarrier(threads + 1)
       val done     = new CountDownLatch(threads)
       val failed   = new java.util.concurrent.atomic.AtomicInteger()
@@ -476,12 +507,22 @@ object Bench {
     * false-flags); tightening after a real cost reduction is a hand edit,
     * exactly like the original hi-mode stamps. Pure: bytes in, bytes out
     * (spec surface). */
+  /** Rows whose quiet wall sits under this are stamped from the MEDIAN of
+    * the clean-run history instead of the single stamp run: a sub-0.3 s
+    * wall is noise-dominated (scheduler/GC granularity), so the record-
+    * quiet-window stamp convention that makes big rows a tight regression
+    * tripwire makes tiny rows false-trip the 2× rule (r13: q87 "2.04×" on
+    * a 0.15 s stamp, 1.66× on a clean run, not dirty-flagged). Big rows
+    * keep the tight single-run stamp. */
+  val SmallRowWallSec = 0.3
+
   def mergeBaseline(
       prev: Option[Array[Byte]],
       rows: Seq[(String, Double, Double)],
       currentSha: Map[String, String],
       sfDir: String,
-      membwMbps: Option[Double] = None): Array[Byte] = {
+      membwMbps: Option[Double] = None,
+      histWalls: Map[String, Seq[Double]] = Map.empty): Array[Byte] = {
     val mapper   = new com.fasterxml.jackson.databind.ObjectMapper()
     val prevRoot = prev.map(mapper.readTree).getOrElse(mapper.createObjectNode())
     val prevSf   = Option(prevRoot.get("_sf")).flatMap(n => Option(n.get("dir"))).map(_.asText())
@@ -510,7 +551,17 @@ object Bench {
       val prevHi  = prevRow.flatMap(n => Option(n.get("cpu_sec"))).map(_.asDouble())
       val prevSha = prevRow.flatMap(n => Option(n.get("src_sha"))).map(_.asText())
       val row = out.putObject(name)
-      row.put("wall_sec", r3(wall))
+      // small-row policy (see [[SmallRowWallSec]]): median of clean-run
+      // history + this run when >= 3 samples exist — but ONLY while the
+      // row's code is unchanged since its last stamp (history walls price
+      // the OLD code; a changed row takes a fresh point stamp and earns
+      // back the median as clean history accumulates on the new code)
+      val hist = histWalls.getOrElse(name, Nil)
+      val codeUnchanged = prevSha.isDefined && prevSha == currentSha.get(name)
+      val wallStamp =
+        if (wall < SmallRowWallSec && hist.size >= 2 && codeUnchanged) median(hist :+ wall)
+        else wall
+      row.put("wall_sec", r3(wallStamp))
       // dual-mode rows: envelope update (hi=max, lo=min); point rows: replace
       row.put("cpu_sec", r3(if (prevLo.isDefined) math.max(prevHi.getOrElse(0.0), cpuSec) else cpuSec))
       prevLo.foreach(lo => row.put("cpu_lo", r3(math.min(lo, cpuSec))))
@@ -533,6 +584,41 @@ object Bench {
       } else currentSha.get(name).foreach(row.put("src_sha", _))
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(out)
+  }
+
+  /** Per-query wall history from a directory of archived bench_detail
+    * JSONs, CLEAN samples only: runs flagged contended are skipped
+    * wholesale, and per-row `dirty:true` entries are skipped individually —
+    * a contaminated wall in the median would defeat the small-row policy
+    * it feeds ([[SmallRowWallSec]]). Unreadable files are skipped loudly
+    * (history is an optimization, never a stamp blocker). */
+  def cleanWallHistory(dir: java.nio.file.Path): Map[String, Seq[Double]] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val files =
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.matches("bench_detail.*\\.json"))
+        .toSeq.sortBy(_.getFileName.toString)
+    files.foldLeft(Map.empty[String, Seq[Double]]) { (acc, f) =>
+      try {
+        val root = mapper.readTree(java.nio.file.Files.readAllBytes(f))
+        val contended =
+          Option(root.get("_run")).flatMap(r => Option(r.get("contended"))).exists(_.asBoolean())
+        if (contended) acc
+        else
+          root.fieldNames().asScala.filterNot(_.startsWith("_")).foldLeft(acc) { (a, name) =>
+            val node  = root.get(name)
+            val dirty = Option(node.get("dirty")).exists(_.asBoolean())
+            Option(node.get("wall_sec")).filterNot(_ => dirty).map(_.asDouble()) match {
+              case Some(w) => a.updated(name, a.getOrElse(name, Nil) :+ w)
+              case None    => a
+            }
+          }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] skipping unreadable history file $f: $e"); acc
+      }
+    }
   }
 
   /** (steal, total) jiffies from the aggregate `cpu ` line of a
@@ -758,14 +844,19 @@ object Bench {
     val probe = new ContentionProbe
     (1 to 3).foreach(_ => probe.spin()) // JIT-warm the probe loop itself
     val membw = new MemBandwidthProbe()
-    membw.measure() // JIT/allocator warm-up sample, discarded
+    // allocation/page-in warm-up is auto-discarded inside the probe since
+    // r14; this first call additionally absorbs JIT of the measure loop
+    membw.measure()
     // optional quiet-window gate: block the run start until the ambient
     // channels read quiet (or the deadline passes) — see waitForQuietWindow
     sys.env.get("SPARK_GRAFT_WAIT_QUIET_SECS").map(_.toLong).filter(_ > 0).foreach { maxWait =>
       val ref = sys.env.get("SPARK_GRAFT_QUIET_MEMBW_MBPS").map(_.toDouble).orElse(quietMembw)
       val poll = sys.env.get("SPARK_GRAFT_QUIET_POLL_SECS").map(_.toLong).getOrElse(60L)
       val consec =
-        sys.env.get("SPARK_GRAFT_QUIET_CONSEC").map(_.toInt).getOrElse(QuietConsecutivePolls)
+        // clamp to >= 1: a zero/negative override would satisfy the gate on
+        // the FIRST poll even when it reads busy (streak 0 >= 0), silently
+        // defeating the quiet wait
+        math.max(1, sys.env.get("SPARK_GRAFT_QUIET_CONSEC").map(_.toInt).getOrElse(QuietConsecutivePolls))
       waitForQuietWindow(membw, ref, maxWait, poll, consec)
     }
     // bandwidth snapshot brackets the run — MEDIAN of 3 samples, like the
@@ -929,7 +1020,8 @@ object Bench {
     // self-induced traffic so the end bracket reads the BOX, not the run.
     System.gc()
     Thread.sleep(1500)
-    membw.measure() // realloc + page-in warm-up after release(), discarded
+    // realloc + page-in warm-up after release() is auto-discarded inside
+    // the probe (mechanical since r14) — bracketSample() starts clean
     val membwEnd = bracketSample()
     // invalid samples (worker death / barrier timeout) are OMITTED, not
     // emitted as inflated numbers; membw_valid:false marks the gap loudly
@@ -1017,6 +1109,13 @@ object Bench {
         val p = java.nio.file.Paths.get(baselinePath)
         val prev =
           if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readAllBytes(p)) else None
+        // clean-run wall history feeds the small-row median policy; its
+        // absence (fresh checkout, CWD elsewhere) degrades to point stamps
+        val histDir = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_HISTORY_DIR", "bench_history"))
+        val histWalls =
+          if (java.nio.file.Files.isDirectory(histDir)) cleanWallHistory(histDir)
+          else Map.empty[String, Seq[Double]]
         java.nio.file.Files.write(
           p,
           mergeBaseline(
@@ -1026,7 +1125,8 @@ object Bench {
             sfDir,
             // never stamp a sample in which any worker died: an invalid
             // bracket yields None here, which PRESERVES a previous stamp
-            (membwStart.toSeq ++ membwEnd.toSeq).reduceOption[Double](math.max)))
+            (membwStart.toSeq ++ membwEnd.toSeq).reduceOption[Double](math.max),
+            histWalls))
         System.err.println(s"[bench] baseline stamped: ${results.size} rows -> $baselinePath")
       } catch {
         case e: Throwable => System.err.println(s"[bench] baseline write failed: $e")

@@ -55,6 +55,25 @@ class BenchContentionSpec extends AnyFunSuite {
     assert(p.measure().exists(x => x > 300 && x < 1e7), "probe unusable after a degraded sample")
   }
 
+  test("first sample after (re)allocation is auto-discarded (mechanical warm-up)") {
+    // through r13 the discard was a caller convention in a comment — a
+    // future edit could silently stamp a page-fault-grade sample. The seam
+    // counts sample rounds: fault() runs once per worker per round, so a
+    // post-allocation call must show TWO rounds (discarded warm-up +
+    // recorded), a warm-buffer call ONE, and release() must bring it back.
+    val p = new Bench.MemBandwidthProbe(threads = 2, mibPerThread = 8, timedPasses = 1)
+    val calls = new java.util.concurrent.atomic.AtomicInteger()
+    def rounds(): Int = {
+      calls.set(0)
+      assert(p.measureInjecting(_ => { calls.incrementAndGet(); () }).nonEmpty)
+      calls.get() / 2 // 2 workers per round
+    }
+    assert(rounds() == 2, "fresh allocation must burn a warm-up round")
+    assert(rounds() == 1, "warm buffers must not re-burn the warm-up")
+    p.release()
+    assert(rounds() == 2, "realloc after release() must re-arm the warm-up discard")
+  }
+
   test("contention probe inflates under deliberate load and the flag fires") {
     val probe = new Bench.ContentionProbe
     (1 to 3).foreach(_ => probe.spin()) // JIT warmup, as Bench.main does

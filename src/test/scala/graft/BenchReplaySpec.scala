@@ -320,6 +320,56 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(point == Map("qp" -> Bench.BaselineRow(9.0, None, Some("new"))), s"got $point")
   }
 
+  test("baseline writer: sub-0.3s rows stamp the clean-history median, big rows stay point stamps") {
+    // the r13 false-trip class: a 0.15 s record-quiet stamp makes ordinary
+    // quiet runs read "2x" on noise. With history, the tiny row stamps the
+    // median of clean samples + this run; without history (or for big
+    // rows) the single-run stamp convention is unchanged.
+    def wallOf(bytes: Array[Byte], name: String): Double = {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      root.get(name).get("wall_sec").asDouble()
+    }
+    val hist = Map("qtiny" -> Seq(0.25, 0.28, 0.31), "qbig" -> Seq(3.1, 3.4, 2.9))
+    val prev =
+      """{"_sf":{"dir":"/d/sf0.1"},
+        |"qtiny":{"wall_sec":0.15,"cpu_sec":0.1,"src_sha":"s"},
+        |"qbig":{"wall_sec":2.2,"cpu_sec":10.0,"src_sha":"s"}}""".stripMargin
+    val sha = Map("qtiny" -> "s", "qbig" -> "s")
+    val merged = Bench.mergeBaseline(
+      Some(prev.getBytes), Seq(("qtiny", 0.12, 0.1), ("qbig", 2.0, 10.0)), sha, "/d/sf0.1",
+      histWalls = hist)
+    // median of [0.25, 0.28, 0.31, 0.12] = (0.25 + 0.28) / 2
+    assert(wallOf(merged, "qtiny") == 0.265, s"got ${wallOf(merged, "qtiny")}")
+    assert(wallOf(merged, "qbig") == 2.0, s"got ${wallOf(merged, "qbig")}")
+    // history walls price the OLD code: a changed-sha row must take a
+    // fresh point stamp, not a median over a dead implementation
+    val changed = Bench.mergeBaseline(
+      Some(prev.getBytes), Seq(("qtiny", 0.12, 0.1)), Map("qtiny" -> "NEW"), "/d/sf0.1",
+      histWalls = hist)
+    assert(wallOf(changed, "qtiny") == 0.12, s"got ${wallOf(changed, "qtiny")}")
+    // no/thin history: point stamp (one prior sample is not a median base)
+    val bare = Bench.mergeBaseline(
+      Some(prev.getBytes), Seq(("qtiny", 0.12, 0.1)), sha, "/d/sf0.1",
+      histWalls = Map("qtiny" -> Seq(0.25)))
+    assert(wallOf(bare, "qtiny") == 0.12, s"got ${wallOf(bare, "qtiny")}")
+  }
+
+  test("clean wall history: contended runs and dirty rows are excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist")
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name), body.getBytes)
+    write("bench_detail_a.json",
+      """{"_run":{"contended":false},"q1":{"wall_sec":0.25,"cpu_sec":1.0},"q2":{"wall_sec":5.0,"cpu_sec":9.0,"dirty":true}}""")
+    write("bench_detail_b.json",
+      """{"_run":{"contended":true},"q1":{"wall_sec":9.9,"cpu_sec":9.9},"q2":{"wall_sec":9.9,"cpu_sec":9.9}}""")
+    write("bench_detail_c.json",
+      """{"_run":{"contended":false},"q1":{"wall_sec":0.31,"cpu_sec":1.1},"q2":{"wall_sec":1.4,"cpu_sec":2.0}}""")
+    write("not_history.txt", "ignore me")
+    write("bench_detail_broken.json", "{not json")
+    val hist = Bench.cleanWallHistory(dir)
+    assert(hist == Map("q1" -> Seq(0.25, 0.31), "q2" -> Seq(1.4)), s"got $hist")
+  }
+
   test("size-stratified ratio medians separate memory-pressure from uniform slowdown") {
     def row(c: Double) = Bench.BaselineRow(c, None, None)
     // the r12 ambient signature: small rows at ~1.0x, big rows at ~1.7x
