@@ -30,7 +30,7 @@ for i in $(seq 1 "$MAX"); do
     SPARK_GRAFT_WAIT_QUIET_SECS=${WAIT:-2400} \
     SPARK_GRAFT_QUIET_POLL_SECS=120 \
     SPARK_GRAFT_WRITE_BASELINE=1 \
-    SPARK_GRAFT_BENCH_DETAIL="bench_detail_r13_try$i.json" \
+    SPARK_GRAFT_BENCH_DETAIL="bench_detail_${TAG:-r14}_try$i.json" \
     sbt -batch "runMain graft.Bench" \
     > "/tmp/quiet_stamp_$i.out" 2> "/tmp/quiet_stamp_$i.err"
   rc=$?
