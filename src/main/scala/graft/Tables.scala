@@ -39,9 +39,20 @@ object Tables {
 
   /** Same fan-out guarantee for `embeddings` — the N²-adjacent similarity
     * operators are pure CPU over the vector column, so a single-split test
-    * fixture would otherwise serialize them onto one core. */
+    * fixture would otherwise serialize them onto one core.
+    *
+    * Null vectors are DROPPED here, at the ingestion boundary (reference P2
+    * semantics — a failed lookup is dropped, never thrown,
+    * `/root/reference/src/animals_etl/pipeline.py:39-43`): an embedding
+    * pipeline emits NULL for undecodable inputs, and a null vector reaching
+    * the driver-resident models (IVF centroids, k-means seeds, per-dim
+    * min/max collects) was a job-killing NPE/ROW_VALUE_IS_NULL in six
+    * queries (NullTextSpec half-null probe, r14). The IsNotNull pushes to
+    * the parquet scan; on a corpus without nulls the plan's results are
+    * bit-for-bit unchanged. */
   def embeddingsDistributed(s: SparkSession, d: String): DataFrame =
     distributed(s, d, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
 
   private def distributed(s: SparkSession, d: String, name: String): DataFrame = {
     val df    = apply(s, d, name)
@@ -71,7 +82,11 @@ object Tables {
   def rowCountCached(s: SparkSession, dir: String, name: String): Long =
     rowCounts.computeIfAbsent(s"$dir/$name", _ => apply(s, dir, name).count())
   private val rowCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+  /** Raw-order embeddings view, same null-vector drop as
+    * [[embeddingsDistributed]] (one contract, both entry points). */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    apply(s, d, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
 
   /** `events` with `ts` surfaced as both a raw ns-epoch long (`ts_ns`) and a
     * microsecond-precision TIMESTAMP (`ts`), whatever the file's physical

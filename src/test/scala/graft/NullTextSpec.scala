@@ -87,6 +87,36 @@ class NullTextSpec extends AnyFunSuite {
         failures.map { case (n, m) => s"  $n -> $m" }.mkString("\n"))
   }
 
+  test("every registered query executes with half-null embeddings and null metric columns") {
+    // the decode-failure analog for vectors/metrics: an embedding pipeline
+    // emits NULL for undecodable inputs, a metrics feed drops fields. Half
+    // the vectors null (not all) is the harder shape — the driver-side
+    // models (IVF centroids, k-means seeds, per-dim min/max) still build,
+    // but from rows whose neighbors are null.
+    val out = Files.createTempDirectory("graft-nullemb").toFile
+    out.deleteOnExit()
+    tables.foreach { t =>
+      val df = spark.read.parquet(s"$srcDir/$t.parquet")
+      val nulled = t match {
+        case "embeddings" =>
+          df.withColumn(
+            "embedding",
+            org.apache.spark.sql.functions
+              .when(org.apache.spark.sql.functions.pmod(col("vec_id"), lit(2)) === 0, lit(null))
+              .otherwise(col("embedding")))
+        case "events"    => df.withColumn("value", lit(null).cast(df.schema("value").dataType))
+        case "documents" => df.withColumn("n_chars", lit(null).cast(df.schema("n_chars").dataType))
+        case _           => df
+      }
+      nulled.write.mode("overwrite").parquet(s"${out.getAbsolutePath}/$t.parquet")
+    }
+    val failures = runAll(out.getAbsolutePath)
+    assert(
+      failures.isEmpty,
+      s"${failures.size} queries throw on half-null embeddings / null metrics:\n" +
+        failures.map { case (n, m) => s"  $n -> $m" }.mkString("\n"))
+  }
+
   test("q129/q132 band models read null text as zero-token docs (driver-side scalar contract)") {
     val dir = cloneWithNulls(Map("documents" -> Seq("text")))
     // the r13 job-killers: a ROW_VALUE_IS_NULL here was a driver exception
