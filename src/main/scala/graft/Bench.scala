@@ -316,12 +316,36 @@ object Bench {
     * None bigRatio (first stamp, scale change, no big fresh rows) cannot
     * refuse — there is nothing to compare against. */
   val StampBigRatioMax = 1.25
+
+  /** Host-steal ceiling for a stamp run: quiet runs on this box read
+    * 0.009–0.04%, the r11 hot-box runs 0.4–0.7%, and the r14 poisoned
+    * stamp attempt 2.0% — a co-tenant arriving MID-run inflates walls
+    * while big-row cpu stays at baseline, so neither the contended flag
+    * nor the cpu strata catch it (exactly how that attempt slipped
+    * through: contended:false, dirty 0, big strata 0.97 — and 23 rows
+    * landed >1.5× their clean-history wall medians). */
+  val StampStealMaxPct = 0.2
+
+  /** The run's END membw bracket must hold at least this fraction of the
+    * START bracket for a stamp: clean stamps hold 0.9–1.05× end-to-end
+    * (the end bracket samples warmed, post-GC); the r14 poisoned attempt
+    * collapsed 85.9 → 50.1 GB/s (0.58×) as the neighbor arrived. */
+  val StampMembwEndFloor = 0.7
+
   def shouldStampBaseline(
       requested: Boolean,
       contended: Boolean,
       forced: Boolean,
-      bigRatio: Option[Double] = None): Boolean =
-    requested && (forced || (!contended && !bigRatio.exists(_ > StampBigRatioMax)))
+      bigRatio: Option[Double] = None,
+      stealPct: Option[Double] = None,
+      membwStart: Option[Double] = None,
+      membwEnd: Option[Double] = None): Boolean = {
+    val membwCollapsed = (for { s <- membwStart; e <- membwEnd; if s > 0 }
+      yield e / s < StampMembwEndFloor).getOrElse(false)
+    requested && (forced ||
+      (!contended && !bigRatio.exists(_ > StampBigRatioMax) &&
+        !stealPct.exists(_ > StampStealMaxPct) && !membwCollapsed))
+  }
 
   private def cpuThreshold(row: BaselineRow): Double =
     (if (row.cpuLo.isDefined) CpuHiModeRatio else CpuRatioThreshold) * row.cpu
@@ -1003,11 +1027,12 @@ object Bench {
     val staleShaJson = staleSha.map("\"" + _ + "\"").mkString("[", ",", "]")
     // host steal across the run: attribution for a contended verdict (co-
     // tenant vs in-JVM); absent on non-Linux or unreadable /proc/stat
-    val stealJson = (for {
+    val runStealPct: Option[Double] = for {
       (s0, t0) <- statStart
       (s1, t1) <- readProcStat()
       if t1 > t0
-    } yield s""","steal_pct":${s3(100.0 * (s1 - s0) / (t1 - t0))}""").getOrElse("")
+    } yield 100.0 * (s1 - s0) / (t1 - t0)
+    val stealJson = runStealPct.map(v => s""","steal_pct":${s3(v)}""").getOrElse("")
     // streaming-bandwidth brackets: the LLC/bus co-tenant channel the spin
     // probe and steal both miss (see MemBandwidthProbe) — MB/s at run
     // start and end, compared against a quiet-era value by a human/judge
@@ -1104,7 +1129,24 @@ object Bench {
           "the dirty-count guard can miss a uniform ~1.5-2.0x band); rerun quiet, or set " +
           "SPARK_GRAFT_FORCE_BASELINE=1 after cross-run adjudication")
     }
-    if (shouldStampBaseline(writeRequested, contended, writeForced, bigRatio)) {
+    if (writeRequested && !contended && !writeForced &&
+        runStealPct.exists(_ > StampStealMaxPct)) {
+      System.err.println(
+        f"[bench] REFUSING baseline stamp: steal_pct ${runStealPct.get}%.3f > " +
+          f"$StampStealMaxPct%.2f (a co-tenant ran DURING the measured phase — walls " +
+          "inflate at flat cpu, which neither the contended flag nor the strata see); " +
+          "rerun quiet, or set SPARK_GRAFT_FORCE_BASELINE=1 after cross-run adjudication")
+    }
+    if (writeRequested && !contended && !writeForced &&
+        (for { s <- membwStart; e <- membwEnd; if s > 0 } yield e / s < StampMembwEndFloor)
+          .getOrElse(false)) {
+      System.err.println(
+        f"[bench] REFUSING baseline stamp: end membw bracket ${membwEnd.get}%.0f fell below " +
+          f"$StampMembwEndFloor%.2f x the start ${membwStart.get}%.0f (ambient regime shifted " +
+          "mid-run); rerun quiet, or set SPARK_GRAFT_FORCE_BASELINE=1 after adjudication")
+    }
+    if (shouldStampBaseline(writeRequested, contended, writeForced, bigRatio,
+        runStealPct, membwStart, membwEnd)) {
       try {
         val p = java.nio.file.Paths.get(baselinePath)
         val prev =

@@ -215,6 +215,31 @@ class BenchReplaySpec extends AnyFunSuite {
       requested = true, contended = false, forced = true, bigRatio = Some(2.0)))
   }
 
+  test("baseline stamp decision: mid-run steal and a collapsed end bracket refuse the stamp") {
+    // the r14 poisoned attempt: contended=false, dirty 0, big strata 0.97 —
+    // but steal 2.0% and membw 85.9 -> 50.1 GB/s; 23 rows landed >1.5x
+    // their clean-history medians. Neither prior guard channel sees a
+    // co-tenant that inflates WALLS at flat cpu.
+    assert(!Bench.shouldStampBaseline(
+      requested = true, contended = false, forced = false, stealPct = Some(2.02)))
+    assert(Bench.shouldStampBaseline(
+      requested = true, contended = false, forced = false, stealPct = Some(0.04)))
+    assert(!Bench.shouldStampBaseline(
+      requested = true, contended = false, forced = false,
+      membwStart = Some(85884.0), membwEnd = Some(50142.0)))
+    assert(Bench.shouldStampBaseline(
+      requested = true, contended = false, forced = false,
+      membwStart = Some(101300.0), membwEnd = Some(105800.0)))
+    // a missing bracket side cannot refuse (the membw-valid channel
+    // already marks the gap loudly); force overrides as everywhere
+    assert(Bench.shouldStampBaseline(
+      requested = true, contended = false, forced = false,
+      membwStart = Some(90000.0), membwEnd = None))
+    assert(Bench.shouldStampBaseline(
+      requested = true, contended = false, forced = true,
+      stealPct = Some(2.0), membwStart = Some(9e4), membwEnd = Some(1e4)))
+  }
+
   test("freshness: a changed-code query with a stale baseline row reports stale, not dirty") {
     val measured = Seq("a" -> 10.0, "b" -> 10.0, "c" -> 10.0, "d" -> 0.9)
     val baseline = Map(
