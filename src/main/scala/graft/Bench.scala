@@ -626,9 +626,20 @@ object Bench {
     files.foldLeft(Map.empty[String, Seq[Double]]) { (acc, f) =>
       try {
         val root = mapper.readTree(java.nio.file.Files.readAllBytes(f))
-        val contended =
-          Option(root.get("_run")).flatMap(r => Option(r.get("contended"))).exists(_.asBoolean())
-        if (contended) acc
+        val run  = Option(root.get("_run"))
+        val contended = run.flatMap(r => Option(r.get("contended"))).exists(_.asBoolean())
+        // same cleanliness bar as the stamp guard: a steal-poisoned or
+        // bracket-collapsed run carries burst-inflated walls that medians
+        // should never see (contended:false on exactly those runs is HOW
+        // the r14 poisoned attempt slipped through)
+        val stealPoisoned =
+          run.flatMap(r => Option(r.get("steal_pct"))).exists(_.asDouble() > StampStealMaxPct)
+        val bracketCollapsed = (for {
+          r <- run
+          s <- Option(r.get("membw_mbps_start")).map(_.asDouble()) if s > 0
+          e <- Option(r.get("membw_mbps_end")).map(_.asDouble())
+        } yield e / s < StampMembwEndFloor).getOrElse(false)
+        if (contended || stealPoisoned || bracketCollapsed) acc
         else
           root.fieldNames().asScala.filterNot(_.startsWith("_")).foldLeft(acc) { (a, name) =>
             val node  = root.get(name)

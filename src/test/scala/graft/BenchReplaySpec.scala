@@ -391,6 +391,12 @@ class BenchReplaySpec extends AnyFunSuite {
       """{"_run":{"contended":false},"q1":{"wall_sec":0.31,"cpu_sec":1.1},"q2":{"wall_sec":1.4,"cpu_sec":2.0}}""")
     write("not_history.txt", "ignore me")
     write("bench_detail_broken.json", "{not json")
+    // the r14 class: contended:false but steal-poisoned / bracket-collapsed
+    // — the same cleanliness bar as the stamp guard applies to history
+    write("bench_detail_steal.json",
+      """{"_run":{"contended":false,"steal_pct":2.02},"q1":{"wall_sec":8.8,"cpu_sec":1.0}}""")
+    write("bench_detail_collapse.json",
+      """{"_run":{"contended":false,"steal_pct":0.02,"membw_mbps_start":85884.0,"membw_mbps_end":50142.0},"q1":{"wall_sec":7.7,"cpu_sec":1.0}}""")
     val hist = Bench.cleanWallHistory(dir)
     assert(hist == Map("q1" -> Seq(0.25, 0.31), "q2" -> Seq(1.4)), s"got $hist")
   }
