@@ -376,6 +376,30 @@ object Bench {
     if (ok) Some(md.digest().map("%02x".format(_)).mkString.take(12)) else None
   }
 
+  /** Shared infra files folded into EVERY row's fingerprint: the table
+    * loaders, the module trait's numeric helpers, and the session builder
+    * shape every query's plan without appearing in any module's declared
+    * `sourceFiles` — the r14 null-vector filter in Tables.scala changed
+    * the plan of every similarity query and marked NOTHING stale
+    * (SCALING.md round-14 finding #2). Hashing them into every row turns
+    * "shared-helper edit" from an invisible baseline invalidation into a
+    * full-registry stale report, at the cost that such an edit forces a
+    * full restamp — which is exactly the discipline it should force. */
+  val InfraFiles: Seq[String] = Seq(
+    "src/main/scala/graft/Tables.scala",
+    "src/main/scala/graft/QueryModule.scala",
+    "src/main/scala/graft/GraftSession.scala")
+
+  /** Per-row current fingerprints: declared owner files PLUS the global
+    * [[InfraFiles]] (prepended, so infra bytes participate in every row's
+    * sha). An unreadable infra file disarms every row — same
+    * disarm-rather-than-guess contract as [[sourceFingerprint]]. */
+  def currentShaFor(
+      owners: Map[String, Seq[String]],
+      root: java.nio.file.Path,
+      infra: Seq[String] = InfraFiles): Map[String, String] =
+    owners.flatMap { case (n, files) => sourceFingerprint(infra ++ files, root).map(n -> _) }
+
   /** Parse BENCH_BASELINE.json bytes: name → (cpu_sec, recorded src_sha).
     * Returns empty — cpu check disarmed, with a stderr warning — unless
     * the baseline's `_sf.dir` header EXISTS and MATCHES the run's dir: cpu
@@ -532,13 +556,29 @@ object Bench {
     * exactly like the original hi-mode stamps. Pure: bytes in, bytes out
     * (spec surface). */
   /** Rows whose quiet wall sits under this are stamped from the MEDIAN of
-    * the clean-run history instead of the single stamp run: a sub-0.3 s
-    * wall is noise-dominated (scheduler/GC granularity), so the record-
+    * the clean-run history instead of the single stamp run: a small wall
+    * is noise-dominated (scheduler/GC granularity), so the record-
     * quiet-window stamp convention that makes big rows a tight regression
     * tripwire makes tiny rows false-trip the 2× rule (r13: q87 "2.04×" on
     * a 0.15 s stamp, 1.66× on a clean run, not dirty-flagged). Big rows
-    * keep the tight single-run stamp. */
-  val SmallRowWallSec = 0.3
+    * keep the tight single-run stamp.
+    *
+    * 0.3 → 0.6 in r15: q110 (cpu-heavy ~0.5–0.7 s wall, rep spreads ~2×
+    * inside single runs) false-tripped the 2× rule at 2.41× against a
+    * 0.557 stamp that history shows was the MINIMUM of 18 clean runs
+    * (median 0.68) — the same noise profile that false-tripped q87, one
+    * size class up. The wall channel is the judge's regression view; the
+    * tight per-row tripwire is the CPU channel, which keeps single-run
+    * stamps at every size.
+    *
+    * Rows DECLARED warm-up-bimodal (carrying `cpu_lo`) stamp from the
+    * history median at ANY size: their per-rep walls are a decay
+    * continuum (q119 rep walls 4.4→1.2 inside one run), so a single run's
+    * median-of-3 is a coin flip on the decay curve — r13 stamped q119 at
+    * 1.364 (a low-mode run), r14 officially read 2.619 = "+92%" on
+    * identical code. The cross-run median is the honest center of the
+    * quiet envelope; mode flips then read ≤ ~1.4×, not 2×. */
+  val SmallRowWallSec = 0.6
 
   def mergeBaseline(
       prev: Option[Array[Byte]],
@@ -575,15 +615,17 @@ object Bench {
       val prevHi  = prevRow.flatMap(n => Option(n.get("cpu_sec"))).map(_.asDouble())
       val prevSha = prevRow.flatMap(n => Option(n.get("src_sha"))).map(_.asText())
       val row = out.putObject(name)
-      // small-row policy (see [[SmallRowWallSec]]): median of clean-run
-      // history + this run when >= 3 samples exist — but ONLY while the
-      // row's code is unchanged since its last stamp (history walls price
-      // the OLD code; a changed row takes a fresh point stamp and earns
-      // back the median as clean history accumulates on the new code)
+      // wall-median policy (see [[SmallRowWallSec]]): small rows and
+      // declared warm-up-bimodal rows (cpu_lo present) stamp the median of
+      // clean-run history + this run when >= 3 samples exist — but ONLY
+      // while the row's code is unchanged since its last stamp (history
+      // walls price the OLD code; a changed row takes a fresh point stamp
+      // and earns back the median as clean history accumulates)
       val hist = histWalls.getOrElse(name, Nil)
       val codeUnchanged = prevSha.isDefined && prevSha == currentSha.get(name)
       val wallStamp =
-        if (wall < SmallRowWallSec && hist.size >= 2 && codeUnchanged) median(hist :+ wall)
+        if ((wall < SmallRowWallSec || prevLo.isDefined) && hist.size >= 2 && codeUnchanged)
+          median(hist :+ wall)
         else wall
       row.put("wall_sec", r3(wallStamp))
       // dual-mode rows: envelope update (hi=max, lo=min); point rows: replace
@@ -615,14 +657,23 @@ object Bench {
     * wholesale, and per-row `dirty:true` entries are skipped individually —
     * a contaminated wall in the median would defeat the small-row policy
     * it feeds ([[SmallRowWallSec]]). Unreadable files are skipped loudly
-    * (history is an optimization, never a stamp blocker). */
-  def cleanWallHistory(dir: java.nio.file.Path): Map[String, Seq[Double]] = {
+    * (history is an optimization, never a stamp blocker).
+    *
+    * Scale-gated: files recorded at a DIFFERENT `_run.sf` than the
+    * stamping run are dropped — walls scale with data, so a history file
+    * archived from an sf0.01 dev run would silently deflate the sf0.1
+    * medians. Files with NO recorded sf (pre-r15 archives) are accepted
+    * for back-compat: every archived detail to date was recorded at the
+    * stamp scale, and future files always carry the field. */
+  def cleanWallHistory(dir: java.nio.file.Path, sfDir: String): Map[String, Seq[Double]] = {
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stream = java.nio.file.Files.list(dir)
     val files =
-      java.nio.file.Files.list(dir).iterator().asScala
+      try stream.iterator().asScala
         .filter(p => p.getFileName.toString.matches("bench_detail.*\\.json"))
         .toSeq.sortBy(_.getFileName.toString)
+      finally stream.close()
     files.foldLeft(Map.empty[String, Seq[Double]]) { (acc, f) =>
       try {
         val root = mapper.readTree(java.nio.file.Files.readAllBytes(f))
@@ -639,7 +690,9 @@ object Bench {
           s <- Option(r.get("membw_mbps_start")).map(_.asDouble()) if s > 0
           e <- Option(r.get("membw_mbps_end")).map(_.asDouble())
         } yield e / s < StampMembwEndFloor).getOrElse(false)
-        if (contended || stealPoisoned || bracketCollapsed) acc
+        val wrongScale =
+          run.flatMap(r => Option(r.get("sf"))).exists(_.asText() != sfDir)
+        if (contended || stealPoisoned || bracketCollapsed || wrongScale) acc
         else
           root.fieldNames().asScala.filterNot(_.startsWith("_")).foldLeft(acc) { (a, name) =>
             val node  = root.get(name)
@@ -874,8 +927,7 @@ object Bench {
     // code changed since their baseline was stamped report STALE, not dirty
     val srcRoot = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SRC_ROOT", "."))
     val owners  = SparkEntry.queryOwners ++ BenchExtras.owners
-    val currentSha: Map[String, String] =
-      owners.flatMap { case (n, files) => sourceFingerprint(files, srcRoot).map(n -> _) }
+    val currentSha: Map[String, String] = currentShaFor(owners, srcRoot)
     val probe = new ContentionProbe
     (1 to 3).foreach(_ => probe.spin()) // JIT-warm the probe loop itself
     val membw = new MemBandwidthProbe()
@@ -1072,7 +1124,7 @@ object Bench {
       smallRatio.map(v => s""","cpu_ratio_median_small":${s3(v)}""").getOrElse("") +
         bigRatio.map(v => s""","cpu_ratio_median_big":${s3(v)}""").getOrElse("")
     val runRow =
-      s""""_run":{"contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"dirty_queries":$dirtyJson,"stale_queries":$staleJson,"stale_sha_rows":$staleShaJson,"dirty_probe":${dirtyProbe.size},"dirty_cpu":${dirtyCpu.size},"baseline_loaded":${baseline.nonEmpty}$stealJson$membwJson$strataJson,"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
+      s""""_run":{"sf":"$sfDir","contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"dirty_queries":$dirtyJson,"stale_queries":$staleJson,"stale_sha_rows":$staleShaJson,"dirty_probe":${dirtyProbe.size},"dirty_cpu":${dirtyCpu.size},"baseline_loaded":${baseline.nonEmpty}$stealJson$membwJson$strataJson,"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
     val dirtySet = dirtyUnion.toSet
     val detail = (runRow +: results
       .map { r =>
@@ -1167,7 +1219,7 @@ object Bench {
         val histDir = java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_HISTORY_DIR", "bench_history"))
         val histWalls =
-          if (java.nio.file.Files.isDirectory(histDir)) cleanWallHistory(histDir)
+          if (java.nio.file.Files.isDirectory(histDir)) cleanWallHistory(histDir, sfDir)
           else Map.empty[String, Seq[Double]]
         java.nio.file.Files.write(
           p,

@@ -41,18 +41,32 @@ object Tables {
     * operators are pure CPU over the vector column, so a single-split test
     * fixture would otherwise serialize them onto one core.
     *
-    * Null vectors are DROPPED here, at the ingestion boundary (reference P2
-    * semantics — a failed lookup is dropped, never thrown,
-    * `/root/reference/src/animals_etl/pipeline.py:39-43`): an embedding
-    * pipeline emits NULL for undecodable inputs, and a null vector reaching
-    * the driver-resident models (IVF centroids, k-means seeds, per-dim
-    * min/max collects) was a job-killing NPE/ROW_VALUE_IS_NULL in six
-    * queries (NullTextSpec half-null probe, r14). The IsNotNull pushes to
-    * the parquet scan; on a corpus without nulls the plan's results are
+    * Null AND non-finite vectors are DROPPED here, at the ingestion
+    * boundary (reference P2 semantics — a failed lookup is dropped, never
+    * thrown, `/root/reference/src/animals_etl/pipeline.py:39-43`): an
+    * embedding pipeline emits NULL for undecodable inputs and NaN/±Inf for
+    * fp16-overflowed ones, and either shape reaching the driver-resident
+    * models (IVF centroids, k-means seeds, per-dim min/max collects) was a
+    * job killer — null an NPE/ROW_VALUE_IS_NULL in six queries (r14
+    * half-null probe), NaN a DIVIDE_BY_ZERO in q119 when NaN distances
+    * empty a k-means cluster, and a SILENT ranking poison everywhere else
+    * (NaN sorts HIGH in Spark orderings, so a NaN vector wins top-k slots
+    * it never earned). The IsNotNull pushes to the parquet scan; the
+    * finite check runs post-scan (array predicates don't push) but is one
+    * codegen'd pass. On a corpus of finite vectors the plan's results are
     * bit-for-bit unchanged. */
   def embeddingsDistributed(s: SparkSession, d: String): DataFrame =
-    distributed(s, d, "embeddings")
-      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+    finiteVectors(distributed(s, d, "embeddings"))
+
+  /** The one null/non-finite vector drop, shared by both embedding entry
+    * points — abs(v) > Float.MaxValue catches ±Infinity on the FLOAT
+    * element type without a NaN-style special form. */
+  private def finiteVectors(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.filter(
+      col("embedding").isNotNull &&
+        !exists(col("embedding"), v => isnan(v) || abs(v) > lit(Float.MaxValue)))
+  }
 
   private def distributed(s: SparkSession, d: String, name: String): DataFrame = {
     val df    = apply(s, d, name)
@@ -82,11 +96,22 @@ object Tables {
   def rowCountCached(s: SparkSession, dir: String, name: String): Long =
     rowCounts.computeIfAbsent(s"$dir/$name", _ => apply(s, dir, name).count())
   private val rowCounts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-  /** Raw-order embeddings view, same null-vector drop as
+
+  /** Row count of the FILTERED embeddings view — the count knob sizing
+    * (autoSemK/autoLshBits/autoEmbBits) must see, since the queries only
+    * ever see vectors that survive [[finiteVectors]]. Unlike
+    * [[rowCountCached]] this reads the vector column (the finite check
+    * can't be answered from parquet footers), but it's cached per (dir)
+    * for the JVM lifetime and embeddings is the skinny table. Oracle
+    * parity: dynamic oracles interpolate this same number, so both sides
+    * of every knob move together on a null/NaN-bearing corpus. */
+  def embeddingsCountCached(s: SparkSession, dir: String): Long =
+    rowCounts.computeIfAbsent(s"$dir/embeddings#finite", _ => embeddings(s, dir).count())
+
+  /** Raw-order embeddings view, same null/non-finite vector drop as
     * [[embeddingsDistributed]] (one contract, both entry points). */
   def embeddings(s: SparkSession, d: String): DataFrame =
-    apply(s, d, "embeddings")
-      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+    finiteVectors(apply(s, d, "embeddings"))
 
   /** `events` with `ts` surfaced as both a raw ns-epoch long (`ts_ns`) and a
     * microsecond-precision TIMESTAMP (`ts`), whatever the file's physical

@@ -253,9 +253,10 @@ object Clustering extends QueryModule {
   }
 
   def semDedup(s: SparkSession, dir: String): DataFrame = {
-    // K tracks the corpus ([[autoSemK]]): parquet-footer row count, no
-    // data read; gate corpora stay at the oracle-replayed K = 10 floor
-    val k = autoSemK(Tables.rowCountCached(s, dir, "embeddings"))
+    // K tracks the corpus ([[autoSemK]]): the FILTERED vector count
+    // (cached) — the rows the fit actually sees; gate corpora stay at the
+    // oracle-replayed K = 10 floor
+    val k = autoSemK(Tables.embeddingsCountCached(s, dir))
     // the assignment is consumed four times (sizes, the fail-fast probe,
     // both self-join sides) — materialize the skinny clustered corpus once
     // instead of re-running the per-row argmin per consumer

@@ -22,8 +22,10 @@ import graft.{QueryModule, Tables}
   * rebuild the bytes), NOT from `text`: the r13 null-text probe showed a
   * text-coupled fixture conflates the decode seam with the corpus — a
   * failed-scrape batch (null text) must not even touch the media path.
-  * Every [[CorruptMod]]-th doc carries a NULL payload: the planted
-  * decode-failure row that keeps the quarantine path exercised on real data.
+  * Every [[CorruptMod]]-th doc carries a NULL payload and every
+  * [[TruncMod]]-th a truncated one: the planted decode-failure rows that
+  * keep BOTH quarantine channels (null payload, throwing codec) exercised
+  * on real data.
   *
   * Decode-failure contract (reference P2/P3 semantics — drop or
   * nullify-and-count, never throw, `/root/reference/src/animals_etl/
@@ -46,6 +48,18 @@ object Multimodal extends QueryModule {
     * source/lang stratum). */
   val CorruptMod = 97L
 
+  /** Every doc_id ≡ 0 (mod this) carries a TRUNCATED payload — corrupt but
+    * non-null bytes the codec THROWS on, so the `decode_error:` branch of
+    * [[decodeSafe]] is exercised by a registered query (q51's per-source
+    * failure counts), not only by specs. 89 is prime and distinct from
+    * [[CorruptMod]]; their one collision in the fixture range (doc_id 0)
+    * resolves to NULL — the `when` chain and the SQL CASE agree. */
+  val TruncMod = 89L
+
+  /** Byte length of the truncated payload: deliberately NOT a whole md5-hex
+    * multiple (32), so [[FakeCodec]]'s integrity check rejects it. */
+  val TruncLen = 24
+
   /** Payload length knob: md5-hex (32 ASCII chars) repeated 1..this times →
     * 32–992 bytes, 1–4 strided frames under [[sampleFrames]]'s defaults. */
   val PayloadRepMod = 31L
@@ -53,19 +67,33 @@ object Multimodal extends QueryModule {
   /** The synthetic media payload for `doc_id`: repeated md5 hex of the id —
     * a function of the KEY only, so (a) a DuckDB oracle rebuilds the exact
     * bytes, (b) null/garbage `text` can't reach the media path, and (c)
-    * every [[CorruptMod]]-th row is NULL to keep the failure channel hot. */
+    * every [[CorruptMod]]-th row is NULL and every [[TruncMod]]-th row
+    * truncated, keeping BOTH failure channels (null-payload quarantine,
+    * throwing-codec quarantine) hot on real data. */
   def syntheticPayload(docId: Column): Column =
     when(docId % lit(CorruptMod) === 0, lit(null).cast(BinaryType))
+      .when(
+        docId % lit(TruncMod) === 0,
+        encode(substring(md5(docId.cast(StringType)), 1, TruncLen), "UTF-8"))
       .otherwise(
         encode(
           repeat(md5(docId.cast(StringType)), (docId % lit(PayloadRepMod) + lit(1)).cast(IntegerType)),
           "UTF-8"))
 
   /** The oracle-side twin of [[syntheticPayload]], spliced into each query's
-    * SQL — one definition, not four hand-maintained copies. */
+    * SQL — one definition, not four hand-maintained copies; the engine
+    * constants are interpolated so editing one cannot desync the oracle. */
   private val PayloadSql =
-    """CASE WHEN doc_id % 97 = 0 THEN NULL
-      |  ELSE repeat(md5(CAST(doc_id AS VARCHAR)), CAST(doc_id % 31 + 1 AS INTEGER)) END""".stripMargin
+    s"""CASE WHEN doc_id % $CorruptMod = 0 THEN NULL
+       |  WHEN doc_id % $TruncMod = 0 THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, $TruncLen)
+       |  ELSE repeat(md5(CAST(doc_id AS VARCHAR)), CAST(doc_id % $PayloadRepMod + 1 AS INTEGER)) END""".stripMargin
+
+  /** Oracle-side validity predicate matching [[FakeCodec]]'s integrity
+    * check: a payload decodes only when it is whole 32-char md5-hex
+    * repeats. NULL payloads stay NULL through the ELSE (length(NULL) is
+    * NULL, so the WHEN never fires). */
+  private val ValidPayloadSql =
+    "CASE WHEN length(p0) % 32 <> 0 THEN NULL ELSE p0 END"
 
   case class MediaRecord(doc_id: Long, payload: Array[Byte])
   case class MediaMeta(
@@ -106,8 +134,9 @@ object Multimodal extends QueryModule {
     * (PNG/BMP/GIF/JPEG readers ship with the JDK — no native libraries, no
     * new dependencies). Binds by FQN exactly like [[FakeCodec]]; a payload
     * that does not parse as a supported image falls back to the fake's
-    * deterministic shape, so mixed corpora decode without a failure channel
-    * (production would route the fallback rows to quarantine instead).
+    * deterministic shape — which itself throws on ragged (non-32-multiple)
+    * lengths, so corrupt non-image bytes land in [[decodeSafe]]'s
+    * quarantine channel rather than decoding to garbage.
     * The registered q50–q53 fixtures keep [[FakeCodec]] — their oracle
     * arithmetic is byte-based by design — while this class is the
     * production binding once payloads are real images; InfraSpec decodes a
@@ -142,6 +171,14 @@ object Multimodal extends QueryModule {
     )
 
     def decode(doc_id: Long, payload: Array[Byte]): MediaMeta = {
+      // integrity check — the deterministic stand-in for "real codecs
+      // throw on truncated input": a valid synthetic payload is whole
+      // 32-char md5-hex repeats, so a ragged length is corrupt bytes.
+      // decodeSafe turns the throw into a decode_error: failure row; a
+      // direct caller gets the exception, same as a real codec.
+      if (payload.length % 32 != 0)
+        throw new IllegalArgumentException(
+          s"truncated payload: ${payload.length} bytes is not a whole md5-hex multiple")
       val sum    = md5hex(payload)
       val (w, h) = headerDims(payload)
       MediaMeta(doc_id, payload.length.toLong, sum, w, h, payload.length / 1024 + 1)
@@ -366,7 +403,8 @@ object Multimodal extends QueryModule {
          |  FROM m WHERE p IS NOT NULL
          |)""".stripMargin,
     "q51_decode_stats" ->
-      s"""WITH m AS (SELECT doc_id, source, $PayloadSql AS p FROM documents)
+      s"""WITH m0 AS (SELECT doc_id, source, $PayloadSql AS p0 FROM documents),
+         |m AS (SELECT doc_id, source, $ValidPayloadSql AS p FROM m0)
          |SELECT source,
          |  count(p) AS n_media,
          |  count(*) - count(p) AS n_failed,

@@ -157,9 +157,11 @@ object Similarity extends QueryModule {
     * union dedups candidate pairs BEFORE the verify join, so each
     * surviving pair pays the wide cosine exactly once. */
   def lshPairs(s: SparkSession, dir: String, bitsFloor: Int = LshBucketBits): DataFrame =
-    // bits track the corpus ([[autoLshBits]]): parquet-footer row count, no
-    // data read; gate corpora stay at the oracle-replayed 8-bit floor
-    lshPairsAt(s, dir, autoLshBits(Tables.rowCountCached(s, dir, "embeddings"), bitsFloor))
+    // bits track the corpus ([[autoLshBits]]): the FILTERED vector count
+    // (cached) — the rows the plan actually buckets, not the raw footer
+    // count, which over-sizes on a null/NaN-bearing corpus; gate corpora
+    // stay at the oracle-replayed 8-bit floor
+    lshPairsAt(s, dir, autoLshBits(Tables.embeddingsCountCached(s, dir), bitsFloor))
 
   /** [[lshPairs]] at an explicit hyperplane count — the recall-measurement
     * surface (Q61RecallSpec sweeps bit settings against planted
@@ -559,7 +561,7 @@ object Similarity extends QueryModule {
     * same way the Spark plan's do. */
   override val oraclesDynamic: Map[String, (SparkSession, String) => String] = Map(
     "q61_lsh_pairs" -> ((s, d) =>
-      q61OracleAt(autoLshBits(Tables.rowCountCached(s, d, "embeddings"))))
+      q61OracleAt(autoLshBits(Tables.embeddingsCountCached(s, d))))
   )
 
   val oracles: Map[String, String] = Map(

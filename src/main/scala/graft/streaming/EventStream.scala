@@ -171,11 +171,19 @@ object EventStream {
   final case class ClosedRun(user_id: Long, state: String, valid_from_us: Long, valid_to_us: Long, n_events: Long)
 
   /** Custom keyed state: running per-user totals via flatMapGroupsWithState.
-    * Emits the updated summary on every micro-batch trigger. */
+    * Emits the updated summary on every micro-batch trigger.
+    *
+    * NULL `value` coalesces to 0.0 AT the typed boundary: the encoder's
+    * non-nullable Double would otherwise kill the whole QUERY on the first
+    * null-metric micro-batch (NOT_NULL_ASSERT_VIOLATION — found by the
+    * r15 streaming null-batch probe), and a zero contribution is exactly
+    * the batch twin's `sum(value)`-skips-NULL semantics (P3). */
   def runningUserTotals(events: DataFrame): Dataset[UserSummary] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val typed = events.select(col("user_id"), col("event_type"), col("value")).as[UserEvent]
+    val typed = events
+      .select(col("user_id"), col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
+      .as[UserEvent]
     typed
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

@@ -345,6 +345,37 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(point == Map("qp" -> Bench.BaselineRow(9.0, None, Some("new"))), s"got $point")
   }
 
+  test("baseline writer: dual-mode rows stamp the clean-history wall median at any size") {
+    // the q119 class: per-rep walls are a warm-up decay continuum, so a
+    // single run's median-of-3 wall is a coin flip on the curve (r13
+    // stamped 1.364 from a low-mode run; r14 officially read 2.619 =
+    // "+92%" on identical code). A row DECLARED bimodal (cpu_lo present)
+    // takes the cross-run median even though its wall is far above the
+    // small-row cutoff.
+    def wallOf(bytes: Array[Byte], name: String): Double = {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      root.get(name).get("wall_sec").asDouble()
+    }
+    val prev =
+      """{"_sf":{"dir":"/d/sf0.1"},
+        |"qbi":{"wall_sec":1.364,"cpu_sec":34.0,"cpu_lo":14.0,"src_sha":"s"},
+        |"qpt":{"wall_sec":2.2,"cpu_sec":10.0,"src_sha":"s"}}""".stripMargin
+    val hist = Map("qbi" -> Seq(1.9, 2.8, 1.4, 2.4), "qpt" -> Seq(3.0, 3.2, 2.8))
+    val sha  = Map("qbi" -> "s", "qpt" -> "s")
+    val merged = Bench.mergeBaseline(
+      Some(prev.getBytes), Seq(("qbi", 2.6, 33.0), ("qpt", 2.0, 10.0)), sha, "/d/sf0.1",
+      histWalls = hist)
+    // median of [1.9, 2.8, 1.4, 2.4, 2.6] = 2.4; the point row (no cpu_lo,
+    // wall >= cutoff) keeps the single-run convention
+    assert(wallOf(merged, "qbi") == 2.4, s"got ${wallOf(merged, "qbi")}")
+    assert(wallOf(merged, "qpt") == 2.0, s"got ${wallOf(merged, "qpt")}")
+    // a changed-sha dual-mode row still takes the fresh point stamp
+    val changed = Bench.mergeBaseline(
+      Some(prev.getBytes), Seq(("qbi", 2.6, 33.0)), Map("qbi" -> "NEW"), "/d/sf0.1",
+      histWalls = hist)
+    assert(wallOf(changed, "qbi") == 2.6, s"got ${wallOf(changed, "qbi")}")
+  }
+
   test("baseline writer: sub-0.3s rows stamp the clean-history median, big rows stay point stamps") {
     // the r13 false-trip class: a 0.15 s record-quiet stamp makes ordinary
     // quiet runs read "2x" on noise. With history, the tiny row stamps the
@@ -397,8 +428,15 @@ class BenchReplaySpec extends AnyFunSuite {
       """{"_run":{"contended":false,"steal_pct":2.02},"q1":{"wall_sec":8.8,"cpu_sec":1.0}}""")
     write("bench_detail_collapse.json",
       """{"_run":{"contended":false,"steal_pct":0.02,"membw_mbps_start":85884.0,"membw_mbps_end":50142.0},"q1":{"wall_sec":7.7,"cpu_sec":1.0}}""")
-    val hist = Bench.cleanWallHistory(dir)
-    assert(hist == Map("q1" -> Seq(0.25, 0.31), "q2" -> Seq(1.4)), s"got $hist")
+    // the ADVICE-r14 class: a clean run archived at a DIFFERENT scale must
+    // not blend into this scale's medians; a matching sf and a missing sf
+    // (pre-r15 archive) both count
+    write("bench_detail_wrongsf.json",
+      """{"_run":{"sf":"/d/sf0.01","contended":false},"q1":{"wall_sec":0.02,"cpu_sec":0.1}}""")
+    write("bench_detail_rightsf.json",
+      """{"_run":{"sf":"/d/sf0.1","contended":false},"q1":{"wall_sec":0.27,"cpu_sec":1.0}}""")
+    val hist = Bench.cleanWallHistory(dir, "/d/sf0.1")
+    assert(hist == Map("q1" -> Seq(0.25, 0.31, 0.27), "q2" -> Seq(1.4)), s"got $hist")
   }
 
   test("size-stratified ratio medians separate memory-pressure from uniform slowdown") {
@@ -497,6 +535,40 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(a == b && a.isDefined && a != c)
     // unreadable member -> None (disarm, never guess)
     assert(Bench.sourceFingerprint(Seq("src/main/scala/graft/Nope.scala"), root).isEmpty)
+  }
+
+  test("freshness: an infra-file edit changes EVERY row's fingerprint") {
+    // the SCALING.md r14 finding: a Tables.scala edit changed every
+    // similarity plan and marked nothing stale. currentShaFor folds the
+    // global infra files into each row's sha, so a shared-helper edit
+    // stales the whole registry instead of silently invalidating it.
+    val root = java.nio.file.Files.createTempDirectory("graft-infra")
+    def write(rel: String, body: String): Unit = {
+      val p = root.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, body.getBytes)
+    }
+    write("infra/Tables.scala", "object Tables { val v = 1 }")
+    write("ops/A.scala", "object A")
+    write("ops/B.scala", "object B")
+    val owners = Map("qa" -> Seq("ops/A.scala"), "qb" -> Seq("ops/B.scala"))
+    val infra  = Seq("infra/Tables.scala")
+    val before = Bench.currentShaFor(owners, root, infra)
+    assert(before.keySet == Set("qa", "qb") && before("qa") != before("qb"))
+    // an owner-file edit stales only its own row...
+    write("ops/A.scala", "object A { val changed = true }")
+    val ownerEdit = Bench.currentShaFor(owners, root, infra)
+    assert(ownerEdit("qa") != before("qa") && ownerEdit("qb") == before("qb"))
+    // ...an INFRA edit stales every row
+    write("infra/Tables.scala", "object Tables { val v = 2 }")
+    val infraEdit = Bench.currentShaFor(owners, root, infra)
+    assert(infraEdit("qa") != ownerEdit("qa") && infraEdit("qb") != ownerEdit("qb"))
+    // unreadable infra disarms everything (same contract as owner files)
+    assert(Bench.currentShaFor(owners, root, Seq("infra/Nope.scala")).isEmpty)
+    // the real InfraFiles resolve from the repo root
+    val repoRoot = java.nio.file.Paths.get(".")
+    assert(Bench.InfraFiles.forall(f =>
+      java.nio.file.Files.isReadable(repoRoot.resolve(f))))
   }
 
   test("quiet gate: a flicker phase cannot fire the gate on one high instant") {

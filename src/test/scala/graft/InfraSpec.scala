@@ -276,21 +276,30 @@ class InfraSpec extends AnyFunSuite {
     (0 until 7).foreach(x => (0 until 5).foreach(y => img.setRGB(x, y, x * 31 + y)))
     val buf = new java.io.ByteArrayOutputStream()
     assert(javax.imageio.ImageIO.write(img, "png", buf), "JDK PNG writer unavailable")
-    val png     = buf.toByteArray
-    val garbage = "definitely not an image".getBytes("UTF-8")
+    val png = buf.toByteArray
+    // 32 bytes (a whole md5-hex multiple): non-image but NOT corrupt, so
+    // the FakeCodec fallback decodes it deterministically
+    val garbage = "definitely not an image.........".getBytes("UTF-8")
+    assert(garbage.length == 32)
+    // ragged length: corrupt bytes the fallback REFUSES — quarantined, not
+    // decoded to garbage metadata
+    val ragged = "truncated".getBytes("UTF-8")
     val media = Seq(
       Multimodal.MediaRecord(1L, png),
-      Multimodal.MediaRecord(2L, garbage)
-    ).toDS().repartition(2) // one record per partition: codec constructed per partition on executors
-    val out = Multimodal
-      .decodeAll(media, classOf[Multimodal.ImageIOCodec].getName)
+      Multimodal.MediaRecord(2L, garbage),
+      Multimodal.MediaRecord(3L, ragged)
+    ).toDS().repartition(3) // one record per partition: codec constructed per partition on executors
+    val res = Multimodal
+      .decodeSafe(media, classOf[Multimodal.ImageIOCodec].getName)
       .collect()
-      .map(m => m.doc_id -> m)
+      .map(r => r.doc_id -> r)
       .toMap
-    val decoded = out(1L)
-    assert(decoded.width == 7 && decoded.height == 5, s"real PNG dims misread: $decoded")
+    val decoded = res(1L).meta
+    assert(res(1L).ok && decoded.width == 7 && decoded.height == 5, s"real PNG dims misread: $decoded")
     assert(decoded.n_frames == 1 && decoded.n_bytes == png.length.toLong)
     // the non-image row degrades to the deterministic fake shape, not a failure
-    assert(out(2L) == Multimodal.FakeCodec.decode(2L, garbage))
+    assert(res(2L).ok && res(2L).meta == Multimodal.FakeCodec.decode(2L, garbage))
+    // the corrupt row lands in the quarantine channel with the throw's class
+    assert(!res(3L).ok && res(3L).err == "decode_error:IllegalArgumentException")
   }
 }

@@ -117,6 +117,48 @@ class NullTextSpec extends AnyFunSuite {
         failures.map { case (n, m) => s"  $n -> $m" }.mkString("\n"))
   }
 
+  test("every registered query executes with NaN/Inf embedding vectors (fp16-overflow shape)") {
+    // the r14 recorded probe: every 5th vector all-NaN (plus every 7th
+    // all-Infinity — the other non-finite fp16-overflow rendering). Before
+    // the ingestion-boundary finite filter this shape CRASHED q119 (NaN
+    // distances empty a k-means cluster -> DIVIDE_BY_ZERO) and silently
+    // poisoned every ranking NaN touched (NaN sorts HIGH, so a NaN vector
+    // won top-k slots in q60/q61/q62/q111). Contract: non-finite vectors
+    // are data-quality drops (reference P2), never task failures or
+    // ranking entries.
+    import org.apache.spark.sql.functions.{pmod, transform, when}
+    val out = Files.createTempDirectory("graft-nanemb").toFile
+    out.deleteOnExit()
+    tables.foreach { t =>
+      val df = spark.read.parquet(s"$srcDir/$t.parquet")
+      val mangled =
+        if (t != "embeddings") df
+        else df.withColumn(
+          "embedding",
+          when(pmod(col("vec_id"), lit(5)) === 0,
+            transform(col("embedding"), _ => lit(Float.NaN)))
+            .when(pmod(col("vec_id"), lit(7)) === 0,
+              transform(col("embedding"), _ => lit(Float.PositiveInfinity)))
+            .otherwise(col("embedding")))
+      mangled.write.mode("overwrite").parquet(s"${out.getAbsolutePath}/$t.parquet")
+    }
+    val dir = out.getAbsolutePath
+    val failures = runAll(dir)
+    assert(
+      failures.isEmpty,
+      s"${failures.size} queries throw on a NaN/Inf-vector corpus:\n" +
+        failures.map { case (n, m) => s"  $n -> $m" }.mkString("\n"))
+    // the drop is visible at the boundary: the filtered view sees only the
+    // finite vectors, and no NaN survives into a ranking (q60's top-k
+    // would otherwise surface NaN cosines)
+    val total  = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val finite = Tables.embeddings(spark, dir).count()
+    assert(finite < total && finite > 0, s"finite $finite of $total")
+    val knn = graft.operators.Similarity.knnBrute(spark, dir)
+    val bad = knn.filter(org.apache.spark.sql.functions.isnan(col("cos"))).count()
+    assert(bad == 0, s"$bad NaN cosines reached the q60 top-k")
+  }
+
   test("q129/q132 band models read null text as zero-token docs (driver-side scalar contract)") {
     val dir = cloneWithNulls(Map("documents" -> Seq("text")))
     // the r13 job-killers: a ROW_VALUE_IS_NULL here was a driver exception

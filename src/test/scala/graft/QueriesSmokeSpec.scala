@@ -53,26 +53,29 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("planted corrupt media rows quarantine as failure rows, never task failures") {
     import graft.operators.Multimodal
-    val media = Multimodal.mediaFromDocuments(spark, dir)
-    val expectedCorrupt = Tables
-      .documents(spark, dir)
-      .collect()
-      .map(_.getAs[Long]("doc_id"))
-      .filter(_ % Multimodal.CorruptMod == 0)
-      .toSet
-    assert(expectedCorrupt.nonEmpty, "fixture must plant at least one corrupt row")
+    val media  = Multimodal.mediaFromDocuments(spark, dir)
+    val docIds = Tables.documents(spark, dir).collect().map(_.getAs[Long]("doc_id")).toSet
+    // the two planted failure shapes: NULL payloads (null-quarantine
+    // channel) and truncated payloads (throwing-codec channel); their one
+    // collision (doc_id 0) resolves to NULL, per the when-chain order
+    val expectedNull  = docIds.filter(_ % Multimodal.CorruptMod == 0)
+    val expectedTrunc = docIds.filter(id => id % Multimodal.TruncMod == 0 && id % Multimodal.CorruptMod != 0)
+    assert(expectedNull.nonEmpty && expectedTrunc.nonEmpty, "fixture must plant both corrupt shapes")
     val results = Multimodal.decodeSafe(media).collect()
-    val failed  = results.filterNot(_.ok)
-    assert(failed.map(_.doc_id).toSet == expectedCorrupt)
-    assert(failed.forall(r => r.err == "null_payload" && r.meta == null))
-    assert(results.filter(_.ok).map(_.doc_id).toSet ==
-      (results.map(_.doc_id).toSet -- expectedCorrupt))
-    // and the P2 drop views exclude exactly the corrupt ids
+    val failed  = results.filterNot(_.ok).map(r => r.doc_id -> r).toMap
+    assert(failed.keySet == expectedNull ++ expectedTrunc)
+    assert(expectedNull.forall(id => failed(id).err == "null_payload" && failed(id).meta == null))
+    assert(expectedTrunc.forall(id =>
+      failed(id).err == "decode_error:IllegalArgumentException" && failed(id).meta == null))
+    assert(results.filter(_.ok).map(_.doc_id).toSet == docIds -- expectedNull -- expectedTrunc)
+    // the byte-level P2 views (no codec in the path) drop only NULL
+    // payloads — truncated bytes are still bytes to a histogram
     val featIds = Multimodal.mediaFeatures(spark, dir).select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(featIds.intersect(expectedCorrupt).isEmpty)
+    assert(featIds.intersect(expectedNull).isEmpty && expectedTrunc.subsetOf(featIds))
+    // the codec-stage query counts BOTH planted shapes as failures
     val q51 = Multimodal.decodeStats(spark, dir)
       .agg(org.apache.spark.sql.functions.sum("n_failed")).collect()(0).getLong(0)
-    assert(q51 == expectedCorrupt.size.toLong)
+    assert(q51 == (expectedNull.size + expectedTrunc.size).toLong)
   }
 
   test("a throwing codec yields decode_error rows, not a dead task") {

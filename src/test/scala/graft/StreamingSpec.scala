@@ -627,4 +627,75 @@ class StreamingSpec extends AnyFunSuite {
     val b1Keeps = verdicts.filter(col("batch_id") === 1L && col("keep") === 1L).count()
     assert(b1Keeps > 0L, "vacuous: the killed batch had no survivors to protect")
   }
+
+  test("a null-string/null-metric micro-batch degrades to data, never a stream failure") {
+    // the streaming twin of NullTextSpec's batch contract: the batch
+    // registry is proven null-proof, but the streaming paths run their own
+    // typed-encoder and state machinery — a failed-scrape micro-batch
+    // (every string NULL, metrics NULL) arriving mid-stream must degrade
+    // exactly like the batch operators (P2 drop / P3 zero), not kill the
+    // query. One clean file then one all-null file, one file per trigger,
+    // so the null batch hits WARM state.
+    import org.apache.spark.sql.functions.lit
+    val docsDir   = java.nio.file.Files.createTempDirectory("graft_nullbatch_docs")
+    val eventsDir = java.nio.file.Files.createTempDirectory("graft_nullbatch_events")
+    val docs   = spark.read.parquet(s"$dir/documents.parquet")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    def one(df: org.apache.spark.sql.DataFrame, dest: java.nio.file.Path, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_nullbatch_one")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, dest.resolve(name))
+    }
+    one(docs, docsDir, "b0.parquet")
+    one(
+      docs.withColumn("text", lit(null).cast("string"))
+        .withColumn("lang", lit(null).cast("string"))
+        .withColumn("source", lit(null).cast("string"))
+        .withColumn("n_chars", lit(null).cast("long")),
+      docsDir, "b1.parquet")
+    one(events, eventsDir, "b0.parquet")
+    one(
+      events.withColumn("event_type", lit(null).cast("string"))
+        .withColumn("props", lit(null).cast("string"))
+        .withColumn("value", lit(null).cast("double")),
+      eventsDir, "b1.parquet")
+
+    def docStream()   = DocStream.fromParquet(spark, docsDir.toString, maxFilesPerTrigger = Some(1))
+    def eventStream() = EventStream.fromParquet(spark, eventsDir.toString, maxFilesPerTrigger = Some(1))
+    val transforms: Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
+      ("nb_dedup", "append", DocStream.dedupExact(docStream())),
+      ("nb_lsh", "append", DocStream.lshCandidates(docStream()).toDF()),
+      ("nb_novelty", "append", DocStream.noveltyEvents(docStream()).toDF()),
+      ("nb_hh", "complete", DocStream.heavyHitterSketch(docStream())),
+      ("nb_tumbling", "complete", EventStream.tumblingCounts(eventStream())),
+      ("nb_sessions", "complete", EventStream.sessionCounts(eventStream())),
+      ("nb_transitions", "append", EventStream.transitionPairs(eventStream()).toDF()),
+      ("nb_funnel", "append", EventStream.funnelConversions(eventStream()).toDF()),
+      ("nb_scd2", "append", EventStream.scd2Runs(eventStream()).toDF()),
+      ("nb_totals", "append", EventStream.runningUserTotals(eventStream()).toDF())
+    )
+    val failures = transforms.flatMap { case (name, mode, df) =>
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        // both files actually fed the query — the null batch was processed,
+        // not skipped
+        val fed = q.recentProgress.count(_.numInputRows > 0)
+        if (fed >= 2) None else Some(name -> s"only $fed data-carrying micro-batches")
+      } catch {
+        case e: Throwable =>
+          Some(name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      } finally q.stop()
+    }
+    assert(
+      failures.isEmpty,
+      s"${failures.size} streaming transforms fail on a null micro-batch:\n" +
+        failures.map { case (n, m) => s"  $n -> $m" }.mkString("\n"))
+    // P3 spot check: the null batch contributes zero to running totals
+    // (sum semantics over NULL), and every doc row still got a novelty
+    // verdict (null-text docs share one null fingerprint)
+    val nNovelty = spark.table("nb_novelty").count()
+    assert(nNovelty == docs.count() * 2, s"novelty rows $nNovelty != 2x corpus")
+  }
 }
