@@ -58,14 +58,32 @@ object Tables {
   def embeddingsDistributed(s: SparkSession, d: String): DataFrame =
     finiteVectors(distributed(s, d, "embeddings"))
 
-  /** The one null/non-finite vector drop, shared by both embedding entry
-    * points — abs(v) > Float.MaxValue catches ±Infinity on the FLOAT
-    * element type without a NaN-style special form. */
+  /** The one null/non-finite/zero-norm vector drop, shared by both embedding
+    * entry points — abs(v) > Float.MaxValue catches ±Infinity on the FLOAT
+    * element type without a NaN-style special form.
+    *
+    * ALL-ZERO vectors are dropped too (r16): a zero vector is finite but has
+    * L2 norm 0, and every cosine in the engine divides by a norm product —
+    * under ANSI mode a DIVIDE_BY_ZERO job killer in eight queries
+    * (ZeroVectorProbeSpec pinned q37/q39/q60/q61/q62/q76/q111/q119). Zero
+    * vectors are routine production shapes (zeroed encoder flush, writer
+    * padding, masked embeddings), and cosine against one is UNDEFINED, so
+    * the P2 drop loses no ranking semantics. `exists(v != 0)` is false on
+    * the all-zero vector and also on the EMPTY vector (norm 0 as well).
+    *
+    * Three-valued-logic note (deliberate, pinned by NullTextSpec): a vector
+    * containing ANY NULL element is DROPPED. The negated non-finite check
+    * passes only on a definite `exists = false`, which requires every
+    * element to evaluate the predicate to false — a NULL element makes it
+    * NULL, and `!NULL` fails the filter. A NULL element means the embedding
+    * writer emitted a partial row; partial vectors have no meaningful norm,
+    * so the drop is the same P2 contract, not an accident of 3VL. */
   private def finiteVectors(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     df.filter(
       col("embedding").isNotNull &&
-        !exists(col("embedding"), v => isnan(v) || abs(v) > lit(Float.MaxValue)))
+        !exists(col("embedding"), v => isnan(v) || abs(v) > lit(Float.MaxValue)) &&
+        exists(col("embedding"), v => v =!= lit(0.0f)))
   }
 
   private def distributed(s: SparkSession, d: String, name: String): DataFrame = {

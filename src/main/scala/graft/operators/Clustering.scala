@@ -282,7 +282,7 @@ object Clustering extends QueryModule {
     val pairs = a
       .join(b, Seq("cid"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cos", Similarity.cosine(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos") >= SemDupCos)
       .select(col("cid"), col("id_a"), col("id_b"), col("da"), col("db"))
     // loser = lower priority under (d DESC, vec_id ASC); id_a < id_b, so an
@@ -524,7 +524,7 @@ object Clustering extends QueryModule {
          |  SELECT a.cid AS cid, a.vec_id AS id_a, b.vec_id AS id_b, a.dist AS da, b.dist AS db
          |  FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
          |  WHERE round(CAST(list_sum(list_transform(generate_series(1, $dims),
-         |          i -> CAST(a.qv[i] * b.qv[i] AS BIGINT))) AS DOUBLE) / (a.nrm * b.nrm), 6)
+         |          i -> CAST(a.qv[i] * b.qv[i] AS BIGINT))) AS DOUBLE) / nullif(a.nrm * b.nrm, 0), 6)
          |        >= $SemDupCos
          |),
          |r AS (

@@ -303,7 +303,7 @@ object FuzzyDedup extends QueryModule {
     val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cos", Similarity.cosine(Similarity.dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos") >= 0.9)
       .select("id_a", "id_b", "cos")
   }
@@ -403,7 +403,7 @@ object FuzzyDedup extends QueryModule {
     cand
       .join(a, Seq("id_a"))
       .join(b, Seq("id_b"))
-      .withColumn("cos", round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cos", Similarity.cosine(Similarity.dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos") >= 0.9)
       .select("id_a", "id_b", "cos")
   }
@@ -1634,7 +1634,7 @@ object FuzzyDedup extends QueryModule {
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
         |  WHERE round(list_sum(list_transform(generate_series(1, 64),
-        |          i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.9
+        |          i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / nullif(a.nrm * b.nrm, 0), 6) >= 0.9
         |),
         |edges AS (
         |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1659,10 +1659,10 @@ object FuzzyDedup extends QueryModule {
         |)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_sum(list_transform(generate_series(1, 64),
-        |          i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cos
+        |          i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / nullif(a.nrm * b.nrm, 0), 6) AS cos
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE round(list_sum(list_transform(generate_series(1, 64),
-        |        i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.9""".stripMargin,
+        |        i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / nullif(a.nrm * b.nrm, 0), 6) >= 0.9""".stripMargin,
     "q37_dedup_embedding" ->
       """WITH n AS (
         |  SELECT vec_id, embedding AS v,
@@ -1672,9 +1672,9 @@ object FuzzyDedup extends QueryModule {
         |)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_sum(list_transform(generate_series(1, 64),
-        |          i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cos
+        |          i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / nullif(a.nrm * b.nrm, 0), 6) AS cos
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE round(list_sum(list_transform(generate_series(1, 64),
-        |        i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.9""".stripMargin
+        |        i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / nullif(a.nrm * b.nrm, 0), 6) >= 0.9""".stripMargin
   )
 }

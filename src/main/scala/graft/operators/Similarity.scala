@@ -30,6 +30,20 @@ object Similarity extends QueryModule {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine with the zero-norm guard, shared by EVERY engine division site
+    * (Similarity / FuzzyDedup / Clustering): `dot / nullif(na·nb, 0)` — a
+    * zero norm product yields NULL, never an ANSI DIVIDE_BY_ZERO task
+    * failure. Defense in depth behind the [[Tables]] ingestion drop (which
+    * already removes zero-norm vectors from every Tables-fed path): a
+    * zero-norm vector reaching any FUTURE entry point degrades to a null
+    * score — dropped by `cos >= t` filters (NULL fails the predicate) and
+    * never winning a top-k slot (descending orders put NULLs last). Oracle
+    * twins carry the same `nullif` so both engines stay in lockstep; on a
+    * nonzero corpus the guard is bit-neutral (nullif folds to the product).
+    */
+  def cosine(dotCol: Column, na: Column, nb: Column): Column =
+    round(dotCol / nullif(na * nb, lit(0.0)), 6)
+
   private def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
   /** Embeddings with the L2 norm precomputed ONCE per vector — at N² pair
@@ -59,7 +73,7 @@ object Similarity extends QueryModule {
       .select(
         col("q_id"),
         col("vec_id"),
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos")
+        cosine(dot(col("v"), col("qv")), col("nrm"), col("qnrm")).as("cos")
       )
     // order = (cos DESC, vec_id ASC) encoded as max-struct(cos, -vec_id)
     val key = struct(col("cos"), (-col("vec_id")).as("neg_id"), col("vec_id"))
@@ -190,7 +204,7 @@ object Similarity extends QueryModule {
     cand
       .join(a, Seq("id_a"))
       .join(b, Seq("id_b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cos", cosine(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos") >= 0.95)
       .select("id_a", "id_b", "cos")
   }
@@ -237,7 +251,7 @@ object Similarity extends QueryModule {
         val cVec  = r.getSeq[Double](1)
         val cNorm = r.getDouble(2)
         struct(
-          round(dot(vCol, array(cVec.map(lit): _*)) / (nrmCol * lit(cNorm)), 6).as("c_cos"),
+          cosine(dot(vCol, array(cVec.map(lit): _*)), nrmCol, lit(cNorm)).as("c_cos"),
           lit(-cId).as("neg_id")
         )
       }: _*)
@@ -259,7 +273,7 @@ object Similarity extends QueryModule {
         col("q_id"),
         col("vec_id"),
         col("list_id"),
-        round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos")
+        cosine(dot(col("v"), col("qv")), col("nrm"), col("qnrm")).as("cos")
       )
     val key = struct(col("cos"), (-col("vec_id")).as("neg_id"), col("vec_id"), col("list_id"))
     cand
@@ -549,11 +563,11 @@ object Similarity extends QueryModule {
        |cand AS (
        |  $bandCands
        |)
-       |SELECT c.id_a, c.id_b, round($dotSql / (a.nrm * b.nrm), 6) AS cos
+       |SELECT c.id_a, c.id_b, round($dotSql / nullif(a.nrm * b.nrm, 0), 6) AS cos
        |FROM cand c
        |JOIN n_all a ON a.vec_id = c.id_a
        |JOIN n_all b ON b.vec_id = c.id_b
-       |WHERE round($dotSql / (a.nrm * b.nrm), 6) >= 0.95""".stripMargin
+       |WHERE round($dotSql / nullif(a.nrm * b.nrm, 0), 6) >= 0.95""".stripMargin
   }
 
   /** Dir-aware oracle renderings (consulted by Verify at dump time, keyed
@@ -611,7 +625,7 @@ object Similarity extends QueryModule {
          |      FROM e),
          |sim AS (
          |  SELECT b.vec_id AS q_id, a.vec_id AS vec_id,
-         |    round($dotSql / (a.nrm * b.nrm), 6) AS cos
+         |    round($dotSql / nullif(a.nrm * b.nrm, 0), 6) AS cos
          |  FROM n a JOIN n b ON b.vec_id < 5 AND a.vec_id <> b.vec_id
          |),
          |rk AS (SELECT q_id, vec_id, cos,
@@ -625,20 +639,20 @@ object Similarity extends QueryModule {
          |        sqrt(${d("embedding", "embedding")}) AS nrm FROM embeddings),
          |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
          |ac AS (SELECT n.vec_id, n.v, n.nrm, c.c_id,
-         |         round(${d("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) AS c_cos
+         |         round(${d("n.v", "c.cv")} / nullif(n.nrm * c.cnrm, 0), 6) AS c_cos
          |       FROM n CROSS JOIN c),
          |asg AS (SELECT vec_id, v, nrm, c_id AS list_id FROM (
          |          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS a_rnk
          |          FROM ac) WHERE a_rnk = 1),
          |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
          |pc AS (SELECT q.q_id, q.qv, q.qnrm, c.c_id,
-         |         round(${d("q.qv", "c.cv")} / (q.qnrm * c.cnrm), 6) AS p_cos
+         |         round(${d("q.qv", "c.cv")} / nullif(q.qnrm * c.cnrm, 0), 6) AS p_cos
          |       FROM q CROSS JOIN c),
          |probes AS (SELECT q_id, qv, qnrm, c_id AS list_id FROM (
          |             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY p_cos DESC, c_id) AS p_rnk
          |             FROM pc) WHERE p_rnk <= 2),
          |cand AS (SELECT p.q_id, a.vec_id, a.list_id,
-         |           round(${d("a.v", "p.qv")} / (a.nrm * p.qnrm), 6) AS cos
+         |           round(${d("a.v", "p.qv")} / nullif(a.nrm * p.qnrm, 0), 6) AS cos
          |         FROM asg a JOIN probes p ON a.list_id = p.list_id AND a.vec_id <> p.q_id)
          |SELECT q_id, vec_id, list_id, cos, rnk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM cand
@@ -651,7 +665,7 @@ object Similarity extends QueryModule {
          |        sqrt(${d("embedding", "embedding")}) AS nrm FROM embeddings),
          |bsim AS (
          |  SELECT b.vec_id AS q_id, a.vec_id AS vec_id,
-         |    round(${d("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos
+         |    round(${d("a.v", "b.v")} / nullif(a.nrm * b.nrm, 0), 6) AS cos
          |  FROM n a JOIN n b ON b.vec_id < 5 AND a.vec_id <> b.vec_id
          |),
          |bk AS (SELECT q_id, vec_id FROM (
@@ -660,20 +674,20 @@ object Similarity extends QueryModule {
          |  FROM bsim) WHERE rnk <= 10),
          |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
          |ac AS (SELECT n.vec_id, n.v, n.nrm, c.c_id,
-         |         round(${d("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) AS c_cos
+         |         round(${d("n.v", "c.cv")} / nullif(n.nrm * c.cnrm, 0), 6) AS c_cos
          |       FROM n CROSS JOIN c),
          |asg AS (SELECT vec_id, v, nrm, c_id AS list_id FROM (
          |          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS a_rnk
          |          FROM ac) WHERE a_rnk = 1),
          |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
          |pc AS (SELECT q.q_id, q.qv, q.qnrm, c.c_id,
-         |         round(${d("q.qv", "c.cv")} / (q.qnrm * c.cnrm), 6) AS p_cos
+         |         round(${d("q.qv", "c.cv")} / nullif(q.qnrm * c.cnrm, 0), 6) AS p_cos
          |       FROM q CROSS JOIN c),
          |probes AS (SELECT q_id, qv, qnrm, c_id AS list_id FROM (
          |             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY p_cos DESC, c_id) AS p_rnk
          |             FROM pc) WHERE p_rnk <= 2),
          |cand AS (SELECT p.q_id, a.vec_id,
-         |           round(${d("a.v", "p.qv")} / (a.nrm * p.qnrm), 6) AS cos
+         |           round(${d("a.v", "p.qv")} / nullif(a.nrm * p.qnrm, 0), 6) AS cos
          |         FROM asg a JOIN probes p ON a.list_id = p.list_id AND a.vec_id <> p.q_id),
          |ik AS (SELECT q_id, vec_id FROM (
          |  SELECT q_id, vec_id,

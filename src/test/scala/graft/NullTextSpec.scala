@@ -117,16 +117,25 @@ class NullTextSpec extends AnyFunSuite {
         failures.map { case (n, m) => s"  $n -> $m" }.mkString("\n"))
   }
 
-  test("every registered query executes with NaN/Inf embedding vectors (fp16-overflow shape)") {
-    // the r14 recorded probe: every 5th vector all-NaN (plus every 7th
-    // all-Infinity — the other non-finite fp16-overflow rendering). Before
-    // the ingestion-boundary finite filter this shape CRASHED q119 (NaN
-    // distances empty a k-means cluster -> DIVIDE_BY_ZERO) and silently
-    // poisoned every ranking NaN touched (NaN sorts HIGH, so a NaN vector
-    // won top-k slots in q60/q61/q62/q111). Contract: non-finite vectors
-    // are data-quality drops (reference P2), never task failures or
-    // ranking entries.
-    import org.apache.spark.sql.functions.{pmod, transform, when}
+  test("every registered query executes with NaN/Inf/zero/null-element embedding vectors") {
+    // the standing degraded-vector corpus, grown probe by probe:
+    //  - every 5th vector all-NaN, every 7th all-Infinity (r14 — the two
+    //    non-finite fp16-overflow renderings). Before the ingestion-boundary
+    //    finite filter this CRASHED q119 (NaN distances empty a k-means
+    //    cluster -> DIVIDE_BY_ZERO) and silently poisoned every ranking NaN
+    //    touched (NaN sorts HIGH, so a NaN vector won top-k slots).
+    //  - every 11th vector ALL-ZERO (r16 — zeroed encoder flush / writer
+    //    padding / masked embeddings). Finite, but L2 norm 0: before the
+    //    zero-norm extension of Tables.finiteVectors, eight cosine paths
+    //    threw ANSI DIVIDE_BY_ZERO (ZeroVectorProbeSpec pins the set).
+    //  - every 13th vector carries ONE NULL element (r16 — a partial row
+    //    from the embedding writer). Pins the deliberate three-valued-logic
+    //    drop: `!exists(non-finite)` needs a definite false, which a NULL
+    //    element denies, so the row is dropped — semantics documented at
+    //    Tables.finiteVectors, asserted here rather than left incidental.
+    // Contract for all four shapes: data-quality drops (reference P2),
+    // never task failures or ranking entries.
+    import org.apache.spark.sql.functions.{concat, expr, pmod, slice, transform, when}
     val out = Files.createTempDirectory("graft-nanemb").toFile
     out.deleteOnExit()
     tables.foreach { t =>
@@ -139,6 +148,12 @@ class NullTextSpec extends AnyFunSuite {
             transform(col("embedding"), _ => lit(Float.NaN)))
             .when(pmod(col("vec_id"), lit(7)) === 0,
               transform(col("embedding"), _ => lit(Float.PositiveInfinity)))
+            .when(pmod(col("vec_id"), lit(11)) === 0,
+              transform(col("embedding"), _ => lit(0.0f)))
+            .when(pmod(col("vec_id"), lit(13)) === 0,
+              concat(
+                expr("array(CAST(NULL AS FLOAT))"),
+                slice(col("embedding"), 2, 1000)))
             .otherwise(col("embedding")))
       mangled.write.mode("overwrite").parquet(s"${out.getAbsolutePath}/$t.parquet")
     }
@@ -146,17 +161,23 @@ class NullTextSpec extends AnyFunSuite {
     val failures = runAll(dir)
     assert(
       failures.isEmpty,
-      s"${failures.size} queries throw on a NaN/Inf-vector corpus:\n" +
+      s"${failures.size} queries throw on a NaN/Inf/zero/null-element-vector corpus:\n" +
         failures.map { case (n, m) => s"  $n -> $m" }.mkString("\n"))
     // the drop is visible at the boundary: the filtered view sees only the
-    // finite vectors, and no NaN survives into a ranking (q60's top-k
-    // would otherwise surface NaN cosines)
-    val total  = spark.read.parquet(s"$dir/embeddings.parquet").count()
-    val finite = Tables.embeddings(spark, dir).count()
-    assert(finite < total && finite > 0, s"finite $finite of $total")
+    // finite nonzero vectors — every mangled id (multiples of 5/7/11/13)
+    // is gone, everything else kept — and no NaN survives into a ranking
+    // (q60's top-k would otherwise surface NaN cosines)
+    val mangledPred =
+      pmod(col("vec_id"), lit(5)) === 0 || pmod(col("vec_id"), lit(7)) === 0 ||
+        pmod(col("vec_id"), lit(11)) === 0 || pmod(col("vec_id"), lit(13)) === 0
+    val raw      = spark.read.parquet(s"$dir/embeddings.parquet")
+    val expected = raw.filter(!mangledPred).count()
+    val view     = Tables.embeddings(spark, dir)
+    assert(view.count() == expected, s"filtered view ${view.count()} vs expected survivors $expected")
+    assert(view.filter(mangledPred).count() == 0, "a degraded vector survived the ingestion filter")
     val knn = graft.operators.Similarity.knnBrute(spark, dir)
-    val bad = knn.filter(org.apache.spark.sql.functions.isnan(col("cos"))).count()
-    assert(bad == 0, s"$bad NaN cosines reached the q60 top-k")
+    val bad = knn.filter(org.apache.spark.sql.functions.isnan(col("cos")) || col("cos").isNull).count()
+    assert(bad == 0, s"$bad NaN/NULL cosines reached the q60 top-k")
   }
 
   test("q129/q132 band models read null text as zero-token docs (driver-side scalar contract)") {

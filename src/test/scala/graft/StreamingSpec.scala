@@ -636,6 +636,16 @@ class StreamingSpec extends AnyFunSuite {
     // exactly like the batch operators (P2 drop / P3 zero), not kill the
     // query. One clean file then one all-null file, one file per trigger,
     // so the null batch hits WARM state.
+    //
+    // Degraded-VECTOR note (the r16 zero/NaN-vector probe's streaming leg):
+    // no streaming path reads the embedding column — DocStream consumes
+    // (doc_id, text, lang, source, n_chars) and EventStream the events
+    // shape; neither source schema carries a vector (grep `embedding`
+    // under graft/streaming is empty). The zero-norm/NaN contract is
+    // therefore fully owned by the batch boundary (Tables.finiteVectors +
+    // Similarity.cosine), pinned by ZeroVectorProbeSpec/NullTextSpec; a
+    // future streaming embedding source must route ingestion through the
+    // same filtered view to inherit it.
     import org.apache.spark.sql.functions.lit
     val docsDir   = java.nio.file.Files.createTempDirectory("graft_nullbatch_docs")
     val eventsDir = java.nio.file.Files.createTempDirectory("graft_nullbatch_events")
