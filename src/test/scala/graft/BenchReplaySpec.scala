@@ -376,26 +376,36 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(wallOf(changed, "qbi") == 2.6, s"got ${wallOf(changed, "qbi")}")
   }
 
-  test("baseline writer: sub-0.3s rows stamp the clean-history median, big rows stay point stamps") {
+  test("baseline writer: rows under SmallRowWallSec stamp the clean-history median, big rows stay point stamps") {
     // the r13 false-trip class: a 0.15 s record-quiet stamp makes ordinary
-    // quiet runs read "2x" on noise. With history, the tiny row stamps the
+    // quiet runs read "2x" on noise. With history, the small row stamps the
     // median of clean samples + this run; without history (or for big
-    // rows) the single-run stamp convention is unchanged.
+    // rows) the single-run stamp convention is unchanged. The cutoff is
+    // SmallRowWallSec (0.3 through r14, 0.6 since r15) — qmid below pins
+    // the widened 0.3-0.6 band.
     def wallOf(bytes: Array[Byte], name: String): Double = {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
       root.get(name).get("wall_sec").asDouble()
     }
-    val hist = Map("qtiny" -> Seq(0.25, 0.28, 0.31), "qbig" -> Seq(3.1, 3.4, 2.9))
+    assert(Bench.SmallRowWallSec == 0.6, "the qmid case below assumes the r15 cutoff")
+    val hist = Map(
+      "qtiny" -> Seq(0.25, 0.28, 0.31),
+      "qmid"  -> Seq(0.40, 0.52, 0.44),
+      "qbig"  -> Seq(3.1, 3.4, 2.9))
     val prev =
       """{"_sf":{"dir":"/d/sf0.1"},
         |"qtiny":{"wall_sec":0.15,"cpu_sec":0.1,"src_sha":"s"},
+        |"qmid":{"wall_sec":0.38,"cpu_sec":1.2,"src_sha":"s"},
         |"qbig":{"wall_sec":2.2,"cpu_sec":10.0,"src_sha":"s"}}""".stripMargin
-    val sha = Map("qtiny" -> "s", "qbig" -> "s")
+    val sha = Map("qtiny" -> "s", "qmid" -> "s", "qbig" -> "s")
     val merged = Bench.mergeBaseline(
-      Some(prev.getBytes), Seq(("qtiny", 0.12, 0.1), ("qbig", 2.0, 10.0)), sha, "/d/sf0.1",
-      histWalls = hist)
+      Some(prev.getBytes), Seq(("qtiny", 0.12, 0.1), ("qmid", 0.45, 1.2), ("qbig", 2.0, 10.0)), sha,
+      "/d/sf0.1", histWalls = hist)
     // median of [0.25, 0.28, 0.31, 0.12] = (0.25 + 0.28) / 2
     assert(wallOf(merged, "qtiny") == 0.265, s"got ${wallOf(merged, "qtiny")}")
+    // 0.45 s sits in the band the r15 cutoff raise added (0.3 <= w < 0.6):
+    // median of [0.40, 0.52, 0.44, 0.45] = (0.44 + 0.45) / 2
+    assert(wallOf(merged, "qmid") == 0.445, s"got ${wallOf(merged, "qmid")}")
     assert(wallOf(merged, "qbig") == 2.0, s"got ${wallOf(merged, "qbig")}")
     // history walls price the OLD code: a changed-sha row must take a
     // fresh point stamp, not a median over a dead implementation
@@ -437,6 +447,48 @@ class BenchReplaySpec extends AnyFunSuite {
       """{"_run":{"sf":"/d/sf0.1","contended":false},"q1":{"wall_sec":0.27,"cpu_sec":1.0}}""")
     val hist = Bench.cleanWallHistory(dir, "/d/sf0.1")
     assert(hist == Map("q1" -> Seq(0.25, 0.31, 0.27), "q2" -> Seq(1.4)), s"got $hist")
+  }
+
+  test("clean wall history: the sf gate compares normalized scale tokens, not raw path strings") {
+    // the ADVICE-r15 class: a trailing slash, symlinked prefix, or
+    // regenerated testdata at a new mount point must not silently drop ALL
+    // history (quietly reverting the median policy to point stamps) — only
+    // a genuinely different SCALE may
+    assert(Bench.normalizeSf("/root/testdata/sf0.1") == "sf0.1")
+    assert(Bench.normalizeSf("/root/testdata/sf0.1/") == "sf0.1")
+    assert(Bench.normalizeSf("/mnt/new/testdata/sf0.1") == "sf0.1")
+    assert(Bench.normalizeSf("/d/sf0.01") == "sf0.01")
+    // no sf token: gate on the trailing-slash-trimmed raw dir
+    assert(Bench.normalizeSf("/data/bench/") == "/data/bench")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist-sfnorm")
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name), body.getBytes)
+    write("bench_detail_slash.json",
+      """{"_run":{"sf":"/root/testdata/sf0.1/","contended":false},"q1":{"wall_sec":0.25,"cpu_sec":1.0}}""")
+    write("bench_detail_remount.json",
+      """{"_run":{"sf":"/mnt/elsewhere/sf0.1","contended":false},"q1":{"wall_sec":0.29,"cpu_sec":1.0}}""")
+    write("bench_detail_otherscale.json",
+      """{"_run":{"sf":"/root/testdata/sf0.01","contended":false},"q1":{"wall_sec":0.02,"cpu_sec":0.1}}""")
+    val hist = Bench.cleanWallHistory(dir, "/root/testdata/sf0.1")
+    // files are read in name order: _remount sorts before _slash
+    assert(hist == Map("q1" -> Seq(0.29, 0.25)), s"got $hist")
+  }
+
+  test("official runner: only declared dual-mode rows burn a warm-up rep") {
+    // the r16 q110 fix: three rounds running, the one >2x wall row was a
+    // declared warm-up-bimodal row whose official 3-rep median landed on
+    // the JIT decay shoulder (r15: rep cpus 12.9/78.2/28.2). The official
+    // runner burns ONE unrecorded rep for rows carrying cpu_lo, so the
+    // measured median reads the same warm regime the stamp's clean-history
+    // median does. Point rows and unbaselined rows burn nothing.
+    def row(cpu: Double, lo: Option[Double]) = Bench.BaselineRow(cpu, lo, Some("s"))
+    val base = Map(
+      "qdual"  -> row(15.0, Some(7.0)),
+      "qpoint" -> row(10.0, None))
+    assert(Bench.warmupRepsFor("qdual", base) == 1)
+    assert(Bench.warmupRepsFor("qpoint", base) == 0)
+    assert(Bench.warmupRepsFor("qunknown", base) == 0)
+    assert(Bench.warmupRepsFor("qdual", Map.empty) == 0) // no baseline file -> no declared rows
   }
 
   test("size-stratified ratio medians separate memory-pressure from uniform slowdown") {
