@@ -542,6 +542,51 @@ object Bench {
     (dirty, stale)
   }
 
+  /** Cross-run WALL outlier check vs the clean-history medians — the
+    * channel that fires EVEN ON STALE ROWS. The r16 blind spot: the
+    * cpu-ratio machinery is (correctly) suppressed on rows whose src_sha
+    * changed, and driver-side planning time never appears in task cpu at
+    * all — so a 50–100× wall regression on q62/q111 (the nullif/With
+    * Catalyst planning blowup) read as "cost-free, median cpu 0.943" in
+    * nine consecutive runs while every one of them carried q62 at 22–33 s
+    * against a ~0.6 s history. This check compares each row's measured
+    * wall against the median of its CLEAN-history walls
+    * ([[cleanWallHistory]] — contended/steal-poisoned/bracket-collapsed
+    * runs and dirty rows already excluded) and flags on ratio ≥
+    * [[WallHistRatioThreshold]] with an absolute excess floor
+    * ([[WallHistFloorSec]], so sub-second noise rows can't trip it).
+    * Deliberately sha-blind: a legitimate code re-price ALSO fires once,
+    * which is the correct behavior — a wall that moved 3× wants a human
+    * reading either way, and the flag dies as clean history accumulates at
+    * the new price. Advisory (stderr + `_run.wall_outlier_rows` + per-row
+    * `wall_hist_ratio`), never flips `contended`: walls are load-sensitive
+    * and the stamp guards own that decision; steal-band inflation observed
+    * on this box tops out well under the 3× bar (poisoned-era small rows
+    * ran 1.5–2×). */
+  val WallHistRatioThreshold = 3.0
+  val WallHistFloorSec       = 1.0
+  val WallHistMinSamples     = 3
+
+  /** Per-row clean-history wall medians (rows with enough samples only). */
+  def wallHistMedians(hist: Map[String, Seq[Double]]): Map[String, Double] =
+    hist.collect { case (n, ws) if ws.size >= WallHistMinSamples => n -> median(ws) }
+
+  def wallHistOutliers(
+      measured: Seq[(String, Double)],
+      histMed: Map[String, Double]): Seq[(String, Double)] =
+    measured.flatMap { case (n, w) =>
+      histMed.get(n).collect {
+        case m if m > 0 && w > WallHistRatioThreshold * m && w - m > WallHistFloorSec =>
+          (n, w / m)
+      }
+    }
+
+  /** Driver-side planning above this (median across reps) earns a stderr
+    * note: planning is single-threaded work no cluster size amortizes, so
+    * a plan that optimizes in seconds is a scale bug even when execution
+    * is fast (the r16 q62/q111 class; see `plan_sec` in bench_detail). */
+  val PlanSecWarnThreshold = 1.0
+
   /** EVERY baselined row whose recorded src_sha mismatches the current
     * source fingerprint — independent of whether the row is over the cpu
     * flag bar. [[cpuDirtyOrStale]]'s stale list only surfaces a mismatched
@@ -712,10 +757,12 @@ object Bench {
           e <- Option(r.get("membw_mbps_end")).map(_.asDouble())
         } yield e / s < StampMembwEndFloor).getOrElse(false)
         val recordedSf = run.flatMap(r => Option(r.get("sf"))).map(_.asText())
-        if (recordedSf.isEmpty) sfLess += 1
         val wrongScale = recordedSf.exists(s => normalizeSf(s) != normalizeSf(sfDir))
         if (contended || stealPoisoned || bracketCollapsed || wrongScale) acc
-        else
+        else {
+          // count sf-less files only when actually ACCEPTED (ADVICE r16:
+          // counting before the cleanliness checks overstated the warning)
+          if (recordedSf.isEmpty) sfLess += 1
           root.fieldNames().asScala.filterNot(_.startsWith("_")).foldLeft(acc) { (a, name) =>
             val node  = root.get(name)
             val dirty = Option(node.get("dirty")).exists(_.asBoolean())
@@ -724,6 +771,7 @@ object Bench {
               case None    => a
             }
           }
+        }
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] skipping unreadable history file $f: $e"); acc
@@ -737,15 +785,22 @@ object Bench {
   }
 
   /** The scale token of a bench data dir for history gating: the last
-    * `sf<digits/dots>` path component if one exists (so
-    * `/root/testdata/sf0.1`, `/root/testdata/sf0.1/`, and a symlinked or
-    * re-mounted prefix all compare equal), else the trailing-slash-trimmed
-    * raw string (unknown layouts still gate, just on the exact dir). */
+    * path COMPONENT fully matching `sf<digits>[.<digits>]` if one exists
+    * (so `/root/testdata/sf0.1`, `/root/testdata/sf0.1/`, and a symlinked
+    * or re-mounted prefix all compare equal), else the trailing-slash-
+    * trimmed raw string (unknown layouts still gate, just on the exact
+    * dir). Whole-component match, not substring (ADVICE r16): the old
+    * substring scan normalized `/d/sf0.1.bak` to `sf0.1.` and admitted
+    * history from an unrelated `/data/mysf0.25x/run` layout as `sf0.25`. */
   private[graft] def normalizeSf(dir: String): String = {
     val trimmed = dir.replaceAll("/+$", "")
-    SfToken.findAllIn(trimmed).toSeq.lastOption.getOrElse(trimmed)
+    trimmed
+      .split('/')
+      .reverseIterator
+      .find(seg => SfComponent.pattern.matcher(seg).matches())
+      .getOrElse(trimmed)
   }
-  private val SfToken = "sf[0-9][0-9.]*".r
+  private val SfComponent = "sf[0-9]+(\\.[0-9]+)?".r
 
   /** (steal, total) jiffies from the aggregate `cpu ` line of a
     * /proc/stat snapshot — the co-tenant evidence channel. Steal is time
@@ -966,6 +1021,17 @@ object Bench {
     val srcRoot = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SRC_ROOT", "."))
     val owners  = SparkEntry.queryOwners ++ BenchExtras.owners
     val currentSha: Map[String, String] = currentShaFor(owners, srcRoot)
+    // Clean-run wall history, loaded up front (not just at stamp time): it
+    // feeds (a) the sha-blind wall-outlier channel on EVERY run — the r16
+    // planning-blowup class is invisible to task cpu and suppressed by
+    // staleness, so walls vs clean history are the only channel that sees
+    // it — and (b) the small-row median policy when a stamp lands.
+    val histDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_HISTORY_DIR", "bench_history"))
+    val histWalls =
+      if (java.nio.file.Files.isDirectory(histDir)) cleanWallHistory(histDir, sfDir)
+      else Map.empty[String, Seq[Double]]
+    val histMed = wallHistMedians(histWalls)
     val probe = new ContentionProbe
     (1 to 3).foreach(_ => probe.spin()) // JIT-warm the probe loop itself
     val membw = new MemBandwidthProbe()
@@ -1039,11 +1105,26 @@ object Bench {
         // rounds 5–6 benched the triangle family at the cost of its degree
         // aggregate. toRdd executes the same plan Verify writes to parquet,
         // minus the file IO; the RDD count moves no rows to the driver.
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+        //
+        // PLANNING/EXECUTION SPLIT (r17, verdict #3): `toRdd` forces the
+        // whole driver-side chain (analysis → optimization → physical
+        // planning), single-threaded work that task metrics never see —
+        // the r16 nullif/With blowup spent 25 s/action here while cpu_sec
+        // stayed flat, and nine runs' adjudication read it as co-tenant
+        // noise. plan_sec records that span per rep so a planning
+        // regression is first-class data, not an inference.
+        val planned =
+          try Some(fn(spark, sfDir).queryExecution.toRdd)
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed (planning): $e"); None
+          }
+        val tPlan = System.nanoTime()
+        try planned.foreach { r => r.count(); () }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
         val wall = (System.nanoTime() - t0) / 1e9
         org.apache.spark.GraftSparkBridge.drainListenerBus(sc)
-        (wall, (cpu.cpuNs.sum() - cpu0) / 1e9)
+        (wall, (cpu.cpuNs.sum() - cpu0) / 1e9, (tPlan - t0) / 1e9)
       }
       // the query's LOCAL steal window: lets a dirty flag be adjudicated
       // ambient-vs-code per row (a 2x cpu row whose own window shows
@@ -1057,7 +1138,13 @@ object Bench {
       // queries must not run under its retained blocks (outside the
       // measured window, like the gc nudge above)
       BenchExtras.releaseAfter(name)
-      (name, median(runs.map(_._1)), median(runs.map(_._2)), runs.map(_._1), runs.map(_._2), qSteal, warmup)
+      val planSec = median(runs.map(_._3))
+      if (planSec > PlanSecWarnThreshold)
+        System.err.println(
+          f"[bench] $name: driver-side planning $planSec%.2f s per action (median) — " +
+            "single-threaded cost no cluster size amortizes")
+      (name, median(runs.map(_._1)), median(runs.map(_._2)), runs.map(_._1), runs.map(_._2),
+        qSteal, warmup, planSec, runs.map(_._3))
     }
     def s3(v: Double): String   = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def json(kv: Seq[(String, Double)]): String =
@@ -1096,6 +1183,13 @@ object Bench {
           s"SPARK_GRAFT_WRITE_BASELINE=1): ${staleCpu.mkString(", ")}")
     val dirtyUnion = (dirtyProbe ++ dirtyCpu).distinct.sorted
     val contended  = runContended || dirtyUnion.size >= DirtyCountThreshold
+    // sha-blind wall channel (see [[wallHistOutliers]]): advisory, loud
+    val wallOutliers = wallHistOutliers(results.map(r => r._1 -> r._2), histMed)
+    if (wallOutliers.nonEmpty)
+      System.err.println(
+        "[bench] WALL OUTLIERS vs clean-history medians (sha-blind — fires on stale rows " +
+          "too; adjudicate wall-vs-cpu per row): " +
+          wallOutliers.map { case (n, ratio) => f"$n ${ratio}%.1fx" }.mkString(", "))
     // headline totals cover the REGISTRY rows only — bench extras (build/
     // probe splits) must not shift the cross-round total
     val registryResults = results.filter(r => SparkEntry.queries.contains(r._1))
@@ -1186,8 +1280,9 @@ object Bench {
     val strataJson =
       smallRatio.map(v => s""","cpu_ratio_median_small":${s3(v)}""").getOrElse("") +
         bigRatio.map(v => s""","cpu_ratio_median_big":${s3(v)}""").getOrElse("")
+    val wallOutJson = wallOutliers.map { case (n, _) => "\"" + n + "\"" }.mkString("[", ",", "]")
     val runRow =
-      s""""_run":{"sf":${jstr(sfDir)},"contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"dirty_queries":$dirtyJson,"stale_queries":$staleJson,"stale_sha_rows":$staleShaJson,"dirty_probe":${dirtyProbe.size},"dirty_cpu":${dirtyCpu.size},"baseline_loaded":${baseline.nonEmpty}$stealJson$membwJson$strataJson,"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
+      s""""_run":{"sf":${jstr(sfDir)},"contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"dirty_queries":$dirtyJson,"stale_queries":$staleJson,"stale_sha_rows":$staleShaJson,"wall_outlier_rows":$wallOutJson,"dirty_probe":${dirtyProbe.size},"dirty_cpu":${dirtyCpu.size},"baseline_loaded":${baseline.nonEmpty}$stealJson$membwJson$strataJson,"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
     val dirtySet = dirtyUnion.toSet
     val detail = (runRow +: results
       .map { r =>
@@ -1213,7 +1308,14 @@ object Bench {
         // the burned warm-up execution of a declared dual-mode row — decay
         // diagnosis only, excluded from every median/flag/stamp
         val warm = r._7.map { case (w, c) => s""","warmup_wall":${s3(w)},"warmup_cpu":${s3(c)}""" }.getOrElse("")
-        s""""${r._1}":{"wall_sec":${s3(r._2)},"cpu_sec":${s3(r._3)}$ratio$wallRatio$dirty$steal$warm,"rep_walls":$walls,"rep_cpus":$cpus}"""
+        // wall vs the clean-history median — the sha-blind channel's raw
+        // per-row reading (present whenever >= WallHistMinSamples exist)
+        val wallHist =
+          histMed.get(r._1).filter(_ > 0).map(m => s""","wall_hist_ratio":${s3(r._2 / m)}""").getOrElse("")
+        // driver-side planning span per rep (see the rep-loop split): the
+        // channel task cpu can't see; median beside the per-rep series
+        val plans = r._9.map(s3).mkString("[", ",", "]")
+        s""""${r._1}":{"wall_sec":${s3(r._2)},"cpu_sec":${s3(r._3)},"plan_sec":${s3(r._8)}$ratio$wallRatio$wallHist$dirty$steal$warm,"rep_walls":$walls,"rep_cpus":$cpus,"rep_plans":$plans}"""
       })
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(
@@ -1280,13 +1382,9 @@ object Bench {
         val p = java.nio.file.Paths.get(baselinePath)
         val prev =
           if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readAllBytes(p)) else None
-        // clean-run wall history feeds the small-row median policy; its
-        // absence (fresh checkout, CWD elsewhere) degrades to point stamps
-        val histDir = java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_HISTORY_DIR", "bench_history"))
-        val histWalls =
-          if (java.nio.file.Files.isDirectory(histDir)) cleanWallHistory(histDir, sfDir)
-          else Map.empty[String, Seq[Double]]
+        // clean-run wall history (hoisted load, shared with the wall-outlier
+        // channel) feeds the small-row median policy; its absence (fresh
+        // checkout, CWD elsewhere) degrades to point stamps
         java.nio.file.Files.write(
           p,
           mergeBaseline(

@@ -31,18 +31,39 @@ object Similarity extends QueryModule {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine with the zero-norm guard, shared by EVERY engine division site
-    * (Similarity / FuzzyDedup / Clustering): `dot / nullif(na·nb, 0)` — a
-    * zero norm product yields NULL, never an ANSI DIVIDE_BY_ZERO task
-    * failure. Defense in depth behind the [[Tables]] ingestion drop (which
-    * already removes zero-norm vectors from every Tables-fed path): a
-    * zero-norm vector reaching any FUTURE entry point degrades to a null
-    * score — dropped by `cos >= t` filters (NULL fails the predicate) and
-    * never winning a top-k slot (descending orders put NULLs last). Oracle
-    * twins carry the same `nullif` so both engines stay in lockstep; on a
-    * nonzero corpus the guard is bit-neutral (nullif folds to the product).
+    * (Similarity / FuzzyDedup / Clustering): a zero norm product yields
+    * NULL, never an ANSI DIVIDE_BY_ZERO task failure. Defense in depth
+    * behind the [[Tables]] ingestion drop (which already removes zero-norm
+    * vectors from every Tables-fed path): a zero-norm vector reaching any
+    * FUTURE entry point degrades to a null score — dropped by `cos >= t`
+    * filters (NULL fails the predicate) and never winning a top-k slot
+    * (descending orders put NULLs last). On a nonzero corpus the guard is
+    * bit-neutral.
+    *
+    * GUARD FORM MATTERS (r16 regression, r17 fix): the r16 `nullif(na·nb,
+    * 0)` spelling is `RuntimeReplaceable` via a `With` common-expression
+    * form; inside [[ivfKnn]]'s 16 centroid-literal structs (~1,024 literal
+    * doubles per `centroidScores` site) the `RewriteWithExpression` hoist
+    * forced repeated optimizer passes over those giant literal trees —
+    * 24.6–25.9 s of single-threaded driver planning PER ACTION (q62 49.9×,
+    * q111 99.7× over baseline), a cost that no cluster size amortizes. The
+    * `when` guard below has IDENTICAL null semantics — NULL on zero
+    * product (`when` without `otherwise` yields NULL), NULL propagates
+    * (NULL product fails the predicate → NULL), ANSI-safe (the division
+    * only evaluates in the guarded branch) — and plans in 0.18 s. The
+    * DuckDB oracle twins keep their `nullif` (DuckDB plans it fine).
+    *
+    * Correctness-compare scope (ADVICE r16): the oracle reads the raw
+    * `embeddings` table while the engine reads the [[Tables]]-filtered
+    * view, so oracle compares are DEFINED ON INGESTION-CLEAN CORPORA (all
+    * generated testdata). On a corpus carrying zero-norm/degraded vectors
+    * the guard prevents crashes on both sides, but the oracle would still
+    * let such a vector occupy e.g. an IVF list or a sparse top-k slot the
+    * engine's ingestion drop removed — an expected divergence by contract,
+    * not a bug.
     */
   def cosine(dotCol: Column, na: Column, nb: Column): Column =
-    round(dotCol / nullif(na * nb, lit(0.0)), 6)
+    round(when(na * nb =!= lit(0.0), dotCol / (na * nb)), 6)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
 

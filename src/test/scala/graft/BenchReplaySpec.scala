@@ -460,6 +460,13 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(Bench.normalizeSf("/d/sf0.01") == "sf0.01")
     // no sf token: gate on the trailing-slash-trimmed raw dir
     assert(Bench.normalizeSf("/data/bench/") == "/data/bench")
+    // ADVICE-r16 class: whole-component match only. The old substring scan
+    // normalized a backup dir to the never-equal "sf0.1." and admitted an
+    // unrelated layout's "mysf0.25x" as sf0.25.
+    assert(Bench.normalizeSf("/d/sf0.1.bak") == "/d/sf0.1.bak")
+    assert(Bench.normalizeSf("/data/mysf0.25x/run") == "/data/mysf0.25x/run")
+    // the LAST fully-matching component wins when the sf dir nests deeper
+    assert(Bench.normalizeSf("/root/testdata/sf0.1/sub") == "sf0.1")
     val dir = java.nio.file.Files.createTempDirectory("graft-hist-sfnorm")
     def write(name: String, body: String): Unit =
       java.nio.file.Files.write(dir.resolve(name), body.getBytes)
@@ -472,6 +479,42 @@ class BenchReplaySpec extends AnyFunSuite {
     val hist = Bench.cleanWallHistory(dir, "/root/testdata/sf0.1")
     // files are read in name order: _remount sorts before _slash
     assert(hist == Map("q1" -> Seq(0.29, 0.25)), s"got $hist")
+  }
+
+  test("wall-outlier channel: a stale-sha row with 10x+ wall and flat cpu still fires (r16 blind spot)") {
+    // The r16 adjudication hole: the nullif/With planning blowup put q62 at
+    // 22–33 s wall against a ~0.6 s history with FLAT task cpu, in nine
+    // consecutive runs — and every flag stayed silent because (a) planning
+    // time never appears in task cpu and (b) the all-rows-stale state (the
+    // infra fingerprint doing its job after a Tables.scala edit) suppresses
+    // the cpu machinery on stale rows BY DESIGN. The wall channel compares
+    // against clean-history medians and never consults src_sha, so this
+    // exact shape now fires.
+    val hist = Map(
+      "q62_ivf_knn"   -> Seq(0.61, 0.63, 0.66, 0.71),
+      "q05_small"     -> Seq(0.30, 0.32, 0.31),
+      "q_two_samples" -> Seq(1.0, 1.1))
+    val med = Bench.wallHistMedians(hist)
+    // two samples are not a median base — the row stays unarmed
+    assert(!med.contains("q_two_samples"), s"got $med")
+    val measured = Seq(
+      "q62_ivf_knn" -> 31.44, // the r16 official run's actual value: ~49x
+      "q05_small"   -> 0.55,  // 1.8x and 0.24 s excess: under both bars
+      "q_unknown"   -> 99.0)  // no history — nothing to compare
+    val out = Bench.wallHistOutliers(measured, med)
+    assert(out.map(_._1) == Seq("q62_ivf_knn"), s"got $out")
+    assert(out.head._2 > 40, s"ratio should carry the magnitude: ${out.head._2}")
+  }
+
+  test("wall-outlier channel: steal-band inflation and sub-floor excesses stay silent") {
+    val med = Map("qbig" -> 5.0, "qsmall" -> 0.4)
+    // the observed poisoned-era envelope (walls 1.5–2x) must not fire —
+    // this channel is for order-of-magnitude code signatures, not load
+    assert(Bench.wallHistOutliers(Seq("qbig" -> 10.0), med).isEmpty)
+    // ratio over 3x but excess under the 1 s absolute floor: noise-sized
+    assert(Bench.wallHistOutliers(Seq("qsmall" -> 1.3), med).isEmpty)
+    // over both bars: fires
+    assert(Bench.wallHistOutliers(Seq("qbig" -> 16.0), med).map(_._1) == Seq("qbig"))
   }
 
   test("official runner: only declared dual-mode rows burn a warm-up rep") {

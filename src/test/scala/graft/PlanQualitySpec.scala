@@ -85,6 +85,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "assignment argmax fell back to a window")
   }
 
+  test("q62 planning cost is bounded: literal-embedded centroids must optimize in seconds") {
+    // r16 regression class (verdict r16 #4): a RuntimeReplaceable/With-
+    // bearing guard expression (`nullif`) inside the 16×64 centroid-literal
+    // structs made RewriteWithExpression re-walk ~1k-literal trees — 24.6 s
+    // of single-threaded Catalyst planning PER ACTION at any data scale
+    // (driver-side: 1,000 executors pay it the same as 32). The `when`
+    // guard plans in ~0.2 s. This pins the budget for ivfKnn and any future
+    // literal-embedding operator: build the DataFrame first (the centroid
+    // collect is execution, not planning), then time the optimizer chain.
+    val df = graft.operators.Similarity.ivfKnn(spark, "/root/testdata/sf0.01")
+    val t0 = System.nanoTime()
+    df.queryExecution.executedPlan
+    val planSec = (System.nanoTime() - t0) / 1e9
+    assert(
+      planSec < 2.0,
+      f"ivfKnn Catalyst planning took $planSec%.2f s (budget 2 s) — a With/RuntimeReplaceable " +
+        "expression is likely interacting with the centroid literal arrays again " +
+        "(SCALING.md round-17)")
+  }
+
   test("q121 DSIR exchanges are skinny (no text/feature strings) and the model broadcasts") {
     val plan      = finalPlan(graft.operators.TrainingPrep.dsirSelection(spark, dir))
     val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
