@@ -1106,21 +1106,38 @@ object Bench {
         // aggregate. toRdd executes the same plan Verify writes to parquet,
         // minus the file IO; the RDD count moves no rows to the driver.
         //
-        // PLANNING/EXECUTION SPLIT (r17, verdict #3): `toRdd` forces the
-        // whole driver-side chain (analysis → optimization → physical
-        // planning), single-threaded work that task metrics never see —
-        // the r16 nullif/With blowup spent 25 s/action here while cpu_sec
-        // stayed flat, and nine runs' adjudication read it as co-tenant
-        // noise. plan_sec records that span per rep so a planning
-        // regression is first-class data, not an inference.
+        // PLANNING/EXECUTION SPLIT (r17, verdict #3): the split point is
+        // `executedPlan`, which forces the whole driver-side chain
+        // (analysis → optimization → physical planning) WITHOUT executing
+        // anything — under AQE it returns the unexecuted
+        // AdaptiveSparkPlanExec root. Single-threaded work that task
+        // metrics never see: the r16 nullif/With blowup spent 25 s/action
+        // here while cpu_sec stayed flat, and nine runs' adjudication read
+        // it as co-tenant noise. plan_sec records that span per rep so a
+        // planning regression is first-class data, not an inference.
+        //
+        // MEASUREMENT-BUG NOTE (this split's first shipped form): the
+        // initial r17 split point was `toRdd`, whose `executedPlan
+        // .execute()` under AQE materializes EVERY intermediate query
+        // stage eagerly — the first full run read plan≈wall on all 149
+        // rows (sum plan 123 s of wall 129 s) because "planning" silently
+        // included all-but-the-last-stage execution. `executedPlan` alone
+        // is the honest boundary; bench_detail_r17a_try1.json preserves
+        // the old-split numbers. For rows whose builder `fn` runs eager
+        // intra-query actions (index builds, checkpointed loops), the
+        // span still includes those by construction — documented, since
+        // the builder call is indivisible from the row's pipeline.
         val planned =
-          try Some(fn(spark, sfDir).queryExecution.toRdd)
-          catch {
+          try {
+            val qe = fn(spark, sfDir).queryExecution
+            qe.executedPlan // forces the full plan chain, executes nothing
+            Some(qe)
+          } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed (planning): $e"); None
           }
         val tPlan = System.nanoTime()
-        try planned.foreach { r => r.count(); () }
+        try planned.foreach { qe => qe.toRdd.count(); () }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
         val wall = (System.nanoTime() - t0) / 1e9
         org.apache.spark.GraftSparkBridge.drainListenerBus(sc)

@@ -80,7 +80,7 @@ object Dedup extends QueryModule {
   private def shinglePairStats(s: SparkSession, dir: String, opName: String): DataFrame = {
     val maxRows =
       s.conf.getOption("graft.invertedJaccard.maxRows").map(_.toLong).getOrElse(JaccardDefaultMaxRows)
-    val n = Tables.documents(s, dir).count()
+    val n = Tables.rowCountCached(s, dir, "documents") // guard scalar — cached corpus cardinality, not a per-action scan (r17)
     require(
       n <= maxRows,
       s"$opName is the O(sum df^2) test-scale baseline: corpus has $n docs > limit $maxRows. " +

@@ -297,7 +297,9 @@ object FuzzyDedup extends QueryModule {
     // materializes the full scan + norm pass, which is exactly the work
     // the guard exists to refuse on an oversized corpus
     val maxRows = s.conf.getOption("graft.exactPairs.maxRows").map(_.toLong).getOrElse(ExactPairsDefaultMaxRows)
-    val n = Tables.embeddings(s, dir).count()
+    // guard scalar from the cached filtered-view count (the same number
+    // every sizing knob reads) — not a fresh scan+filter pass per action (r17)
+    val n = Tables.embeddingsCountCached(s, dir)
     require(
       n <= maxRows,
       s"embeddingPairs is the O(n²) test-scale baseline: corpus has $n vectors > limit $maxRows. " +

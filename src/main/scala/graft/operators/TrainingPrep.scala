@@ -441,7 +441,13 @@ object TrainingPrep extends QueryModule {
     * broadcast). */
   def globalNtile(s: SparkSession, dir: String, k: Int = NtileK): DataFrame = {
     val ranked = trainingOrder(s, dir)
-    val n      = ranked.count()
+    // n = corpus row count: trainingOrder emits exactly one row per
+    // document (projection + rank + inner join against the complete
+    // per-shard offset table), so the count comes from the cheap cached
+    // corpus-cardinality read instead of `ranked.count()` — which
+    // executed the whole two-phase rank pipeline a SECOND time per
+    // action (r17: q88 cpu 14.4 s → ~half; same n, identical tiles).
+    val n = Tables.rowCountCached(s, dir, "documents")
     ranked.select(
       col("doc_id"),
       col("global_idx"),
