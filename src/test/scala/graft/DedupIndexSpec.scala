@@ -316,4 +316,23 @@ class DedupIndexSpec extends AnyFunSuite {
     val verdicts = DedupIndex.probeAndAbsorb(spark, batch, prefix)
     assert(verdicts.collect().map(_.toSeq).toSet == expected, "post-migration absorb verdicts drifted")
   }
+
+  test("inParallel: all tasks run, and a task failure rethrows after the barrier (r17 overlapped writes)") {
+    // The build/absorb write overlap relies on two properties: every task
+    // completes before the call returns (the streaming sink writes its
+    // commit marker AFTER probeAndAbsorb — a premature return would break
+    // at-least-once replay), and a failing write surfaces instead of
+    // silently producing a partial index.
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    DedupIndex.inParallel(() => { ran.incrementAndGet(); () }, () => { ran.incrementAndGet(); () })
+    assert(ran.get() == 2, "both tasks must have completed before return")
+    val boom = intercept[RuntimeException] {
+      DedupIndex.inParallel(
+        () => { ran.incrementAndGet(); () },
+        () => throw new RuntimeException("write failed")
+      )
+    }
+    assert(boom.getMessage == "write failed")
+    assert(ran.get() == 3, "the healthy task still completed before the rethrow")
+  }
 }
