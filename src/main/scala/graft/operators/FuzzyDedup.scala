@@ -114,6 +114,19 @@ object FuzzyDedup extends QueryModule {
       .select(col("doc_id"), Dedup.shingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .localCheckpoint()
+    minhashPairsVerified(docs, maxOccupancy)
+  }
+
+  /** The mining half of [[minhashLsh]] over an already-materialized
+    * (doc_id, shingles) frame — shared with the survivor queries
+    * (q107/q109), whose fused corpus checkpoint carries extra per-doc
+    * columns and passes the shingle projection in here (r18: ONE corpus
+    * text pass instead of two; at 100 TB the second text scan is the
+    * single biggest removable cost of those rows). `docs` must already
+    * exclude empty-shingle rows — empty docs never produce bands, so the
+    * candidate set is unaffected either way; filtering before the verify
+    * sides keeps them join-skinny. */
+  private[graft] def minhashPairsVerified(docs: DataFrame, maxOccupancy: Int): DataFrame = {
     // Candidate generation stays SKINNY: only (band, doc_id) shuffles. The
     // shingle arrays would otherwise ride through the band join and the
     // pair-dedup exchange — at 100 TB that's the difference between
@@ -728,13 +741,25 @@ object FuzzyDedup extends QueryModule {
     * labels-filtered join this derives from, exposed for pipeline callers
     * via the same composition. */
   def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val (labels, _) = connectedComponents(minhashLsh(s, dir).select("id_a", "id_b"))
+    // ONE corpus pass (r18): the mining shingle projection and the rollup's
+    // (doc_id, source) scan fused into a single checkpointed frame — the
+    // rollup must see ALL docs (empty-shingle rows survive by
+    // construction), so the empty-shingle filter moves to the mining view,
+    // where it was semantically a no-op anyway (shingle-less docs have no
+    // bands, hence no candidates).
+    val docs = Tables
+      .documentsDistributed(s, dir)
+      .select(col("doc_id"), col("source"), Dedup.shingles(col("text")).as("shingles"))
+      .localCheckpoint()
+    val mined = minhashPairsVerified(
+      docs.filter(size(col("shingles")) > 0).select("doc_id", "shingles"),
+      MaxBandOccupancy)
+    val (labels, _) = connectedComponents(mined.select("id_a", "id_b"))
     // non-representative members: in some cluster, not its min
     val removed = labels
       .filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"), lit(1L).as("removed"))
-    Tables
-      .documentsDistributed(s, dir)
+    docs
       .select("doc_id", "source")
       .join(removed, Seq("doc_id"), "left")
       .groupBy("source")
@@ -984,9 +1009,11 @@ object FuzzyDedup extends QueryModule {
     * two-step argmax (max qm per label, then min id among ties) avoids
     * struct-ordering subtleties and keeps both engines trivially aligned. */
   def dedupSurvivorsByQuality(s: SparkSession, dir: String): DataFrame = {
-    val (labels, _) = connectedComponents(minhashLsh(s, dir).select("id_a", "id_b"))
-    // (doc_id, source, qm) is consumed by the member join AND the final
-    // corpus rollup — materialize so the quality-score text pass runs once
+    // ONE corpus text pass (r18): the mining shingle projection and the
+    // quality-score pass were two independent full text scans; both signals
+    // now come off a single checkpointed projection. The rollup must see
+    // ALL docs, so the empty-shingle filter moves to the mining view (a
+    // semantic no-op — shingle-less docs produce no bands/candidates).
     val docs = Tables
       .documentsDistributed(s, dir)
       .select(
@@ -994,24 +1021,32 @@ object FuzzyDedup extends QueryModule {
         col("source"),
         floor(TextAnalysis.qualityScore(col("text"), col("n_chars")) * lit(1e6))
           .cast(LongType)
-          .as("qm")
+          .as("qm"),
+        Dedup.shingles(col("text")).as("shingles")
       )
       .localCheckpoint()
-    // cluster-sized; feeds best/reps/removed — three consumers
+    val mined = minhashPairsVerified(
+      docs.filter(size(col("shingles")) > 0).select("doc_id", "shingles"),
+      MaxBandOccupancy)
+    val (labels, _) = connectedComponents(mined.select("id_a", "id_b"))
+    val qdocs = docs.select("doc_id", "source", "qm")
+    // cluster-sized; feeds the argmax windows AND the removed filter
     val members = labels
-      .join(docs.select(col("doc_id").as("node"), col("qm")), Seq("node"))
+      .join(qdocs.select(col("doc_id").as("node"), col("qm")), Seq("node"))
       .localCheckpoint()
-    val best    = members.groupBy("label").agg(max(col("qm")).as("maxq"))
-    val reps = members
-      .join(best, Seq("label"))
-      .filter(col("qm") === col("maxq"))
-      .groupBy("label")
-      .agg(min(col("node")).as("rep"))
+    // Argmax via two stacked windows over ONE label partitioning (r18 — the
+    // previous best-join/reps-join chain cost three exchanges and two
+    // joins for the same answer): maxq = max qm per cluster (ignores NULL
+    // qm, so an all-NULL cluster gets NULL maxq → NULL rep → nothing
+    // removed, bit-identical to the old join-filter chain), rep = min node
+    // among the maxq ties.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
     val removed = members
-      .join(reps, Seq("label"))
+      .withColumn("maxq", max(col("qm")).over(w))
+      .withColumn("rep", min(when(col("qm") === col("maxq"), col("node"))).over(w))
       .filter(col("node") =!= col("rep"))
       .select(col("node").as("doc_id"), lit(1L).as("removed"))
-    docs
+    qdocs
       .join(removed, Seq("doc_id"), "left")
       .groupBy("source")
       .agg(
