@@ -96,9 +96,20 @@ object FuzzyDedup extends QueryModule {
     * join on the already-skinny (band, id) table, co-partitioned with the
     * self-join that follows. */
   def boundedBands(bands: DataFrame, key: String, cap: Int): DataFrame = {
-    val sizes = bands.groupBy(key).agg(count(lit(1)).as("bucket_n"))
+    // Occupancy via a count window over ONE key partitioning rather than a
+    // groupBy + rejoin (r18): the join form evaluated the `bands` subtree
+    // twice (sizes pass + probe side) — and the LSH self-joins downstream
+    // then duplicated THAT whole subtree per side, so the minhash band-key
+    // expression ran 4x per corpus pass. The window form computes bands
+    // once behind a single exchange that the self-join's two sides share
+    // (ReusedExchange), and leaves the output hash-partitioned on the key
+    // — exactly the distribution the candidate join and the bucketed index
+    // writes need next. Filter semantics identical (every row of a bucket
+    // with occupancy <= cap survives, others drop).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
     bands
-      .join(sizes.filter(col("bucket_n") <= cap), Seq(key))
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= cap)
       .drop("bucket_n")
   }
 
