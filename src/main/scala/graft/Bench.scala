@@ -587,6 +587,28 @@ object Bench {
     * is fast (the r16 q62/q111 class; see `plan_sec` in bench_detail). */
   val PlanSecWarnThreshold = 1.0
 
+  /** PLAN outlier channel (r18, VERDICT r17 #7): the absolute
+    * [[PlanSecWarnThreshold]] only fires once planning crosses 1 s — a
+    * 0.1 → 0.8 s planning regression (8×) sails under it, and plan time
+    * never reaches task cpu, so nothing else would see it either. Fold
+    * plan_sec into the same clean-history median machinery as walls:
+    * ratio ≥ [[WallHistRatioThreshold]] with its own absolute floor
+    * (planning medians are tens-of-ms on most rows; 0.3 s of EXCESS is
+    * far above Catalyst-JIT jitter yet catches a sub-second creep the
+    * 1 s warn line misses). Advisory like the wall channel: stderr +
+    * `_run.plan_outlier_rows` + per-row `plan_hist_ratio`. */
+  val PlanHistFloorSec = 0.3
+
+  def planHistOutliers(
+      measured: Seq[(String, Double)],
+      histMed: Map[String, Double]): Seq[(String, Double)] =
+    measured.flatMap { case (n, p) =>
+      histMed.get(n).collect {
+        case m if m > 0 && p > WallHistRatioThreshold * m && p - m > PlanHistFloorSec =>
+          (n, p / m)
+      }
+    }
+
   /** EVERY baselined row whose recorded src_sha mismatches the current
     * source fingerprint — independent of whether the row is over the cpu
     * flag bar. [[cpuDirtyOrStale]]'s stale list only surfaces a mismatched
@@ -730,7 +752,21 @@ object Bench {
     * for back-compat — every archived detail to date was recorded at the
     * stamp scale, and future files always carry the field — and their
     * count is LOGGED so a mismatch is visible rather than silent. */
-  def cleanWallHistory(dir: java.nio.file.Path, sfDir: String): Map[String, Seq[Double]] = {
+  def cleanWallHistory(dir: java.nio.file.Path, sfDir: String): Map[String, Seq[Double]] =
+    cleanFieldHistory(dir, sfDir, "wall_sec")
+
+  /** Per-query PLANNING-time history, same cleanliness/scale gates as the
+    * wall channel. plan_sec only exists in r17+ archives; older files
+    * simply contribute no samples (the median machinery already requires
+    * [[WallHistMinSamples]], so the channel arms itself as history
+    * accumulates — exactly how the wall channel bootstrapped). */
+  def cleanPlanHistory(dir: java.nio.file.Path, sfDir: String): Map[String, Seq[Double]] =
+    cleanFieldHistory(dir, sfDir, "plan_sec")
+
+  private def cleanFieldHistory(
+      dir: java.nio.file.Path,
+      sfDir: String,
+      field: String): Map[String, Seq[Double]] = {
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val stream = java.nio.file.Files.list(dir)
@@ -766,7 +802,7 @@ object Bench {
           root.fieldNames().asScala.filterNot(_.startsWith("_")).foldLeft(acc) { (a, name) =>
             val node  = root.get(name)
             val dirty = Option(node.get("dirty")).exists(_.asBoolean())
-            Option(node.get("wall_sec")).filterNot(_ => dirty).map(_.asDouble()) match {
+            Option(node.get(field)).filterNot(_ => dirty).map(_.asDouble()) match {
               case Some(w) => a.updated(name, a.getOrElse(name, Nil) :+ w)
               case None    => a
             }
@@ -779,7 +815,7 @@ object Bench {
     }
     if (sfLess > 0)
       System.err.println(
-        s"[bench] wall history: $sfLess file(s) with no _run.sf accepted for back-compat " +
+        s"[bench] $field history: $sfLess file(s) with no _run.sf accepted for back-compat " +
           s"(pre-r15 archives) — verify they were recorded at the stamp scale ($sfDir)")
     hist
   }
@@ -1032,6 +1068,12 @@ object Bench {
       if (java.nio.file.Files.isDirectory(histDir)) cleanWallHistory(histDir, sfDir)
       else Map.empty[String, Seq[Double]]
     val histMed = wallHistMedians(histWalls)
+    // planning-time history rides the same channel (r18): plan regressions
+    // are invisible to task cpu AND to walls when execution dominates
+    val histPlans =
+      if (java.nio.file.Files.isDirectory(histDir)) cleanPlanHistory(histDir, sfDir)
+      else Map.empty[String, Seq[Double]]
+    val planMed = wallHistMedians(histPlans)
     val probe = new ContentionProbe
     (1 to 3).foreach(_ => probe.spin()) // JIT-warm the probe loop itself
     val membw = new MemBandwidthProbe()
@@ -1207,6 +1249,14 @@ object Bench {
         "[bench] WALL OUTLIERS vs clean-history medians (sha-blind — fires on stale rows " +
           "too; adjudicate wall-vs-cpu per row): " +
           wallOutliers.map { case (n, ratio) => f"$n ${ratio}%.1fx" }.mkString(", "))
+    // same machinery over plan_sec: a planning regression flags like a
+    // wall regression, even while it hides under the 1 s absolute warn
+    val planOutliers = planHistOutliers(results.map(r => r._1 -> r._8), planMed)
+    if (planOutliers.nonEmpty)
+      System.err.println(
+        "[bench] PLAN-TIME OUTLIERS vs clean-history medians (driver-side planning, " +
+          "single-threaded — no cluster size amortizes it): " +
+          planOutliers.map { case (n, ratio) => f"$n ${ratio}%.1fx" }.mkString(", "))
     // headline totals cover the REGISTRY rows only — bench extras (build/
     // probe splits) must not shift the cross-round total
     val registryResults = results.filter(r => SparkEntry.queries.contains(r._1))
@@ -1298,8 +1348,9 @@ object Bench {
       smallRatio.map(v => s""","cpu_ratio_median_small":${s3(v)}""").getOrElse("") +
         bigRatio.map(v => s""","cpu_ratio_median_big":${s3(v)}""").getOrElse("")
     val wallOutJson = wallOutliers.map { case (n, _) => "\"" + n + "\"" }.mkString("[", ",", "]")
+    val planOutJson = planOutliers.map { case (n, _) => "\"" + n + "\"" }.mkString("[", ",", "]")
     val runRow =
-      s""""_run":{"sf":${jstr(sfDir)},"contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"dirty_queries":$dirtyJson,"stale_queries":$staleJson,"stale_sha_rows":$staleShaJson,"wall_outlier_rows":$wallOutJson,"dirty_probe":${dirtyProbe.size},"dirty_cpu":${dirtyCpu.size},"baseline_loaded":${baseline.nonEmpty}$stealJson$membwJson$strataJson,"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
+      s""""_run":{"sf":${jstr(sfDir)},"contended":$contended,"probe_ratio":${s3(probeRatio)},"spread_frac":${s3(spreadFrac)},"dirty_queries":$dirtyJson,"stale_queries":$staleJson,"stale_sha_rows":$staleShaJson,"wall_outlier_rows":$wallOutJson,"plan_outlier_rows":$planOutJson,"dirty_probe":${dirtyProbe.size},"dirty_cpu":${dirtyCpu.size},"baseline_loaded":${baseline.nonEmpty}$stealJson$membwJson$strataJson,"probe_walls":${probeWalls.map(s3).mkString("[", ",", "]")}}"""
     val dirtySet = dirtyUnion.toSet
     val detail = (runRow +: results
       .map { r =>
@@ -1329,10 +1380,13 @@ object Bench {
         // per-row reading (present whenever >= WallHistMinSamples exist)
         val wallHist =
           histMed.get(r._1).filter(_ > 0).map(m => s""","wall_hist_ratio":${s3(r._2 / m)}""").getOrElse("")
+        // plan_sec vs ITS clean-history median — same sha-blind channel
+        val planHist =
+          planMed.get(r._1).filter(_ > 0).map(m => s""","plan_hist_ratio":${s3(r._8 / m)}""").getOrElse("")
         // driver-side planning span per rep (see the rep-loop split): the
         // channel task cpu can't see; median beside the per-rep series
         val plans = r._9.map(s3).mkString("[", ",", "]")
-        s""""${r._1}":{"wall_sec":${s3(r._2)},"cpu_sec":${s3(r._3)},"plan_sec":${s3(r._8)}$ratio$wallRatio$wallHist$dirty$steal$warm,"rep_walls":$walls,"rep_cpus":$cpus,"rep_plans":$plans}"""
+        s""""${r._1}":{"wall_sec":${s3(r._2)},"cpu_sec":${s3(r._3)},"plan_sec":${s3(r._8)}$ratio$wallRatio$wallHist$planHist$dirty$steal$warm,"rep_walls":$walls,"rep_cpus":$cpus,"rep_plans":$plans}"""
       })
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(

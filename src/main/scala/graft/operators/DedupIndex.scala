@@ -134,15 +134,40 @@ object DedupIndex {
     * per call — not a shared pool — so Spark's InheritableThreadLocal job
     * properties (description/group) are captured from THIS caller at
     * thread creation, keeping bench/UI attribution correct. First failure
-    * rethrows after all tasks settle (no orphaned in-flight write). */
+    * rethrows after all tasks settle (no orphaned in-flight write), with
+    * any sibling failures attached as suppressed exceptions. Failure-path
+    * footprint note: because all siblings run to completion before the
+    * rethrow, a failed task can leave MORE sibling tables mutated than the
+    * sequential form would have (e.g. shingles+bands appended while the fp
+    * append failed) — the same partial-index residue class as the
+    * documented mid-absorb crash window, healed by [[build]] compaction
+    * and visible via [[auditResidue]].
+    *
+    * Interrupt-safe: an interrupt of the CALLING thread mid-barrier must
+    * not return control while write jobs are still in flight (the
+    * streaming sink's commit marker relies on all-writes-complete-before-
+    * return), so the joins are retried until every worker settles and the
+    * interrupt is re-delivered via the thread's interrupt flag. */
   private[graft] def inParallel(tasks: (() => Unit)*): Unit = {
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val ts = tasks.map { t =>
       new Thread(() => try t() catch { case e: Throwable => errs.add(e); () })
     }
     ts.foreach(_.start())
-    ts.foreach(_.join())
-    if (!errs.isEmpty) throw errs.peek()
+    var interrupted = false
+    ts.foreach { th =>
+      var joined = false
+      while (!joined)
+        try { th.join(); joined = true }
+        catch { case _: InterruptedException => interrupted = true }
+    }
+    if (interrupted) Thread.currentThread().interrupt()
+    if (!errs.isEmpty) {
+      val it    = errs.iterator()
+      val first = it.next()
+      while (it.hasNext) first.addSuppressed(it.next())
+      throw first
+    }
   }
 
   def build(docs: DataFrame, prefix: String = IndexPrefix, numBuckets: Int = 0): Unit = {

@@ -517,6 +517,48 @@ class BenchReplaySpec extends AnyFunSuite {
     assert(Bench.wallHistOutliers(Seq("qbig" -> 16.0), med).map(_._1) == Seq("qbig"))
   }
 
+  test("plan-outlier channel: sub-second planning creep fires; jitter and 1s-warn overlap stay sane (r18)") {
+    // The r17-VERDICT #7 hole: PlanSecWarnThreshold is absolute (1 s), so a
+    // 0.1 -> 0.8 s planning regression (8x, invisible to task cpu AND to
+    // walls when execution dominates) never printed anywhere. plan_sec now
+    // rides the clean-history median machinery with its own 0.3 s excess
+    // floor.
+    val med = Bench.wallHistMedians(Map(
+      "q62_ivf_knn" -> Seq(0.09, 0.11, 0.10),
+      "q_tiny_plan" -> Seq(0.02, 0.02, 0.03)))
+    // 8x with 0.7 s excess: fires, even though 0.8 s is under the warn bar
+    val out = Bench.planHistOutliers(Seq("q62_ivf_knn" -> 0.8), med)
+    assert(out.map(_._1) == Seq("q62_ivf_knn"), s"got $out")
+    // Catalyst-JIT jitter: 4x ratio but only 0.06 s excess — silent
+    assert(Bench.planHistOutliers(Seq("q_tiny_plan" -> 0.08), med).isEmpty)
+    // no history — nothing to compare, never throws
+    assert(Bench.planHistOutliers(Seq("q_new" -> 9.0), med).isEmpty)
+  }
+
+  test("clean plan history: plan_sec rides the same cleanliness/scale gates; pre-r17 rows contribute nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist-plan")
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name), body.getBytes)
+    write("bench_detail_a.json",
+      """{"_run":{"sf":"/d/sf0.1","contended":false},"q1":{"wall_sec":0.25,"cpu_sec":1.0,"plan_sec":0.10}}""")
+    // pre-r17 archive: no plan_sec field — silently contributes no sample
+    write("bench_detail_old.json",
+      """{"_run":{"sf":"/d/sf0.1","contended":false},"q1":{"wall_sec":0.26,"cpu_sec":1.0}}""")
+    // contended run: excluded wholesale, plan samples included
+    write("bench_detail_hot.json",
+      """{"_run":{"sf":"/d/sf0.1","contended":true},"q1":{"wall_sec":9.9,"cpu_sec":9.9,"plan_sec":5.0}}""")
+    // dirty row: its plan sample excluded individually
+    write("bench_detail_dirty.json",
+      """{"_run":{"sf":"/d/sf0.1","contended":false},"q1":{"wall_sec":0.5,"cpu_sec":3.0,"plan_sec":0.4,"dirty":true}}""")
+    // wrong scale: dropped
+    write("bench_detail_wrongsf.json",
+      """{"_run":{"sf":"/d/sf0.01","contended":false},"q1":{"wall_sec":0.02,"cpu_sec":0.1,"plan_sec":0.01}}""")
+    write("bench_detail_b.json",
+      """{"_run":{"sf":"/d/sf0.1","contended":false},"q1":{"wall_sec":0.27,"cpu_sec":1.0,"plan_sec":0.12}}""")
+    val hist = Bench.cleanPlanHistory(dir, "/d/sf0.1")
+    assert(hist == Map("q1" -> Seq(0.10, 0.12)), s"got $hist")
+  }
+
   test("official runner: only declared dual-mode rows burn a warm-up rep") {
     // the r16 q110 fix: three rounds running, the one >2x wall row was a
     // declared warm-up-bimodal row whose official 3-rep median landed on

@@ -115,6 +115,18 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(rows(1) == rows(3))
   }
 
+  test("q88 cardinality invariant: trainingOrder is 1:1 with documents (cached-n substitution)") {
+    // globalNtile derives its tile denominator n from the cached documents
+    // row count instead of ranked.count() (r17 optimization). That is only
+    // sound while trainingOrder emits exactly one row per document — a
+    // future edit that filters or null-drops a row inside trainingOrder
+    // would silently shift every tile boundary rather than fail. Pin the
+    // invariant on real data whose 256-way shard offsets are exercised.
+    val ordered = graft.operators.TrainingPrep.trainingOrder(spark, dir).count()
+    val docs    = graft.Tables.rowCountCached(spark, dir, "documents")
+    assert(ordered == docs, s"trainingOrder rows $ordered != documents $docs")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes on sf0.001") {
       val df = fn(spark, dir)
