@@ -66,9 +66,11 @@ object Clustering extends QueryModule {
     graft.plans.VectorExpressions.nearestCentroid(qv, centroids)
 
   /** One centroid update: per-dimension exact LONG sums per cluster
-    * (map-side partial agg; K·dim rows reach the driver), floor-mean. */
-  private def update(assigned: DataFrame): Seq[(Long, Array[Double])] = {
-    val dim  = assigned.select(size(col("qv"))).head().getInt(0)
+    * (map-side partial agg; K·dim rows reach the driver), floor-mean.
+    * `dim` is passed in (known from the current model) — reading it off
+    * the frame cost a `head()` job per iteration (r18: two driver-side
+    * round-trips per fit for a constant the centroids already carry). */
+  private def update(assigned: DataFrame, dim: Int): Seq[(Long, Array[Double])] = {
     val rows = assigned
       .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
       .groupBy("cid", "dim")
@@ -124,11 +126,14 @@ object Clustering extends QueryModule {
       // filtered-to-nothing shard must not kill the job (EmptyCorpusSpec).
       centroids = Seq(0L -> Array(0.0))
     } else {
+      // dim is a model constant: every centroid (and every vector the init
+      // collected) already carries it — no data job needed
+      val dim = centroids.head._2.length
       for (_ <- 1 to iters) {
         val assigned = emb
           .withColumn("best", nearest(col("qv"), centroids))
           .select(col("vec_id"), col("label"), col("qv"), col("best.c").as("cid"), col("best.d").as("d"))
-        centroids = update(assigned)
+        centroids = update(assigned, dim)
       }
     }
     (emb, centroids)

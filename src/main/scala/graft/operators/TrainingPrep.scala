@@ -447,6 +447,13 @@ object TrainingPrep extends QueryModule {
     // corpus-cardinality read instead of `ranked.count()` — which
     // executed the whole two-phase rank pipeline a SECOND time per
     // action (r17: q88 cpu 14.4 s → ~half; same n, identical tiles).
+    // PRECONDITION (pinned by TrainingPrepSpec's cardinality test): every
+    // document has a non-null doc_id. A NULL doc_id hashes to a NULL
+    // shard, which the offset equi-join drops — trainingOrder would then
+    // emit FEWER rows than this n and every tile boundary would silently
+    // shift. The documents contract has no null ids (generator and
+    // streaming ingest both key on doc_id), so asserting here would buy a
+    // per-action count job for an invariant the spec already pins.
     val n = Tables.rowCountCached(s, dir, "documents")
     ranked.select(
       col("doc_id"),
@@ -1010,7 +1017,12 @@ object TrainingPrep extends QueryModule {
     * driver-side — a bounded model, like q70's centroids. Output is
     * per-source accounting (|sources| rows). */
   def tokenBudgetSelect(s: SparkSession, dir: String): DataFrame = {
-    val d = densityBanded(Tables.documentsDistributed(s, dir), col("source"))
+    // One text pass (r18): d is corpus-SKINNY (ids + longs — the
+    // localCheckpoint discipline), and BOTH consumers below (the bounded
+    // band-total collect and the final ranked pass) otherwise re-tokenize
+    // the corpus; the collect forces an action anyway, so materializing
+    // here adds no extra job.
+    val d = densityBanded(Tables.documentsDistributed(s, dir), col("source")).localCheckpoint()
     // Bounded collect: ≤ 21 (band, token-total) rows — the "model" from
     // which the budget and the per-band offsets both derive.
     val bandTotals: Array[(Long, Long)] = d
@@ -1140,7 +1152,12 @@ object TrainingPrep extends QueryModule {
     * main phase's. No task ever sees a globally ordered corpus; every
     * exchange carries (doc_id, hash) pairs. */
   def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
-    val d = densityBanded(Tables.documentsDistributed(s, dir))
+    // One text pass (r18): without the checkpoint the text-tokenizing
+    // densityBanded subtree evaluated FIVE times — the band-count collect,
+    // twice inside main's md5PrefixRank (rank side + offset side), and
+    // twice more via reserve inside ann's. d is corpus-skinny (ids +
+    // longs), and the collect right below forces the action regardless.
+    val d = densityBanded(Tables.documentsDistributed(s, dir)).localCheckpoint()
     // bounded collect: ≤ 21 (band, count) rows — the anneal-cut model
     val bandCounts: Array[(Long, Long)] = d
       .groupBy("band")
