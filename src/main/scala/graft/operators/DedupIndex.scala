@@ -176,13 +176,21 @@ object DedupIndex {
     Seq(s"${prefix}_fp", s"${prefix}_shingles", s"${prefix}_bands").foreach(reset(s, _))
     Layout.writeBucketed(hashed(docs), s"${prefix}_shingles", "doc_id", n)
     val shTable = s.table(s"${prefix}_shingles")
+    // Pre-partition on the band key AT THE BUCKET COUNT before the
+    // occupancy window (r18, guide §2): the window needs a band-clustered
+    // exchange anyway, and HashPartitioning(band, n) satisfies it — so
+    // this ONE exchange serves the window AND the bucketed layout, where
+    // the previous shape paid the window's shuffle-partitions exchange
+    // plus writeBucketed's second repartition back-to-back. Same for the
+    // fp distinct: aggregate + layout share one fingerprint exchange.
     val bands = FuzzyDedup.boundedBands(
       shTable
         .filter(size(col("shingles")) > 0)
         .select(
           col("doc_id"),
           explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")
-        ),
+        )
+        .repartition(n, col("band")),
       "band",
       FuzzyDedup.MaxBandOccupancy
     )
@@ -192,10 +200,11 @@ object DedupIndex {
     // back-fill cores the other frees)
     inParallel(
       () =>
-        Layout.writeBucketed(
-          shTable.select("fingerprint").distinct(),
+        Layout.writeBucketedAligned(
+          shTable.select("fingerprint").repartition(n, col("fingerprint")).distinct(),
           s"${prefix}_fp", "fingerprint", n),
-      () => Layout.writeBucketed(bands.select("band", "doc_id"), s"${prefix}_bands", "band", n)
+      () =>
+        Layout.writeBucketedAligned(bands.select("band", "doc_id"), s"${prefix}_bands", "band", n)
     )
   }
 
@@ -275,13 +284,19 @@ object DedupIndex {
     val verdicts = probeHashed(s, h, prefix).localCheckpoint()
     // survivor-sized: both checkpointed sides, three consumers below
     val kept = h.join(verdicts.filter(col("keep") === 1L).select("doc_id"), Seq("doc_id"))
+    // same exchange-sharing shape as build(): pre-partition at the
+    // PERSISTED bucket count so the occupancy window / fp distinct and
+    // the bucketed append share one exchange per table (r18)
+    val nBands = tableBuckets(s, s"${prefix}_bands")
+    val nFp    = tableBuckets(s, s"${prefix}_fp")
     val bands = FuzzyDedup.boundedBands(
       kept
         .filter(size(col("shingles")) > 0)
         .select(
           col("doc_id"),
           explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles"))).as("band")
-        ),
+        )
+        .repartition(nBands, col("band")),
       "band",
       FuzzyDedup.MaxBandOccupancy
     )
@@ -294,15 +309,15 @@ object DedupIndex {
     // all-appends-then-return contract as the sequential form.
     inParallel(
       () =>
-        Layout.appendBucketed(
-          kept.select("fingerprint").distinct(),
-          s"${prefix}_fp", "fingerprint", tableBuckets(s, s"${prefix}_fp")),
+        Layout.appendBucketedAligned(
+          kept.select("fingerprint").repartition(nFp, col("fingerprint")).distinct(),
+          s"${prefix}_fp", "fingerprint", nFp),
       () =>
         Layout.appendBucketed(kept, s"${prefix}_shingles", "doc_id", tableBuckets(s, s"${prefix}_shingles")),
       () =>
-        Layout.appendBucketed(
+        Layout.appendBucketedAligned(
           bands.select("band", "doc_id"),
-          s"${prefix}_bands", "band", tableBuckets(s, s"${prefix}_bands"))
+          s"${prefix}_bands", "band", nBands)
     )
     verdicts
   }

@@ -171,6 +171,14 @@ object GraphOps extends QueryModule {
     * fan-out the Σoutdeg² wedge stream would run on one task (a dense fold
     * at 10× showed exactly that: wall ≈ cpu). The repartition moves edge
     * rows, never wedges. */
+  /** NOT checkpointed inside (measured r18): materializing deg+oriented
+    * halves q134/q138 task cpu (wedge self-join reads `oriented` 3×, q138's
+    * sim join reads `deg` twice more) but the three extra job barriers cost
+    * +0.5 s wall per row at gate scale — the recompute from a checkpointed
+    * `und` is cheap joins that 32 cores absorb. Callers checkpoint `und`
+    * (the events→distinct-edges subtree) instead; at cluster scale the
+    * cluster analog for the oriented set is a bucketed edge table, not a
+    * per-query checkpoint. */
   private def orientedOf(und: DataFrame): (DataFrame, DataFrame) = {
     val deg = und
       .select(col("a").as("node"))
@@ -210,7 +218,10 @@ object GraphOps extends QueryModule {
 
   /** The operator proper over any (src, dst) edge set. */
   def triangleStatsOver(edgeDf: DataFrame): DataFrame = {
-    val (oriented, deg) = orientedOf(undirected(edgeDf))
+    // und feeds deg's union (2 evals) + the orientation join (1) — one
+    // skinny checkpoint instead of three events→distinct-edges passes;
+    // deg/oriented materialized for the wedge self-join's triple read
+    val (oriented, deg) = orientedOf(undirected(edgeDf).localCheckpoint())
     val tri = trianglesOf(oriented)
     // one explode pass charges all three corners — a 3-way union would
     // recompute the wedge join three times
@@ -531,7 +542,10 @@ object GraphOps extends QueryModule {
 
   /** The operator proper over any (src, dst) edge set. */
   def edgeSimilarityOver(edgeDf: DataFrame): DataFrame = {
-    val und             = undirected(edgeDf)
+    // und feeds deg (2 evals), the orientation join (1) AND the final sim
+    // join (1); deg is read twice more by sim — same checkpoint discipline
+    // as triangleStatsOver (r18)
+    val und             = undirected(edgeDf).localCheckpoint()
     val (oriented, deg) = orientedOf(und)
     val tri             = trianglesOf(oriented)
     // each triangle supports its three edges: ONE explode pass (a 3-way

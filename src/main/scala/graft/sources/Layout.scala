@@ -155,6 +155,49 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** [[writeBucketed]] WITHOUT the write-side repartition, for an input
+    * the CALLER has already hash-partitioned on the bucket column at
+    * exactly `numBuckets` (`repartition(numBuckets, col(bucketCol))` —
+    * the same pmod(murmur3) expression as the bucket id, so each task
+    * holds exactly one bucket). The point: a derived frame whose OWN
+    * computation needs a bucketCol-clustered exchange anyway (a distinct,
+    * an occupancy window) can share ONE exchange between compute and
+    * layout instead of paying a second back-to-back one (guide §2 —
+    * remove shuffles where the data is already partitioned as needed).
+    * File-count discipline identical (≤ one file per bucket), pinned by
+    * DedupIndexSpec's file-count test, which runs the callers. MISUSE is
+    * loud at write time only in file counts, never in data: Spark
+    * recomputes the bucket id per row on write, so an unpartitioned
+    * input still buckets correctly — it just writes tasks × buckets
+    * files, the exact explosion [[writeBucketed]] exists to prevent. */
+  def writeBucketedAligned(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int
+  ): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** [[appendBucketed]] minus the repartition — same caller contract as
+    * [[writeBucketedAligned]]. */
+  def appendBucketedAligned(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int
+  ): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Read a partitioned dataset back. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -133,6 +133,44 @@ class DedupIndexSpec extends AnyFunSuite {
     DedupIndex.resetVerdicts(spark, prefix)
   }
 
+  test("aligned writes share ONE exchange between compute and layout (fp distinct / band window)") {
+    // r18: the fp-distinct and band-occupancy-window frames each need a
+    // key-clustered exchange for their OWN computation; pre-partitioning at
+    // the bucket count makes that exchange double as the bucket alignment,
+    // so writeBucketedAligned adds none. Pin: the pre-write frame's
+    // executed plan has exactly one hashpartitioning exchange on its key.
+    // (The file-count test below, which runs the real build/absorb, pins
+    // that the layout stayed one-file-per-bucket.)
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet").repartition(8)
+    val sh = docs.select(
+      col("doc_id"),
+      org.apache.spark.sql.functions.md5(col("text")).as("fingerprint"),
+      graft.operators.Dedup.shingles(col("text")).as("shingles"))
+    val n = DedupIndex.NumBuckets
+    val fp = sh.select("fingerprint").repartition(n, col("fingerprint")).distinct()
+    fp.collect()
+    val fpPlan = fp.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(
+      fpPlan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"fp distinct should share one fingerprint exchange with the layout:\n$fpPlan")
+    val bands = FuzzyDedup.boundedBands(
+      sh.filter(org.apache.spark.sql.functions.size(col("shingles")) > 0)
+        .select(
+          col("doc_id"),
+          org.apache.spark.sql.functions
+            .explode(graft.plans.TextHashExpressions.minhashBandKeys(col("shingles")))
+            .as("band"))
+        .repartition(n, col("band")),
+      "band",
+      FuzzyDedup.MaxBandOccupancy)
+    bands.collect()
+    val bPlan = bands.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(
+      bPlan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"band occupancy window should share one band exchange with the layout:\n$bPlan")
+  }
+
   test("bucketed writes emit ONE file per bucket: build <= buckets files, absorb adds <= buckets") {
     // without the bucket-aligned repartition each input task writes a file
     // per bucket it touches — tasks x buckets files per write, and appends
