@@ -154,16 +154,16 @@ object TextAnalysis extends QueryModule {
     * aggregate. This is the cheapest possible plan for model scoring: one
     * codegen'd corpus pass. */
   def hashedClassifier(s: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val bigrams = when(
-      size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1), i => concat_ws("_", element_at(t, i), element_at(t, i + 1)))
-    ).otherwise(array().cast("array<string>"))
-    val logit = aggregate(
-      concat(t, bigrams),
-      lit(0L),
-      (acc, f) => acc + (graft.functions.Fingerprints.fp8(f) % 17 - 8)
-    )
+    // Native one-pass expression (r18, guide §4): the previous HOF
+    // formulation — aggregate over concat(tokens, bigrams) with an fp8
+    // lambda — is CodegenFallback (all higher-order functions are), so the
+    // per-row scoring ran INTERPRETED, re-evaluating the split via
+    // element_at/size subtrees per bigram. HashedLogit is one static call
+    // per row inside the WholeStageCodegen span: one tokenize, one md5 per
+    // feature. Bit-identical semantics (ExpressionParitySpec pins the
+    // native column against the builtin chain; the q110 oracle replays the
+    // same md5 arithmetic in DuckDB).
+    val logit = graft.plans.TextHashExpressions.hashedLogit(col("text"))
     // documentsDistributed, not documents: the logit fold is pure CPU per
     // row, and the single-file gate fixture otherwise serializes the whole
     // corpus pass onto one core (invisible until the round-7 bench fix —

@@ -211,6 +211,25 @@ object TextHash {
   }
 
   /** SimHash60 eval body. */
+  /** q110's hashed-classifier logit: Σ over unigrams + "_"-joined adjacent
+    * bigrams of (fp8(feature) % 17 − 8), one tokenize + one md5 per feature
+    * (r18). The HOF formulation (`aggregate` over concat(tokens, bigrams))
+    * is CodegenFallback — Spark interprets the lambda per ELEMENT, and the
+    * bigram branch re-evaluates `split(text)` via three `element_at`/`size`
+    * subtrees per token. Exact parity: baseHash32 IS
+    * conv(substr(md5,1,8),16,10); its value is non-negative so `% 17`
+    * agrees with Spark's sign-of-dividend remainder; integer addition is
+    * order-free. Pinned against the builtin chain by ExpressionParitySpec. */
+  def hashedLogit(s: UTF8String): Long = {
+    val t   = tokens(s)
+    var sum = 0L
+    var i   = 0
+    while (i < t.length) { sum += baseHash32(t(i)) % 17 - 8; i += 1 }
+    i = 0
+    while (i + 1 < t.length) { sum += baseHash32(t(i) + "_" + t(i + 1)) % 17 - 8; i += 1 }
+    sum
+  }
+
   def simhash60(s: UTF8String): Long = {
     import FuzzyDedup.SimhashBits
     val toks    = tokens(s)
@@ -286,6 +305,16 @@ case class WinnowMinimizers(child: Expression, k: Int, w: Int) extends UnaryExpr
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** text → q110 hashed-classifier logit LONG (unigram+bigram hash weights). */
+case class HashedLogit(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHash.hashedLogit(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHash.hashedLogit($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
 /** text → 60-bit SimHash LONG over the whitespace token multiset. */
 case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -303,6 +332,8 @@ object TextHashExpressions {
     GraftBridge.column(MinHashBandKeys(GraftBridge.expression(shingles)))
   def simhash60(text: Column): Column =
     GraftBridge.column(SimHash60(GraftBridge.expression(text)))
+  def hashedLogit(text: Column): Column =
+    GraftBridge.column(HashedLogit(GraftBridge.expression(text)))
   def spanFingerprints(text: Column, width: Int): Column =
     GraftBridge.column(SpanFingerprints(GraftBridge.expression(text), width))
   def winnowMinimizers(text: Column, k: Int, w: Int): Column =

@@ -10,7 +10,17 @@ object PlanCheck {
     val spark = GraftSession.get("local[8]", 8)
     args.foreach { name =>
       println(s"===== $name =====")
-      SparkEntry.queries(name)(spark, dir).explain("formatted")
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.explain("formatted")
+      // simple mode carries the *(n) whole-stage-codegen markers the
+      // formatted dump omits — the §4 audit channel
+      if (sys.env.get("SPARK_GRAFT_PLAN_SIMPLE").contains("1")) {
+        // execute first: AQE final plans carry the *(n) codegen markers
+        // only once the stages have actually planned/run
+        df.queryExecution.toRdd.count()
+        println(s"----- $name simple (codegen stars) -----")
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }

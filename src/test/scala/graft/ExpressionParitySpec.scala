@@ -43,6 +43,38 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert((0L until 400L).filter(v => interpreted(v.toInt)).toSet == viaColumn)
   }
 
+  test("HashedLogit == HOF aggregate over concat(tokens, bigrams) (q110 reference formulation)") {
+    import org.apache.spark.sql.Column
+    def hofLogit(text: Column): Column = {
+      val t = split(text, " +")
+      val bigrams = when(
+        size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1), i => concat_ws("_", element_at(t, i), element_at(t, i + 1)))
+      ).otherwise(array().cast("array<string>"))
+      aggregate(
+        concat(t, bigrams),
+        lit(0L),
+        (acc, f) => acc + (graft.functions.Fingerprints.fp8(f) % 17 - 8))
+    }
+    val diff = docs
+      .select(TextHashExpressions.hashedLogit(col("text")).as("a"), hofLogit(col("text")).as("b"))
+      .filter(not(col("a") <=> col("b")))
+      .count()
+    assert(diff == 0)
+    import spark.implicits._
+    val edge =
+      Seq("", "one", "one two", "a b c", "a  b   c", " lead", "trail ", null.asInstanceOf[String])
+        .toDF("text")
+    val rows = edge
+      .select(col("text"), TextHashExpressions.hashedLogit(col("text")).as("a"), hofLogit(col("text")).as("b"))
+      .collect()
+    rows.foreach { r =>
+      val a = if (r.isNullAt(1)) null else r.getLong(1)
+      val b = if (r.isNullAt(2)) null else r.getLong(2)
+      assert(a == b, s"input='${r.getString(0)}': native $a != reference $b")
+    }
+  }
+
   test("WordShingles == HOF shingles") {
     val diff = docs
       .select(Dedup.shingles(col("text")).as("a"), Dedup.shinglesHof(col("text")).as("b"))
